@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship per-lang quality rollup at sf0.001;
+``queries``/``oracle_sql`` expose the operator registry from
+``ocr_output_evaluation_spark.queries`` (SURVEY.md §2 coverage — each Spark
+implementation paired with the DuckDB-equivalent ANSI SQL where the operator
+is SQL-expressible; xxhash64/UDF-based ops are rows-only checked).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_output_evaluation_spark.queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: per-lang document-quality
+    rollup (token counts, quality score, moment stats, dup counts) — the
+    EP1-analog report of the engine."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.functions.text import (
+        bpe_ish_token_count,
+        quality_score,
+        whitespace_token_count,
+    )
+    from ocr_output_evaluation_spark.functions.valid import valid
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v = valid("n_chars")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.mean(v), 6).alias("mean_chars"),
+        F.round(F.median(v), 6).alias("median_chars"),
+        F.round(F.percentile(v, F.lit(0.9)), 6).alias("p90_chars"),
+        F.sum(whitespace_token_count(F.col("text"))).alias("total_ws_tokens"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"),
+        F.round(F.avg(quality_score(F.col("text"), "en")), 6).alias("avg_quality"),
+        F.countDistinct(fp).alias("n_unique_texts"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each SQL-expressible query."""
+    return dict(ORACLES)

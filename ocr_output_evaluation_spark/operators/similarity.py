@@ -61,33 +61,24 @@ def _plane_component(j: Column | int, d: Column, seed: int) -> Column:
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 12, seed: int = 42) -> Column:
-    """INT bucket id: bit j = sign(<v, plane_j>). Native expressions only."""
+    """INT bucket id: bit j = sign(<v, plane_j>). Native expressions only —
+    the plane loop is unrolled in Python (plane index and shift amount are
+    literals), each plane's projection is one F.aggregate over the vector."""
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda j: F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    dims,
-                    lambda x, d: x.cast("double") * _plane_component(j, d, seed),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bits,
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda bit, j: bit * F.shiftleft(F.lit(1), j),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+
+    def component_fn(j: int):
+        # 2-arg lambda per plane (higher-order functions introspect arity).
+        return lambda x, d: x.cast("double") * _plane_component(j, d, seed)
+
+    sig = F.lit(0)
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, dims, component_fn(j)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
 
 
 def _signature_py(vec, n_planes: int, seed: int) -> int:

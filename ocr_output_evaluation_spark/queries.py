@@ -1,0 +1,1005 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable plus (where SQL-expressible) an
+equivalent DuckDB oracle SQL string.
+
+Design rules (the correctness gate hashes values after sorting columns by
+name, order-insensitively):
+- every computed column is aliased identically in Spark and SQL;
+- every float column is rounded the same way on both sides (sums of money to
+  2, ratios/means/percentiles to 6) so partial-aggregation order cannot flip
+  the hash;
+- every LIMIT has a total deterministic ORDER BY (explicit tiebreak keys);
+- sampling uses md5(cast(key as string)) hash-order — computable identically
+  by both engines (xxhash64 is Spark-only, so the md5 twin is the
+  oracle-checkable deterministic-sampling path; operators/sampling.py keeps
+  the xxhash64 version for production use).
+
+Reference parity notes cite /root/reference files; see SURVEY.md §2 ids
+(A1..A17, P1..P7, J1..J3, W1/W2, O1..O4, U1..U3, F1..F17, R1..R3) on each
+query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .functions.text import (
+    BPE_ISH_PATTERN,
+    STOPWORDS,
+    bpe_ish_token_count,
+    lang_id_scores,
+    quality_score,
+    whitespace_token_count,
+)
+from .functions.valid import valid
+from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_dup_pairs
+from .operators.histogram import histogram
+from .operators.salted import salted_group_stats
+from .operators.similarity import cosine_expr, lsh_top_k
+
+_INF = float("inf")
+_NAN = float("nan")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(c, n=6):
+    return F.round(c, n)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational core (scan → filter → join → agg → sort/limit)
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(spark, sf):
+    """A1/A3/A5 + P4: the classic grouped pricing rollup (partial+final hash
+    agg; filter pushed to the parquet scan)."""
+    l = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(disc), 2).alias("sum_disc_price"),
+            _r(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _r(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            _r(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf):
+    """J2 + O2: 3-way equi-join, grouped revenue, global top-10 with
+    deterministic tiebreak (TakeOrderedAndProject, no full sort)."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-03-15")
+    l = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark, sf):
+    """J1/J2: star join with two broadcast dims (region, nation) — Catalyst
+    plans broadcast hash joins; only the fact-fact join shuffles."""
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf, "nation")
+    c = t(spark, sf, "customer")
+    s = t(spark, sf, "supplier")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = t(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf):
+    """P4 range/band filters + single global agg — every predicate pushed to
+    the scan."""
+    l = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped statistics (the reference's stats_calculator layer)
+# ---------------------------------------------------------------------------
+def group_moment_stats(spark, sf):
+    """A1 + A2: per-lang moment stats + exact percentiles over documents
+    (pandas-parity: stddev ddof=1, linear-interpolation quantiles —
+    /root/reference/stats_calculator.py:73-86)."""
+    v = valid("n_chars")
+    return (
+        t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(v).alias("n"),
+            _r(F.mean(v)).alias("mean_nc"),
+            _r(F.median(v)).alias("median_nc"),
+            _r(F.stddev_samp(v)).alias("std_nc"),
+            F.min(v).alias("min_nc"),
+            F.max(v).alias("max_nc"),
+            _r(F.percentile(v, F.lit(0.10))).alias("p10_nc"),
+            _r(F.percentile(v, F.lit(0.25))).alias("p25_nc"),
+            _r(F.percentile(v, F.lit(0.75))).alias("p75_nc"),
+            _r(F.percentile(v, F.lit(0.90))).alias("p90_nc"),
+            _r(F.percentile(v, F.lit(0.95))).alias("p95_nc"),
+        )
+    )
+
+
+ORACLE_GROUP_MOMENT_STATS = """
+SELECT lang,
+       count(nc)                            AS n,
+       round(avg(nc), 6)                    AS mean_nc,
+       round(median(nc), 6)                 AS median_nc,
+       round(stddev_samp(nc), 6)            AS std_nc,
+       min(nc)                              AS min_nc,
+       max(nc)                              AS max_nc,
+       round(quantile_cont(nc, 0.10), 6)    AS p10_nc,
+       round(quantile_cont(nc, 0.25), 6)    AS p25_nc,
+       round(quantile_cont(nc, 0.75), 6)    AS p75_nc,
+       round(quantile_cont(nc, 0.90), 6)    AS p90_nc,
+       round(quantile_cont(nc, 0.95), 6)    AS p95_nc
+FROM (SELECT lang, CAST(n_chars AS DOUBLE) AS nc FROM documents)
+GROUP BY lang
+"""
+
+
+def threshold_buckets(spark, sf):
+    """A3: threshold bucket counts + percentages per event_type
+    (/root/reference/stats_calculator.py:89-98)."""
+    v = valid("value")
+    n = F.count(v)
+    n_hi = F.count(F.when(v >= 100.0, 1))
+    n_med = F.count(F.when((v >= 10.0) & (v < 100.0), 1))
+    n_lo = F.count(F.when(v < 10.0, 1))
+    pct = lambda x: _r(x.cast("double") / n.cast("double") * 100.0)  # noqa: E731
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            n_hi.alias("n_high"),
+            n_med.alias("n_med"),
+            n_lo.alias("n_low"),
+            pct(n_hi).alias("pct_high"),
+            pct(n_med).alias("pct_med"),
+            pct(n_lo).alias("pct_low"),
+        )
+    )
+
+
+ORACLE_THRESHOLD_BUCKETS = """
+SELECT event_type,
+       count(value)                                                          AS n,
+       count(CASE WHEN value >= 100.0 THEN 1 END)                            AS n_high,
+       count(CASE WHEN value >= 10.0 AND value < 100.0 THEN 1 END)           AS n_med,
+       count(CASE WHEN value < 10.0 THEN 1 END)                              AS n_low,
+       round(count(CASE WHEN value >= 100.0 THEN 1 END) * 1.0 / count(value) * 100.0, 6) AS pct_high,
+       round(count(CASE WHEN value >= 10.0 AND value < 100.0 THEN 1 END) * 1.0 / count(value) * 100.0, 6) AS pct_med,
+       round(count(CASE WHEN value < 10.0 THEN 1 END) * 1.0 / count(value) * 100.0, 6)   AS pct_low
+FROM events
+GROUP BY event_type
+"""
+
+
+def validity_classes(spark, sf):
+    """A7 + P1: NaN-class vs inf-class counters with the reference's exact
+    semantics (/root/reference/perplexity_scorer.py:230-243) — NaN and inf
+    injected deterministically, stats on the valid() subset only."""
+    e = t(spark, sf, "events")
+    raw = (
+        F.when(F.col("event_id") % 97 == 0, F.lit(_NAN))
+        .when(F.col("event_id") % 101 == 0, F.lit(_INF))
+        .otherwise(F.col("value"))
+    )
+    e = e.withColumn("v2", raw)
+    c = F.col("v2")
+    v = valid(c)
+    n_all = F.count(F.lit(1))
+    n_nan = F.count(F.when(F.isnan(c), 1))
+    n_inf = F.count(F.when(~F.isnan(c) & (F.abs(c) == _INF), 1))
+    n_valid = F.count(v)
+    return e.groupBy("event_type").agg(
+        n_all.alias("n_all"),
+        n_nan.alias("n_nan"),
+        n_inf.alias("n_inf"),
+        n_valid.alias("n_valid"),
+        _r(n_valid.cast("double") / n_all.cast("double") * 100.0).alias("pct_valid"),
+        _r(F.avg(v)).alias("mean_valid"),
+    )
+
+
+ORACLE_VALIDITY_CLASSES = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN event_id % 97 = 0 THEN 'nan'::DOUBLE
+              WHEN event_id % 101 = 0 THEN 'inf'::DOUBLE
+              ELSE value END AS v2
+  FROM events
+)
+SELECT event_type,
+       count(*)                                           AS n_all,
+       count(CASE WHEN isnan(v2) THEN 1 END)              AS n_nan,
+       count(CASE WHEN NOT isnan(v2) AND isinf(v2) THEN 1 END) AS n_inf,
+       count(CASE WHEN NOT isnan(v2) AND NOT isinf(v2) THEN 1 END) AS n_valid,
+       round(count(CASE WHEN NOT isnan(v2) AND NOT isinf(v2) THEN 1 END) * 1.0 / count(*) * 100.0, 6) AS pct_valid,
+       round(avg(CASE WHEN NOT isnan(v2) AND NOT isinf(v2) THEN v2 END), 6)  AS mean_valid
+FROM e
+GROUP BY event_type
+"""
+
+
+def top_langs_per_source(spark, sf):
+    """A6/W1: top-3 langs per source pivoted into rank columns with the
+    deterministic tiebreak (count desc, lang asc —
+    /root/reference/stats_calculator.py:137-148)."""
+    counts = (
+        t(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("lang").asc())
+    ranked = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    aggs = []
+    for i in (1, 2, 3):
+        aggs.append(F.max(F.when(F.col("rk") == i, F.col("lang"))).alias(f"top_lang_{i}"))
+        aggs.append(
+            F.max(F.when(F.col("rk") == i, F.col("cnt"))).alias(f"top_lang_{i}_count")
+        )
+    return ranked.groupBy("source").agg(*aggs)
+
+
+ORACLE_TOP_LANGS = """
+WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+r AS (SELECT source, lang, cnt,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang ASC) AS rk
+      FROM c)
+SELECT source,
+       max(CASE WHEN rk = 1 THEN lang END)                 AS top_lang_1,
+       CAST(max(CASE WHEN rk = 1 THEN cnt END) AS BIGINT)  AS top_lang_1_count,
+       max(CASE WHEN rk = 2 THEN lang END)                 AS top_lang_2,
+       CAST(max(CASE WHEN rk = 2 THEN cnt END) AS BIGINT)  AS top_lang_2_count,
+       max(CASE WHEN rk = 3 THEN lang END)                 AS top_lang_3,
+       CAST(max(CASE WHEN rk = 3 THEN cnt END) AS BIGINT)  AS top_lang_3_count
+FROM r WHERE rk <= 3
+GROUP BY source
+"""
+
+
+def value_histogram(spark, sf):
+    """A8: np.histogram-style 20-bin histogram of events.value over [0, 500]
+    (/root/reference/stats_calculator.py:303-327; last bin closed)."""
+    return histogram(t(spark, sf, "events"), "value", nbins=20, lo=0.0, hi=500.0)
+
+
+ORACLE_HISTOGRAM = """
+WITH b AS (
+  SELECT least(CAST(floor((value - 0.0) / 25.0) AS INT), 19) AS bin
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+    AND value >= 0.0 AND value <= 500.0
+)
+SELECT bin,
+       round(0.0 + bin * 25.0, 9)       AS bin_start,
+       round(0.0 + (bin + 1) * 25.0, 9) AS bin_end,
+       count(*)                          AS count
+FROM b GROUP BY bin
+"""
+
+
+def value_counts_lang(spark, sf):
+    """A14: frequency distribution with pct-of-total via a window over the
+    aggregated frame (/root/reference/metadata_loader.py:160-187)."""
+    counts = t(spark, sf, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.select(
+        "lang",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(W.partitionBy()) * 100.0, 6).alias("pct"),
+    )
+
+
+ORACLE_VALUE_COUNTS = """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+SELECT lang, cnt, round(cnt / sum(cnt) OVER () * 100.0, 6) AS pct FROM c
+"""
+
+
+def top_docs_by_len(spark, sf):
+    """O1/O2/O4: ORDER BY ... LIMIT with explicit tiebreak —
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_DOCS = """
+SELECT doc_id, lang, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
+def corr_trend(spark, sf):
+    """A15/A16: Pearson r + least-squares slope/intercept as closed-form
+    aggregates (/root/reference/analyze_buckets.py:198,209-214 — one pass,
+    no np.polyfit iteration)."""
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return t(spark, sf, "lineitem").agg(
+        _r(F.corr(x, y)).alias("pearson_r"),
+        _r(F.regr_slope(y, x)).alias("slope"),
+        _r(F.regr_intercept(y, x)).alias("intercept"),
+        F.regr_count(y, x).alias("n_points"),
+    )
+
+
+ORACLE_CORR_TREND = """
+SELECT round(corr(l_quantity, l_extendedprice), 6)           AS pearson_r,
+       round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_points
+FROM lineitem
+"""
+
+
+def event_dow_matrix(spark, sf):
+    """A13: the heatmap matrix (event_type × day-of-week mean value) via
+    conditional aggregation (/root/reference/visualize.py:728-750)."""
+    e = t(spark, sf, "events")
+    dow = F.dayofweek("ts") - 1  # 0=Sunday, matches date_part('dow', ...)
+    aggs = [
+        _r(F.avg(F.when(dow == d, F.col("value")))).alias(f"d{d}") for d in range(7)
+    ]
+    return e.groupBy("event_type").agg(*aggs, F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_DOW_MATRIX = """
+SELECT event_type,
+       round(avg(CASE WHEN date_part('dow', ts) = 0 THEN value END), 6) AS d0,
+       round(avg(CASE WHEN date_part('dow', ts) = 1 THEN value END), 6) AS d1,
+       round(avg(CASE WHEN date_part('dow', ts) = 2 THEN value END), 6) AS d2,
+       round(avg(CASE WHEN date_part('dow', ts) = 3 THEN value END), 6) AS d3,
+       round(avg(CASE WHEN date_part('dow', ts) = 4 THEN value END), 6) AS d4,
+       round(avg(CASE WHEN date_part('dow', ts) = 5 THEN value END), 6) AS d5,
+       round(avg(CASE WHEN date_part('dow', ts) = 6 THEN value END), 6) AS d6,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+def quality_buckets(spark, sf):
+    """F7: CASE-chain bucket assignment — native when-chain replacing the
+    reference's row-apply UDF (/root/reference/analyze_buckets.py:56-80)."""
+    d = t(spark, sf, "documents")
+    bucket = (
+        F.when((F.col("n_chars") >= 150) & F.col("lang").isin("en", "de"), "long_euro")
+        .when(F.col("n_chars") >= 150, "long_other")
+        .when(F.col("n_chars") >= 80, "medium")
+        .otherwise("short")
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.avg("n_chars")).alias("avg_chars"))
+    )
+
+
+ORACLE_QUALITY_BUCKETS = """
+SELECT CASE WHEN n_chars >= 150 AND lang IN ('en', 'de') THEN 'long_euro'
+            WHEN n_chars >= 150 THEN 'long_other'
+            WHEN n_chars >= 80 THEN 'medium'
+            ELSE 'short' END AS bucket,
+       count(*) AS n,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (R1-R3 / W2) — md5 twin of the xxhash64 operators
+# ---------------------------------------------------------------------------
+def per_group_sample(spark, sf):
+    """W2/R2: ≤2 docs per lang, hash-ordered (deterministic replacement for
+    pandas .sample — /root/reference/select_challenging_images.py:134-136)."""
+    d = t(spark, sf, "documents")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("lang", "doc_id")
+    )
+
+
+ORACLE_PER_GROUP_SAMPLE = """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT lang, doc_id FROM r WHERE rn <= 2
+"""
+
+
+def deterministic_sample_50(spark, sf):
+    """R1/R3: global exact-n seeded sample via hash-order-limit
+    (/root/reference/select_challenging_images.py:79-83)."""
+    d = t(spark, sf, "documents")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    return (
+        d.orderBy(hk.asc(), F.col("doc_id").asc())
+        .select("doc_id", "lang", "source")
+        .limit(50)
+    )
+
+
+ORACLE_SAMPLE_50 = """
+SELECT doc_id, lang, source FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops / union layer (U1-U3)
+# ---------------------------------------------------------------------------
+def union_distinct_keys(spark, sf):
+    """U1/U2/U3: union of two heterogeneous projections + distinct
+    (/root/reference/metadata_loader.py:143)."""
+    a = t(spark, sf, "documents").select(
+        F.col("lang").alias("k"), F.lit("doc_lang").alias("src")
+    )
+    b = t(spark, sf, "events").select(
+        F.col("event_type").alias("k"), F.lit("event_type").alias("src")
+    )
+    return a.unionByName(b).dropDuplicates(["k", "src"])
+
+
+ORACLE_UNION_DISTINCT = """
+SELECT DISTINCT lang AS k, 'doc_lang' AS src FROM documents
+UNION
+SELECT DISTINCT event_type AS k, 'event_type' AS src FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Date / JSON / window functions (rebuild extensions, SURVEY.md §2.8 note)
+# ---------------------------------------------------------------------------
+def events_hourly(spark, sf):
+    """date_trunc event-time rollup (the warc_ts-style partition column
+    analytics the rebuild adds; reference has no date functions)."""
+    e = t(spark, sf, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        e.groupBy(hour.alias("hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.avg("value")).alias("avg_value"))
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_json_props(spark, sf):
+    """JSON-in-string extraction (events.props) — F.get_json_object,
+    ANSI-oracled by DuckDB json_extract_string."""
+    e = t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        _r(F.avg(k)).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT))  AS n_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT))    AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))    AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def running_spend(spark, sf):
+    """Frame-spec window (rows unbounded-preceding → current): per-customer
+    running total — beyond-reference window coverage (SURVEY.md §2.5)."""
+    o = t(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        _r(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+ORACLE_RUNNING_SPEND = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text analysis
+# ---------------------------------------------------------------------------
+def token_stats(spark, sf):
+    """F1 + token counting (whitespace + BPE-ish regex) per lang — all
+    native regex expressions, codegen-resident."""
+    d = t(spark, sf, "documents")
+    ws = whitespace_token_count(F.col("text"))
+    bpe = bpe_ish_token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("sum_ws_tokens"),
+        F.sum(bpe).alias("sum_bpe_tokens"),
+        _r(F.avg(ws)).alias("avg_ws_tokens"),
+    )
+
+
+ORACLE_TOKEN_STATS = r"""
+WITH tk AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws,
+         len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS bpe
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ws) AS BIGINT)  AS sum_ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens,
+       round(avg(ws), 6)        AS avg_ws_tokens
+FROM tk GROUP BY lang
+"""
+
+
+def lang_id_report(spark, sf):
+    """Language-ID heuristic (stopword-hit argmax, first-wins tiebreak) —
+    prediction quality per labeled lang; pure when-chain, no UDF."""
+    d = t(spark, sf, "documents")
+    scores = lang_id_scores(F.col("text"))
+    d = d.withColumn("pred", scores["lang_pred"])
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("pred") == F.col("lang"), 1)).alias("n_correct"),
+        F.count(F.when(F.col("pred").isNull(), 1)).alias("n_no_signal"),
+    )
+
+
+def _oracle_lang_id() -> str:
+    hits = {
+        lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ws)})\b'))"
+        for lang, ws in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    h = {lang: f"h_{lang}" for lang in langs}
+    cols = ",\n         ".join(f"{expr} AS {h[lang]}" for lang, expr in hits.items())
+    mx = f"greatest({', '.join(h.values())})"
+    chain = f"CASE WHEN {mx} = 0 THEN NULL\n"
+    for i, lang in enumerate(langs):
+        rest = [h[o] for o in langs[i + 1 :]]
+        cond = " AND ".join(f"{h[lang]} >= {r}" for r in rest) or "TRUE"
+        chain += f"            WHEN {cond} THEN '{lang}'\n"
+    chain += "       END"
+    return f"""
+WITH s AS (
+  SELECT lang,
+         {cols}
+  FROM documents
+), p AS (
+  SELECT lang, {chain} AS pred FROM s
+)
+SELECT lang, count(*) AS n_docs,
+       count(CASE WHEN pred = lang THEN 1 END) AS n_correct,
+       count(CASE WHEN pred IS NULL THEN 1 END) AS n_no_signal
+FROM p GROUP BY lang
+"""
+
+
+def quality_scores(spark, sf):
+    """Composite quality score (length/punct/control/stopword signals) per
+    lang — the quality-analytics analog of the reference's confidence-band
+    scoring, fully in codegen."""
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r(F.avg(quality_score(F.col("text"), "en"))).alias("avg_quality"),
+        _r(F.min(quality_score(F.col("text"), "en"))).alias("min_quality"),
+        _r(F.max(quality_score(F.col("text"), "en"))).alias("max_quality"),
+    )
+
+
+_SW_EN = "|".join(STOPWORDS["en"])
+ORACLE_QUALITY_SCORES = rf"""
+WITH q AS (
+  SELECT lang,
+    round(
+      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+      + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+          THEN len(regexp_extract_all(text, '[\p{{P}}]')) * 1.0 / length(text)
+          ELSE 0.0 END) * 4.0) * 0.2
+      + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+          THEN len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) * 1.0 / length(text)
+          ELSE 0.0 END) * 20.0) * 0.2
+      + least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+          ELSE len(regexp_extract_all(lower(text), '\b({_SW_EN})\b')) * 1.0
+               / len(regexp_split_to_array(trim(text), '\s+')) END) * 4.0, 1.0) * 0.3
+    , 6) AS score
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(score), 6) AS avg_quality,
+       round(min(score), 6) AS min_quality,
+       round(max(score), 6) AS max_quality
+FROM q GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup
+# ---------------------------------------------------------------------------
+def exact_dup_stats(spark, sf):
+    """Exact dedup via normalized-text fingerprint (hash-groupBy; map-side
+    combine collapses dups before the shuffle)."""
+    d = t(spark, sf, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_dups"),
+    )
+
+
+ORACLE_EXACT_DUP = r"""
+WITH f AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents)
+SELECT count(*) AS n_docs,
+       count(DISTINCT fp) AS n_unique,
+       count(*) - count(DISTINCT fp) AS n_dups
+FROM f
+"""
+
+
+def ngram_jaccard_small(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs over a bounded subset (shingle
+    inverted-index self-join) — the verification-grade path of the dedup
+    stack (operators/dedup.py)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 60).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS sh
+  FROM d, UNNEST(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.5
+"""
+
+
+def minhash_pairs(spark, sf):
+    """MinHash+LSH near-dup candidates (xxhash64 signatures — Spark-native,
+    not SQL-oracle-expressible → rows-only check)."""
+    d = t(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=32, bands=8, jaccard_threshold=0.35
+    ).select("id_a", "id_b", _r(F.col("est_jaccard")).alias("est_jaccard"))
+
+
+def simhash_pairs(spark, sf):
+    """SimHash near-dup pairs via 4×16-bit band join (rows-only check)."""
+    d = t(spark, sf, "documents")
+    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: similarity search
+# ---------------------------------------------------------------------------
+def embedding_topk(spark, sf):
+    """Brute-force cosine top-k to a query vector (vec_id=0): dot/norm as
+    native array expressions, TakeOrderedAndProject top-k."""
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.crossJoin(F.broadcast(q))
+    cos = cosine_expr(F.col("embedding"), F.col("qv"))
+    return (
+        joined.select("vec_id", _r(cos).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT e.vec_id,
+         CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+         CAST(q.qv[CAST(i AS INT)] AS DOUBLE)        AS y
+  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+),
+c AS (
+  SELECT vec_id, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS cosine
+  FROM p GROUP BY vec_id
+)
+SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def lsh_ann_topk(spark, sf):
+    """LSH-bucketed approximate top-k (hyperplane signatures via xxhash64 —
+    rows-only check; the 100 TB path that prunes the corpus pre-dot-product)."""
+    e = t(spark, sf, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    out = lsh_top_k(spark, e, "embedding", "vec_id", query, k=10, multiprobe=1)
+    return out.select("vec_id", _r(F.col("cosine")).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Skew handling
+# ---------------------------------------------------------------------------
+def salted_source_stats(spark, sf):
+    """Salted two-phase aggregation (operators/salted.py) — result invariant
+    to the salt, so the oracle is the PLAIN group-by: correctness of the skew
+    path is exactly this equality."""
+    d = t(spark, sf, "documents")
+    out = salted_group_stats(d, ["source"], "n_chars", salt_col="doc_id", n_salts=16)
+    return out.select(
+        "source",
+        F.col("n").alias("n"),
+        _r(F.col("sum"), 2).alias("sum_nc"),
+        _r(F.col("mean")).alias("mean_nc"),
+        F.col("min").alias("min_nc"),
+        F.col("max").alias("max_nc"),
+        _r(F.col("var_samp")).alias("var_nc"),
+        _r(F.col("std")).alias("std_nc"),
+    )
+
+
+ORACLE_SALTED_STATS = """
+SELECT source,
+       count(nc)                       AS n,
+       round(sum(nc), 2)               AS sum_nc,
+       round(avg(nc), 6)               AS mean_nc,
+       min(nc)                         AS min_nc,
+       max(nc)                         AS max_nc,
+       round(var_samp(nc), 6)          AS var_nc,
+       round(stddev_samp(nc), 6)       AS std_nc
+FROM (SELECT source, CAST(n_chars AS DOUBLE) AS nc FROM documents)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction + perplexity (fixture-backed, rows-only: the oracle cannot run
+# our extractor / LM join — correctness is the byte-identity pytest gate)
+# ---------------------------------------------------------------------------
+def extraction_report(spark, sf):
+    """The flagship pipeline stage on deterministic fixture pages: scan →
+    column-pruned select → Arrow-batched extraction UDF → per-lang rollup."""
+    from .extract.udf import extract_udf
+    from .fixtures.generate import web_pages_df
+
+    pages = web_pages_df(spark, 300, partitions=8)
+    ex = (
+        pages.select("url", "lang", "html")
+        .withColumn("x", extract_udf(F.col("html")))
+        .select("url", "lang", "x.*")
+    )
+    return ex.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_errors"),
+        F.count(F.when(F.col("is_pdf"), 1)).alias("n_pdf"),
+        F.sum("n_blocks_kept").alias("blocks_kept"),
+        F.sum("n_blocks_dropped").alias("blocks_dropped"),
+        F.countDistinct("text_sha256").alias("n_distinct_texts"),
+        F.sum(F.length("extracted_text")).alias("total_chars"),
+    )
+
+
+def perplexity_report(spark, sf):
+    """Char-ngram perplexity via the native explode→broadcast-join→agg path
+    over fixture docs + fixture LM (rows-only; parity with the Arrow-UDF
+    scorer is pytest-gated)."""
+    from .fixtures.generate import reference_lm_pdf
+    from .operators.perplexity import perplexity_native
+    from .schema import REFERENCE_LM
+
+    d = t(spark, sf, "documents")
+    lm = spark.createDataFrame(reference_lm_pdf(), schema=REFERENCE_LM)
+    scored = perplexity_native(
+        d.select("doc_id", "lang", F.col("text").alias("extracted_text")),
+        lm,
+        id_col="doc_id",
+    )
+    p = F.col("perplexity")
+    return (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(p == _INF, 1)).alias("n_rejected"),
+            F.count(F.when(p.isNull(), 1)).alias("n_no_text"),
+            _r(F.avg(valid(p)), 4).alias("avg_ppl"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "group_moment_stats": group_moment_stats,
+    "threshold_buckets": threshold_buckets,
+    "validity_classes": validity_classes,
+    "top_langs_per_source": top_langs_per_source,
+    "value_histogram": value_histogram,
+    "value_counts_lang": value_counts_lang,
+    "top_docs_by_len": top_docs_by_len,
+    "corr_trend": corr_trend,
+    "event_dow_matrix": event_dow_matrix,
+    "quality_buckets": quality_buckets,
+    "per_group_sample": per_group_sample,
+    "deterministic_sample_50": deterministic_sample_50,
+    "union_distinct_keys": union_distinct_keys,
+    "events_hourly": events_hourly,
+    "events_json_props": events_json_props,
+    "running_spend": running_spend,
+    "token_stats": token_stats,
+    "lang_id_report": lang_id_report,
+    "quality_scores": quality_scores,
+    "exact_dup_stats": exact_dup_stats,
+    "ngram_jaccard_small": ngram_jaccard_small,
+    "minhash_pairs": minhash_pairs,
+    "simhash_pairs": simhash_pairs,
+    "embedding_topk": embedding_topk,
+    "lsh_ann_topk": lsh_ann_topk,
+    "salted_source_stats": salted_source_stats,
+    "extraction_report": extraction_report,
+    "perplexity_report": perplexity_report,
+}
+
+ORACLES = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_local_supplier_volume": ORACLE_Q5,
+    "q6_forecast_revenue": ORACLE_Q6,
+    "group_moment_stats": ORACLE_GROUP_MOMENT_STATS,
+    "threshold_buckets": ORACLE_THRESHOLD_BUCKETS,
+    "validity_classes": ORACLE_VALIDITY_CLASSES,
+    "top_langs_per_source": ORACLE_TOP_LANGS,
+    "value_histogram": ORACLE_HISTOGRAM,
+    "value_counts_lang": ORACLE_VALUE_COUNTS,
+    "top_docs_by_len": ORACLE_TOP_DOCS,
+    "corr_trend": ORACLE_CORR_TREND,
+    "event_dow_matrix": ORACLE_DOW_MATRIX,
+    "quality_buckets": ORACLE_QUALITY_BUCKETS,
+    "per_group_sample": ORACLE_PER_GROUP_SAMPLE,
+    "deterministic_sample_50": ORACLE_SAMPLE_50,
+    "union_distinct_keys": ORACLE_UNION_DISTINCT,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_json_props": ORACLE_EVENTS_JSON,
+    "running_spend": ORACLE_RUNNING_SPEND,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "lang_id_report": _oracle_lang_id(),
+    "quality_scores": ORACLE_QUALITY_SCORES,
+    "exact_dup_stats": ORACLE_EXACT_DUP,
+    "ngram_jaccard_small": ORACLE_NGRAM_JACCARD,
+    "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "salted_source_stats": ORACLE_SALTED_STATS,
+    # minhash_pairs / simhash_pairs / lsh_ann_topk: xxhash64-based — Spark-only,
+    # rows-only check. extraction_report / perplexity_report: fixture+UDF
+    # pipelines — byte-identity and parity are pytest-gated instead.
+}
