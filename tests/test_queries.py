@@ -1,0 +1,147 @@
+"""Regression gate for the driver-contract registry: every queries() entry
+runs, and every oracle_sql() entry matches its Spark twin value-for-value on
+DuckDB at sf0.001 (the full sf0.01 sweep is tools/check_oracle.py — this is
+the fast always-on version of the same comparison).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_output_evaluation_spark.queries import ORACLES, QUERIES
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt.startswith(("float", "Float")):
+            df[c] = df[c].astype("float64")
+        elif dt.startswith(("int", "Int", "uint")):
+            df[c] = df[c].astype("int64")
+        elif dt == "object":
+            df[c] = df[c].astype("string")
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def _assert_frames_match(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> None:
+    assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: column names differ"
+    assert len(sdf) == len(odf), f"{name}: row counts differ ({len(sdf)} vs {len(odf)})"
+    a, b = _normalize(sdf.copy()), _normalize(odf.copy())
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].astype(a[c].dtype).tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) and isinstance(y, float):
+                ok = (math.isnan(x) and math.isnan(y)) or x == y
+            else:
+                ok = (pd.isna(x) and pd.isna(y)) or x == y
+            assert ok, f"{name}.{c} row {i}: spark={x!r} oracle={y!r}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, sf_dir, duck, name):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.execute(ORACLES[name]).fetchdf()
+    _assert_frames_match(sdf, odf, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_execute(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_contract(spark):
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+# ---------------------------------------------------------------------------
+# Unit tests for the signature operators (previously untested: passing a
+# lambda Column as a shift amount fails only at expression-build time).
+# ---------------------------------------------------------------------------
+def test_simhash_deterministic_and_similarity_ordered(spark):
+    from ocr_output_evaluation_spark.operators.dedup import simhash64
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words entirely unrelated text here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.sig for r in df.select("id", simhash64(F.col("text")).alias("sig")).collect()}
+    assert out[4] is None
+    assert out[1] is not None
+    # re-run -> identical signatures (deterministic)
+    out2 = {r.id: r.sig for r in df.select("id", simhash64(F.col("text")).alias("sig")).collect()}
+    assert out == out2
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_hyperplane_signature_buckets_similar_vectors(spark):
+    from ocr_output_evaluation_spark.operators.similarity import hyperplane_signature
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.2]),
+        (2, [0.99, 0.01, 0.0, 0.21]),   # nearly identical to 1
+        (3, [-1.0, 0.5, 0.3, -0.2]),    # far away
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    sig = hyperplane_signature(F.col("v"), n_planes=12, seed=7)
+    out = {r.id: r.s for r in df.select("id", sig.alias("s")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert all(0 <= s < 2**12 for s in out.values())
+
+
+def test_minhash_signatures_match_expression_form(spark):
+    from ocr_output_evaluation_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures,
+    )
+
+    rows = [(i, f"document number {i} with some shared boilerplate text") for i in range(20)]
+    rows.append((99, "xy"))  # shorter than the shingle -> no signature
+    df = spark.createDataFrame(rows, "id long, text string")
+    agg_sigs = {
+        r._id: list(r._sig)
+        for r in minhash_signatures(df, "text", "id", n_hashes=16, shingle_n=5).collect()
+    }
+    expr_sigs = {
+        r.id: (None if r.sig is None else list(r.sig))
+        for r in df.select(
+            "id", minhash_signature(F.col("text"), 16, 5).alias("sig")
+        ).collect()
+    }
+    assert 99 not in agg_sigs and expr_sigs[99] is None
+    for k, v in agg_sigs.items():
+        assert expr_sigs[k] == v, f"doc {k}: agg path != expression path"
