@@ -904,6 +904,23 @@ def extraction_report(spark, sf):
     )
 
 
+def media_features_report(spark, sf):
+    """Multimodal stack smoke (rows-only): fixture media (image/audio/video
+    BINARY + typed meta) → Arrow-batched decode + byte features → per-kind
+    rollup. Real codecs are stubbed (multimodal/media.py); the Spark plumbing
+    — schemas, batch shapes, in-band errors — is the thing under test."""
+    from .multimodal import image_features, media_df
+
+    m = media_df(spark, 200, partitions=4)
+    feats = image_features(m)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_errors"),
+        _r(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+        _r(F.avg("byte_std"), 4).alias("avg_byte_std"),
+    )
+
+
 def perplexity_report(spark, sf):
     """Char-ngram perplexity via the native explode→broadcast-join→agg path
     over fixture docs + fixture LM (rows-only; parity with the Arrow-UDF
@@ -969,6 +986,7 @@ QUERIES = {
     "salted_source_stats": salted_source_stats,
     "extraction_report": extraction_report,
     "perplexity_report": perplexity_report,
+    "media_features_report": media_features_report,
 }
 
 ORACLES = {

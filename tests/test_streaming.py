@@ -1,0 +1,114 @@
+"""Structured Streaming layer: incremental extraction (byte-identity per
+micro-batch + checkpoint resume), watermarked windowed aggregation, and the
+custom stateful running-totals operator.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_output_evaluation_spark.extract import extract_document
+from ocr_output_evaluation_spark.fixtures.generate import web_pages_df, web_pages_pdf
+from ocr_output_evaluation_spark.streaming import (
+    read_web_pages_stream,
+    running_lang_totals,
+    stream_extraction,
+    windowed_lang_counts,
+)
+
+N1, N2 = 120, 60
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    web_pages_df(spark, N1, 4).write.mode("append").parquet(d)
+    return d
+
+
+def test_stream_extraction_byte_identity_and_resume(spark, source_dir, tmp_path):
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extraction(spark, source_dir, out, ckpt)
+    q.awaitTermination()
+
+    got = {r.url: r.text_sha256 for r in spark.read.parquet(out).collect()}
+    want = {
+        row.url: extract_document(row.html).text_sha256
+        for _, row in web_pages_pdf(N1).iterrows()
+    }
+    assert got == want, "streamed extraction not byte-identical to golden"
+
+    # New files arrive in the same dir; restart from the same checkpoint ->
+    # ONLY the new rows are processed and appended (offset resume, no dups).
+    web_pages_df(spark, N2, 2).write.mode("append").parquet(source_dir)
+    q2 = stream_extraction(spark, source_dir, out, ckpt)
+    q2.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == N1 + N2  # no reprocessing of the first batch
+    assert len({r.url for r in rows}) == N1  # second batch = same seeded urls
+
+
+def test_windowed_lang_counts_matches_batch(spark, source_dir, tmp_path):
+    stream = windowed_lang_counts(read_web_pages_stream(spark, source_dir), "1 hour")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.lang): (r.n_pages, r.raw_chars)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(source_dir)
+        .groupBy(F.window("warc_ts", "1 hour").alias("win"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.coalesce("text", F.lit("")))).alias("c"),
+        )
+        .select(F.col("win.start").alias("ws"), "lang", "n", "c")
+        .collect()
+    )
+    want = {(r.ws, r.lang): (r.n, r.c) for r in batch}
+    # availableNow + append emits only watermark-closed windows; every
+    # emitted window must match the batch rollup exactly, and most windows
+    # must have been emitted (watermark = 2h holds back only the tail).
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) - 3
+
+
+def test_running_lang_totals_stateful(spark, source_dir, tmp_path):
+    stream = running_lang_totals(read_web_pages_stream(spark, source_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("run_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM run_totals").collect()
+    # last emitted total per lang == batch ground truth
+    final = {}
+    for r in rows:
+        prev = final.get(r.lang)
+        if prev is None or r.total_pages >= prev[0]:
+            final[r.lang] = (r.total_pages, r.total_chars)
+    batch = (
+        spark.read.parquet(source_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.coalesce("text", F.lit("")))).alias("c"),
+        )
+        .collect()
+    )
+    want = {r.lang: (r.n, r.c) for r in batch}
+    assert final == want
