@@ -35,6 +35,41 @@ def bucketed(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int"))
 
 
+def extraction_plan(
+    src: DataFrame,
+    pending: list[int],
+    version: str,
+    n_tasks: int,
+) -> DataFrame:
+    """The extraction stage as a lazy plan: bucket-filter → narrow projection
+    (html never travels further than the UDF) → Arrow UDF → flatten.
+
+    Factored out of run_extraction so tests can audit the physical plan
+    (column pruning, single repartition) without writing anything."""
+    todo = src.filter(F.col("bucket").isin(pending))
+    # Narrow BEFORE the UDF: html is the fat column; project only what the
+    # extraction stage needs so parquet column pruning kicks in.
+    narrowed = todo.select("url", "warc_ts", "lang", "html", "bucket")
+    return (
+        narrowed.repartition(min(n_tasks, max(len(pending), 1)), "bucket")
+        .withColumn("extraction", extract_udf(F.col("html")))
+        .select(
+            "url",
+            domain_of("url").alias("domain"),
+            "warc_ts",
+            "lang",
+            F.col("extraction.extracted_text").alias("extracted_text"),
+            F.col("extraction.text_sha256").alias("text_sha256"),
+            F.col("extraction.n_blocks_kept").alias("n_blocks_kept"),
+            F.col("extraction.n_blocks_dropped").alias("n_blocks_dropped"),
+            F.col("extraction.is_pdf").alias("is_pdf"),
+            F.col("extraction.error").alias("error"),
+            "bucket",
+            F.lit(version).alias("extraction_version"),
+        )
+    )
+
+
 def run_extraction(
     spark: SparkSession,
     source_path: str,
@@ -74,29 +109,8 @@ def run_extraction(
                 "row_count": 0, "error_count": 0, "extraction_version": version}
 
     src = bucketed(spark.read.parquet(source_path), n_buckets)
-    todo = src.filter(F.col("bucket").isin(pending))
-    # Narrow BEFORE the UDF: html is the fat column; project only what the
-    # extraction stage needs so parquet column pruning kicks in.
-    narrowed = todo.select("url", "warc_ts", "lang", "html", "bucket")
     n_tasks = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    extracted = (
-        narrowed.repartition(min(n_tasks, max(len(pending), 1)), "bucket")
-        .withColumn("extraction", extract_udf(F.col("html")))
-        .select(
-            "url",
-            domain_of("url").alias("domain"),
-            "warc_ts",
-            "lang",
-            F.col("extraction.extracted_text").alias("extracted_text"),
-            F.col("extraction.text_sha256").alias("text_sha256"),
-            F.col("extraction.n_blocks_kept").alias("n_blocks_kept"),
-            F.col("extraction.n_blocks_dropped").alias("n_blocks_dropped"),
-            F.col("extraction.is_pdf").alias("is_pdf"),
-            F.col("extraction.error").alias("error"),
-            "bucket",
-            F.lit(version).alias("extraction_version"),
-        )
-    )
+    extracted = extraction_plan(src, pending, version, n_tasks)
     (
         extracted.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
