@@ -842,6 +842,199 @@ def lsh_ann_topk(spark, sf):
     return out.select("vec_id", _r(F.col("cosine")).alias("cosine"))
 
 
+SQL_SUMMARY = """
+SELECT count(*)                                         AS n_orders,
+       count(DISTINCT o_custkey)                        AS n_customers,
+       round(sum(o_totalprice), 2)                      AS total_spend,
+       round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6) AS avg_finished_price,
+       round(min(o_totalprice), 2)                      AS min_price,
+       round(max(o_totalprice), 2)                      AS max_price
+FROM orders
+WHERE o_orderpriority IS NOT NULL
+"""
+
+
+def sql_summary(spark, sf):
+    """EP3/A9: the SQL exploration surface — the SAME SQL string the oracle
+    runs is handed to spark.sql over registered temp views
+    (/root/reference/explore_stats.py:86-128: DuckDB views → canned SQL;
+    here Catalyst parses/optimizes/executes it distributed)."""
+    t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(SQL_SUMMARY)
+
+
+def enrich_union_stats(spark, sf):
+    """U1 + F14 + J1: the metadata-enrichment layer
+    (/root/reference/metadata_loader.py:109-146) — two heterogeneous
+    per-source frames unioned by name with missing columns NULL-filled,
+    tagged with a source literal, broadcast-LEFT-joined to a dimension,
+    rolled up per nation."""
+    c = t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("side"),
+    )
+    s = t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("side"),
+    )
+    combined = c.unionByName(s, allowMissingColumns=True)
+    n = t(spark, sf, "nation")
+    enriched = combined.join(
+        F.broadcast(n), combined.nationkey == n.n_nationkey, "left"
+    )
+    return enriched.groupBy("n_name", "side").agg(
+        F.count(F.lit(1)).alias("n_accounts"),
+        _r(F.avg("acctbal")).alias("avg_acctbal"),
+        F.count(F.when(F.col("mktsegment").isNull(), 1)).alias("n_missing_segment"),
+    )
+
+
+ORACLE_ENRICH_UNION = """
+WITH combined AS (
+  SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey,
+         c_mktsegment AS mktsegment, 'customer' AS side
+  FROM customer
+  UNION ALL
+  SELECT s_name, s_acctbal, s_nationkey, NULL, 'supplier' FROM supplier
+)
+SELECT n_name, side,
+       count(*)                                       AS n_accounts,
+       round(avg(acctbal), 6)                         AS avg_acctbal,
+       count(CASE WHEN mktsegment IS NULL THEN 1 END) AS n_missing_segment
+FROM combined LEFT JOIN nation ON nationkey = n_nationkey
+GROUP BY n_name, side
+"""
+
+
+def conf_scale_normalize(spark, sf):
+    """P7: two-pass scale normalization — if the global max exceeds a 0-1
+    range, divide by 100 (/root/reference/analyze_buckets.py:42-47). Pass 1
+    is one cheap max() agg; pass 2 is a plain pushed-down projection."""
+    e = t(spark, sf, "events")
+    mx = e.agg(F.max("value")).collect()[0][0]
+    v = (F.col("value") / 100.0) if mx is not None and mx > 1.0 else F.col("value")
+    return e.withColumn("norm", v).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.avg("norm")).alias("avg_norm"),
+        _r(F.max("norm")).alias("max_norm"),
+    )
+
+
+ORACLE_CONF_SCALE = """
+WITH mx AS (SELECT max(value) AS m FROM events),
+n AS (
+  SELECT event_type,
+         CASE WHEN (SELECT m FROM mx) > 1.0 THEN value / 100.0 ELSE value END AS norm
+  FROM events
+)
+SELECT event_type, count(*) AS n, round(avg(norm), 6) AS avg_norm,
+       round(max(norm), 6) AS max_norm
+FROM n GROUP BY event_type
+"""
+
+
+def order_gaps_lag(spark, sf):
+    """lag/lead window (beyond-reference coverage): days since the previous
+    order per customer; first order -> NULL."""
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+    )
+
+
+ORACLE_ORDER_GAPS = """
+SELECT o_orderkey, o_custkey,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS INT) AS days_since_prev
+FROM orders
+"""
+
+
+def rollup_nation_totals(spark, sf):
+    """A12 generalized: ROLLUP grouping sets over (region, nation) — the
+    reference enumerates its cross-dim pairs manually
+    (/root/reference/analyze_by_metadata.py:185-225); grouping sets do it in
+    one pass with subtotals and a grand total."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _r(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+ORACLE_ROLLUP_NATION = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def band_filter_fallback(spark, sf):
+    """P4 with relax-fallback: keep events with value in [200, 400]; if fewer
+    than 500 rows match, relax to [100, 450]
+    (/root/reference/select_challenging_images.py:112-118). The count probe
+    is one agg job; the chosen band is a plain pushed-down filter."""
+    from .operators.sampling import band_filter_with_fallback
+
+    e = t(spark, sf, "events")
+    banded = band_filter_with_fallback(e, "value", 200.0, 400.0, 100.0, 450.0, 500)
+    return banded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), _r(F.avg("value")).alias("avg_value")
+    )
+
+
+ORACLE_BAND_FALLBACK = """
+WITH probe AS (SELECT count(*) AS n FROM events WHERE value BETWEEN 200.0 AND 400.0),
+banded AS (
+  SELECT * FROM events
+  WHERE CASE WHEN (SELECT n FROM probe) >= 500
+             THEN value BETWEEN 200.0 AND 400.0
+             ELSE value BETWEEN 100.0 AND 450.0 END
+)
+SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+FROM banded GROUP BY event_type
+"""
+
+
+def ivf_ann_topk(spark, sf):
+    """IVF-style ANN (rows-only): deterministic coarse centroids, route each
+    vector to its nearest cell, probe the query's nearest cells only."""
+    from .operators.similarity import ivf_top_k
+
+    e = t(spark, sf, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    out = ivf_top_k(spark, e, "embedding", "vec_id", query, k=10, n_cells=8, n_probe=3)
+    return out.select("vec_id", _r(F.col("cosine")).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Skew handling
 # ---------------------------------------------------------------------------
@@ -984,6 +1177,13 @@ QUERIES = {
     "embedding_topk": embedding_topk,
     "lsh_ann_topk": lsh_ann_topk,
     "salted_source_stats": salted_source_stats,
+    "sql_summary": sql_summary,
+    "enrich_union_stats": enrich_union_stats,
+    "conf_scale_normalize": conf_scale_normalize,
+    "order_gaps_lag": order_gaps_lag,
+    "rollup_nation_totals": rollup_nation_totals,
+    "band_filter_fallback": band_filter_fallback,
+    "ivf_ann_topk": ivf_ann_topk,
     "extraction_report": extraction_report,
     "perplexity_report": perplexity_report,
     "media_features_report": media_features_report,
@@ -1017,6 +1217,12 @@ ORACLES = {
     "ngram_jaccard_small": ORACLE_NGRAM_JACCARD,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "salted_source_stats": ORACLE_SALTED_STATS,
+    "sql_summary": SQL_SUMMARY,
+    "enrich_union_stats": ORACLE_ENRICH_UNION,
+    "conf_scale_normalize": ORACLE_CONF_SCALE,
+    "order_gaps_lag": ORACLE_ORDER_GAPS,
+    "rollup_nation_totals": ORACLE_ROLLUP_NATION,
+    "band_filter_fallback": ORACLE_BAND_FALLBACK,
     # minhash_pairs / simhash_pairs / lsh_ann_topk: xxhash64-based — Spark-only,
     # rows-only check. extraction_report / perplexity_report: fixture+UDF
     # pipelines — byte-identity and parity are pytest-gated instead.
