@@ -172,7 +172,7 @@ def main() -> None:
         # JVM; plus a no-Spark multiprocessing control running the identical
         # extraction workload, which measures what 4x processes actually buy
         # on this VM — Spark is judged against the machine's real ceiling.
-        n_pages_scaling = 100000
+        n_pages_scaling = 400000
         results = {}
         for n in (8, 32):
             env = dict(
