@@ -138,20 +138,6 @@ def ivf_top_k(
         .collect()
     ]
 
-    def nearest_cell_expr(vec: Column) -> Column:
-        best_i, best_d = F.lit(0), None
-        for i, c in enumerate(cents):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            d = -cosine_expr(vec, carr)
-            if best_d is None:
-                best_d = d
-                best_i = F.lit(i)
-            else:
-                cond = d < best_d
-                best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-                best_d = F.when(cond, d).otherwise(best_d)
-        return best_i
-
     import numpy as np
 
     qv = np.array(query, dtype="float64")
@@ -161,6 +147,19 @@ def ivf_top_k(
         return float(a @ b / (na * nb)) if na and nb else -1.0
 
     probe = sorted(range(len(cents)), key=lambda i: -cos(np.array(cents[i]), qv))[:n_probe]
-    routed = df.withColumn("_cell", nearest_cell_expr(F.col(vec_col)))
-    cand = routed.filter(F.col("_cell").isin(probe))
+    # Routing: one array of per-cell similarities materialized via withColumn
+    # (single evaluation), argmax = array_position of the max (ties -> first
+    # cell, deterministic). NOT a chained when(d < best_d) fold: that embeds
+    # the running best twice per step -> a 2^n_cells expression tree (took
+    # 40s to plan+run at n_cells=8; this form is linear).
+    sims = F.array(
+        *[
+            cosine_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+    )
+    routed = df.withColumn("_sims", sims).withColumn(
+        "_cell", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1
+    )
+    cand = routed.filter(F.col("_cell").isin(probe)).drop("_sims", "_cell")
     return brute_force_top_k(cand, vec_col, id_col, query, k)
