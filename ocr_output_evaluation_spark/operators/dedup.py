@@ -271,19 +271,49 @@ def simhash64(text_col) -> "F.Column":
     return F.when(F.size(toks) > 0, sig)
 
 
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """-> (_id, _sig BIGINT): SimHash signatures via explode(tokens) →
+    groupBy(_id).agg(64 conditional vote sums) → bit assembly.
+
+    The scale path (same pattern as minhash_signatures): token explosion is
+    collapsed by map-side combine to one 64-vote partial per doc before the
+    shuffle, and everything runs in whole-stage codegen — the per-row
+    ``simhash64`` expression form evaluates 64 interpreted F.aggregate folds
+    per document instead."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(toks).alias("_tok")
+    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    votes = exploded.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("_id", sig.alias("_sig"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found via 4x16-bit
     band join (pigeonhole: any pair within distance 3 agrees on >= 1 band).
     -> (id_a, id_b, hamming)."""
-    sig = simhash64(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).filter(
-        F.col("_sig").isNotNull()
-    )
+    # Persist signatures: referenced by both self-join sides and the final
+    # verification join. Band rows carry only (_id, band, bkey), as in
+    # minhash_lsh_pairs — the signature rejoins after pair dedup.
+    base = simhash_signatures(df, text_col, id_col).persist()
     bands = base.select(
         "_id",
-        "_sig",
         F.explode(
             F.array(
                 *[
@@ -297,17 +327,22 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "_sig", "bk.band", "bk.bkey")
-    a = bands.select("band", "bkey", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
-    b = bands.select("band", "bkey", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    ).select("_id", "bk.band", "bk.bkey")
+    a = bands.select("band", "bkey", F.col("_id").alias("id_a"))
+    b = bands.select("band", "bkey", F.col("_id").alias("id_b"))
     pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = base.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sig_b = base.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        pairs.withColumn("hamming", hamming)
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -123,6 +123,25 @@ def test_hyperplane_signature_buckets_similar_vectors(spark):
     assert all(0 <= s < 2**12 for s in out.values())
 
 
+def test_simhash_signatures_match_expression_form(spark):
+    from ocr_output_evaluation_spark.operators.dedup import (
+        simhash64,
+        simhash_signatures,
+    )
+
+    rows = [(i, f"doc {i} shares words with doc {i+1} and so on") for i in range(30)]
+    rows.append((99, "   "))  # whitespace-only -> no tokens -> no signature
+    df = spark.createDataFrame(rows, "id long, text string")
+    agg = {r._id: r._sig for r in simhash_signatures(df, "text", "id").collect()}
+    expr = {
+        r.id: r.sig
+        for r in df.select("id", simhash64(F.col("text")).alias("sig")).collect()
+    }
+    assert 99 not in agg and expr[99] is None
+    for k, v in agg.items():
+        assert expr[k] == v, f"doc {k}: agg path != expression path"
+
+
 def test_minhash_signatures_match_expression_form(spark):
     from ocr_output_evaluation_spark.operators.dedup import (
         minhash_signature,
