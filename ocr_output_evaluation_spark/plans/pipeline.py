@@ -153,3 +153,54 @@ def run_extraction(
         "error_count": sum(r["error_count"] for r in rows),
         "extraction_version": version,
     }
+
+
+def run_quality_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    confidences_path: str,
+    lm_path: str,
+    out_dir: str,
+    n_buckets: int = 32,
+    group_keys: tuple = (("lang",), ("domain",)),
+) -> dict:
+    """The complete EP1 analog (/root/reference/analyze_confidence.py):
+    resumable extraction → per-document metrics (confidence array stats +
+    perplexity) → per-group rollups, each stage persisted to parquet (plus a
+    human-facing CSV for the small rollups, the reference's dual sink,
+    analyze_confidence.py:95-100).
+
+    Stage boundaries are disk, deliberately: doc_metrics is read back before
+    grouping so (a) the expensive UDF stages run exactly once however many
+    rollups consume them, and (b) each artifact is independently resumable /
+    inspectable — the lakehouse layout of SURVEY.md §7.
+    """
+    from ..sources.io import write_csv, write_parquet
+    from .metrics import doc_metrics, group_metrics
+
+    ex = run_extraction(
+        spark,
+        source_path,
+        f"{out_dir}/extracted",
+        f"{out_dir}/manifest",
+        n_buckets=n_buckets,
+    )
+    extracted = spark.read.parquet(f"{out_dir}/extracted")
+    confs = spark.read.parquet(confidences_path)
+    lm = spark.read.parquet(lm_path)
+    dm = doc_metrics(spark, extracted, confs, lm)
+    write_parquet(dm, f"{out_dir}/doc_metrics")
+    dm_disk = spark.read.parquet(f"{out_dir}/doc_metrics")
+    group_counts = {}
+    for keys in group_keys:
+        name = "_".join(keys)
+        gm = group_metrics(dm_disk, list(keys))
+        write_parquet(gm, f"{out_dir}/group_metrics_{name}")
+        write_csv(spark.read.parquet(f"{out_dir}/group_metrics_{name}"), f"{out_dir}/group_metrics_{name}_csv")
+        group_counts[name] = gm.count()
+    return {
+        **ex,
+        "doc_metrics_rows": dm_disk.count(),
+        "group_metrics_rows": group_counts,
+        "out_dir": out_dir,
+    }

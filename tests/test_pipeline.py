@@ -102,6 +102,37 @@ class TestMetricsLayer:
         assert 0 < len(gm) <= 5
         assert sum(r.n_docs for r in gm) == N
 
+    def test_run_quality_pipeline_end_to_end(self, spark, source_path, tmp_path_factory):
+        """The full EP1 chain: extraction -> doc_metrics -> lang/domain
+        rollups + CSV twins, resumable (second invocation skips extraction)."""
+        import os
+
+        from ocr_output_evaluation_spark.plans.pipeline import run_quality_pipeline
+
+        base = tmp_path_factory.mktemp("full")
+        confs_p = str(base / "confs.parquet")
+        lm_p = str(base / "lm.parquet")
+        spark.createDataFrame(
+            [token_confidences_row(i) for i in range(N)], schema=TOKEN_CONFIDENCES
+        ).write.parquet(confs_p)
+        spark.createDataFrame(reference_lm_pdf(), schema=REFERENCE_LM).write.parquet(lm_p)
+
+        out = str(base / "out")
+        r = run_quality_pipeline(spark, source_path, confs_p, lm_p, out, n_buckets=4)
+        assert r["row_count"] == N
+        assert r["doc_metrics_rows"] == N
+        assert set(r["group_metrics_rows"]) == {"lang", "domain"}
+        assert 0 < r["group_metrics_rows"]["lang"] <= 5
+        gm = spark.read.parquet(f"{out}/group_metrics_lang")
+        assert gm.agg(F.sum("n_docs")).collect()[0][0] == N
+        csv_dir = f"{out}/group_metrics_lang_csv"
+        assert any(f.endswith(".csv") for f in os.listdir(csv_dir))
+
+        # resume: extraction is skipped, metrics recomputed idempotently
+        r2 = run_quality_pipeline(spark, source_path, confs_p, lm_p, out, n_buckets=4)
+        assert r2["processed_buckets"] == [] and len(r2["skipped_buckets"]) == 4
+        assert r2["doc_metrics_rows"] == N
+
     def test_no_python_in_group_plan(self, spark, source_path, tmp_path_factory):
         """group_metrics over doc_metrics parquet must be pure JVM (no
         BatchEvalPython / ArrowEvalPython nodes) — the no-per-row-Python
