@@ -36,6 +36,49 @@ def per_group_sample(
     )
 
 
+def select_challenging_docs(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    score_col: str,
+    lo: float,
+    hi: float,
+    relaxed_lo: float,
+    relaxed_hi: float,
+    min_band_rows: int,
+    n_groups: int,
+    per_group: int,
+    n_final: int,
+    hash_col=None,
+) -> DataFrame:
+    """The reference's challenging-page selection flow composed end-to-end
+    (/root/reference/select_challenging_images.py): band-filter candidates by
+    score with a relax fallback (:112-118), seeded sample of n_groups groups
+    (:79-83), <= per_group docs per sampled group (:134-136), final subsample
+    to n_final (:183-186) — every stage hash-deterministic, so the manifest is
+    identical across cluster sizes and re-runs.
+
+    ``hash_col``: callable(Column)->Column giving the sampling hash (default
+    xxhash64; pass an md5-based one for DuckDB-oracle-checkable runs)."""
+    hk = hash_col or (lambda c: F.xxhash64(c, F.lit(42)))
+    banded = band_filter_with_fallback(
+        df, score_col, lo, hi, relaxed_lo, relaxed_hi, min_band_rows
+    )
+    groups = (
+        banded.select(group_col).distinct()
+        .orderBy(hk(F.col(group_col)).asc(), F.col(group_col).asc())
+        .limit(n_groups)
+    )
+    in_groups = banded.join(F.broadcast(groups), group_col, "inner")
+    w = W.partitionBy(group_col).orderBy(hk(F.col(key_col)).asc(), F.col(key_col).asc())
+    per = (
+        in_groups.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_group)
+        .drop("_rn")
+    )
+    return per.orderBy(hk(F.col(key_col)).asc(), F.col(key_col).asc()).limit(n_final)
+
+
 def band_filter_with_fallback(
     df: DataFrame,
     col: str,

@@ -1023,6 +1023,57 @@ FROM banded GROUP BY event_type
 """
 
 
+def challenging_docs(spark, sf):
+    """R1+R2+R3+P4 composed: the challenging-document selection flow
+    (/root/reference/select_challenging_images.py end-to-end) — band filter
+    with relax fallback, seeded group sample, per-group cap, final subsample;
+    md5 hash ordering so DuckDB can replay it exactly."""
+    from .operators.sampling import select_challenging_docs
+
+    d = t(spark, sf, "documents")
+    out = select_challenging_docs(
+        d,
+        group_col="source",
+        key_col="doc_id",
+        score_col="n_chars",
+        lo=150.0,
+        hi=300.0,
+        relaxed_lo=100.0,
+        relaxed_hi=400.0,
+        min_band_rows=100,
+        n_groups=10,
+        per_group=3,
+        n_final=20,
+        hash_col=lambda c: F.md5(c.cast("string")),
+    )
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+
+ORACLE_CHALLENGING = """
+WITH probe AS (SELECT count(*) AS n FROM documents WHERE n_chars BETWEEN 150.0 AND 300.0),
+banded AS (
+  SELECT * FROM documents
+  WHERE CASE WHEN (SELECT n FROM probe) >= 100
+             THEN n_chars BETWEEN 150.0 AND 300.0
+             ELSE n_chars BETWEEN 100.0 AND 400.0 END
+),
+groups AS (
+  SELECT source FROM (SELECT DISTINCT source FROM banded)
+  ORDER BY md5(source), source LIMIT 10
+),
+ing AS (SELECT b.* FROM banded b JOIN groups USING (source)),
+per AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM ing
+)
+SELECT doc_id, source, lang, n_chars FROM per
+WHERE rn <= 3
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 20
+"""
+
+
 def ivf_ann_topk(spark, sf):
     """IVF-style ANN (rows-only): deterministic coarse centroids, route each
     vector to its nearest cell, probe the query's nearest cells only."""
@@ -1183,6 +1234,7 @@ QUERIES = {
     "order_gaps_lag": order_gaps_lag,
     "rollup_nation_totals": rollup_nation_totals,
     "band_filter_fallback": band_filter_fallback,
+    "challenging_docs": challenging_docs,
     "ivf_ann_topk": ivf_ann_topk,
     "extraction_report": extraction_report,
     "perplexity_report": perplexity_report,
@@ -1223,6 +1275,7 @@ ORACLES = {
     "order_gaps_lag": ORACLE_ORDER_GAPS,
     "rollup_nation_totals": ORACLE_ROLLUP_NATION,
     "band_filter_fallback": ORACLE_BAND_FALLBACK,
+    "challenging_docs": ORACLE_CHALLENGING,
     # minhash_pairs / simhash_pairs / lsh_ann_topk: xxhash64-based — Spark-only,
     # rows-only check. extraction_report / perplexity_report: fixture+UDF
     # pipelines — byte-identity and parity are pytest-gated instead.
