@@ -160,12 +160,13 @@ def minhash_lsh_pairs(
     )
     # Degenerate-bucket guard: boilerplate-identical shards can put thousands
     # of docs in one bucket -> quadratic pairs. Cap and drop (observable).
+    # Shape matters at scale: the GOOD-bucket list is O(docs x bands), but the
+    # over-cap list is by construction tiny (each bad bucket holds > max_bucket
+    # rows), so broadcast-ANTI-join the bad list instead of equi-joining the
+    # good one — no shuffle of band_rows, bounded broadcast.
     bucket_sizes = band_rows.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
-    band_rows = band_rows.join(
-        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band", "bkey"),
-        ["band", "bkey"],
-        "inner",
-    )
+    bad_buckets = bucket_sizes.filter(F.col("bn") > max_bucket).select("band", "bkey")
+    band_rows = band_rows.join(F.broadcast(bad_buckets), ["band", "bkey"], "left_anti")
     a = band_rows.select("band", "bkey", F.col("_id").alias("id_a"))
     b = band_rows.select("band", "bkey", F.col("_id").alias("id_b"))
     pairs = (
