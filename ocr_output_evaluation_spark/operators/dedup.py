@@ -304,11 +304,14 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found via 4x16-bit
     band join (pigeonhole: any pair within distance 3 agrees on >= 1 band).
-    -> (id_a, id_b, hamming)."""
+    -> (id_a, id_b, hamming). Buckets over ``max_bucket`` rows are dropped
+    (broadcast anti-join, same degenerate-bucket guard as MinHash — a single
+    boilerplate signature shared by 10^6 docs must not go quadratic)."""
     # Persist signatures: referenced by both self-join sides and the final
     # verification join. Band rows carry only (_id, band, bkey), as in
     # minhash_lsh_pairs — the signature rejoins after pair dedup.
@@ -329,6 +332,9 @@ def simhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.bkey")
+    sizes = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
+    bad = sizes.filter(F.col("bn") > max_bucket).select("band", "bkey")
+    bands = bands.join(F.broadcast(bad), ["band", "bkey"], "left_anti")
     a = bands.select("band", "bkey", F.col("_id").alias("id_a"))
     b = bands.select("band", "bkey", F.col("_id").alias("id_b"))
     pairs = (
