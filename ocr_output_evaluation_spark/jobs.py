@@ -1,0 +1,108 @@
+"""spark-submit entry points (the north-rule deployment shape).
+
+Cluster:
+    zip -r ooe_spark.zip ocr_output_evaluation_spark
+    spark-submit --py-files ooe_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.adaptive.skewJoin.enabled=true \
+        path/to/ocr_output_evaluation_spark/jobs.py extract \
+        --source s3://bucket/web_pages --out s3://bucket/run1 \
+        --n-buckets 4096
+
+Sandbox (same code path, local master picked by session.get_spark):
+    python -m ocr_output_evaluation_spark.jobs extract --source ... --out ...
+
+Subcommands:
+    extract   resumable bucketed extraction only
+    quality   full EP1 chain: extraction -> doc metrics -> group rollups
+    fixtures  materialize the deterministic synthetic dataset (for dry runs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--n-buckets", type=int, default=32,
+                   help="url-hash resume/write buckets (cluster: O(10^3-10^4))")
+    p.add_argument("--master", default=None,
+                   help="override master (default: local[$SPARK_GRAFT_CPUS]; "
+                        "omit under spark-submit to use the cluster master)")
+    p.add_argument("--shuffle-partitions", default=None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ooe-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="resumable bucketed extraction")
+    ex.add_argument("--source", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--manifest", default=None)
+    ex.add_argument("--max-buckets", type=int, default=None,
+                    help="process at most N pending buckets (checkpoint drill)")
+    _add_common(ex)
+
+    q = sub.add_parser("quality", help="extraction + doc metrics + rollups")
+    q.add_argument("--source", required=True)
+    q.add_argument("--confidences", required=True)
+    q.add_argument("--lm", required=True)
+    q.add_argument("--out", required=True)
+    q.add_argument("--group-keys", default="lang,domain",
+                   help="comma list of single-key rollups")
+    _add_common(q)
+
+    fx = sub.add_parser("fixtures", help="materialize synthetic dataset")
+    fx.add_argument("--out", required=True)
+    fx.add_argument("--n-pages", type=int, default=10000)
+    fx.add_argument("--partitions", type=int, default=32)
+    _add_common(fx)
+
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(
+        app_name=f"ooe-spark-{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+    if args.cmd == "extract":
+        from .plans.pipeline import run_extraction
+
+        res = run_extraction(
+            spark,
+            args.source,
+            args.out,
+            args.manifest or f"{args.out}_manifest",
+            n_buckets=args.n_buckets,
+            max_buckets=args.max_buckets,
+        )
+    elif args.cmd == "quality":
+        from .plans.pipeline import run_quality_pipeline
+
+        res = run_quality_pipeline(
+            spark,
+            args.source,
+            args.confidences,
+            args.lm,
+            args.out,
+            n_buckets=args.n_buckets,
+            group_keys=tuple((k,) for k in args.group_keys.split(",") if k),
+        )
+    else:
+        from .fixtures.generate import write_fixture_set
+
+        write_fixture_set(spark, args.out, args.n_pages, args.partitions)
+        res = {"out": args.out, "n_pages": args.n_pages}
+
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
