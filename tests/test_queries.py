@@ -123,6 +123,21 @@ def test_hyperplane_signature_buckets_similar_vectors(spark):
     assert all(0 <= s < 2**12 for s in out.values())
 
 
+def test_brute_force_top_k_np_matches_expression_form(spark, sf_dir):
+    from ocr_output_evaluation_spark.operators.similarity import (
+        brute_force_top_k,
+        brute_force_top_k_np,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 3).collect()[0].embedding]
+    a = brute_force_top_k(e, "embedding", "vec_id", query, k=15).collect()
+    b = brute_force_top_k_np(e, "embedding", "vec_id", query, k=15).collect()
+    assert [r.vec_id for r in a] == [r.vec_id for r in b]
+    for ra, rb in zip(a, b):
+        assert abs(ra.cosine - rb.cosine) < 1e-9
+
+
 def test_simhash_signatures_match_expression_form(spark):
     from ocr_output_evaluation_spark.operators.dedup import (
         simhash64,
