@@ -863,6 +863,53 @@ def sql_summary(spark, sf):
     return spark.sql(SQL_SUMMARY)
 
 
+SQL_QUALITY_MATRIX = """
+WITH t AS (
+  SELECT percentile_cont(0.33) WITHIN GROUP (ORDER BY n_chars) AS p33,
+         percentile_cont(0.66) WITHIN GROUP (ORDER BY n_chars) AS p66
+  FROM documents
+)
+SELECT CASE WHEN d.n_chars < t.p33 THEN 'short'
+            WHEN d.n_chars < t.p66 THEN 'mid'
+            ELSE 'long' END AS bucket,
+       count(*)                   AS n,
+       round(avg(d.n_chars), 6)   AS avg_chars,
+       round(min(t.p33), 6)       AS p33,
+       round(min(t.p66), 6)       AS p66
+FROM documents d, t
+GROUP BY 1
+"""
+
+
+def sql_quality_matrix(spark, sf):
+    """A10 + F7 as shared SQL: dataset-relative percentile_cont thresholds +
+    CASE bucket counts (/root/reference/explore_stats.py:357-425) — the SAME
+    string runs on Catalyst and on the DuckDB oracle."""
+    t(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(SQL_QUALITY_MATRIX)
+
+
+def fingerprint_stats(spark, sf):
+    """Document fingerprinting (rolling polynomial hash over a 128-char
+    prefix, pure array expressions — functions/text.py) per lang: collision
+    behavior + hash range. Rows-only (the fold is not cleanly expressible in
+    the oracle dialect)."""
+    from .functions.text import rolling_fingerprint
+
+    d = t(spark, sf, "documents")
+    fp = rolling_fingerprint(F.col("text"))
+    return (
+        d.select("lang", fp.alias("fp"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+
+
 def enrich_union_stats(spark, sf):
     """U1 + F14 + J1: the metadata-enrichment layer
     (/root/reference/metadata_loader.py:109-146) — two heterogeneous
@@ -1229,6 +1276,8 @@ QUERIES = {
     "lsh_ann_topk": lsh_ann_topk,
     "salted_source_stats": salted_source_stats,
     "sql_summary": sql_summary,
+    "sql_quality_matrix": sql_quality_matrix,
+    "fingerprint_stats": fingerprint_stats,
     "enrich_union_stats": enrich_union_stats,
     "conf_scale_normalize": conf_scale_normalize,
     "order_gaps_lag": order_gaps_lag,
@@ -1270,6 +1319,7 @@ ORACLES = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "salted_source_stats": ORACLE_SALTED_STATS,
     "sql_summary": SQL_SUMMARY,
+    "sql_quality_matrix": SQL_QUALITY_MATRIX,
     "enrich_union_stats": ORACLE_ENRICH_UNION,
     "conf_scale_normalize": ORACLE_CONF_SCALE,
     "order_gaps_lag": ORACLE_ORDER_GAPS,
