@@ -1195,6 +1195,32 @@ def extraction_report(spark, sf):
     )
 
 
+def streaming_extraction_report(spark, sf):
+    """Structured Streaming smoke (rows-only): fixture pages streamed through
+    the incremental extraction pipeline (availableNow trigger, real
+    checkpoint), then a per-lang rollup of the streamed output — proves the
+    streaming twin produces the same shape as the batch path."""
+    import tempfile
+
+    from .fixtures.generate import web_pages_df
+    from .streaming import stream_extraction
+
+    base = tempfile.mkdtemp(prefix="ooe_stream_q_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    web_pages_df(spark, 200, 4).write.mode("overwrite").parquet(src)
+    q = stream_extraction(spark, src, out, ckpt)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_errors"),
+            F.countDistinct("text_sha256").alias("n_distinct_texts"),
+        )
+    )
+
+
 def media_features_report(spark, sf):
     """Multimodal stack smoke (rows-only): fixture media (image/audio/video
     BINARY + typed meta) → Arrow-batched decode + byte features → per-kind
@@ -1288,6 +1314,7 @@ QUERIES = {
     "extraction_report": extraction_report,
     "perplexity_report": perplexity_report,
     "media_features_report": media_features_report,
+    "streaming_extraction_report": streaming_extraction_report,
 }
 
 ORACLES = {

@@ -71,6 +71,21 @@ class TestResume:
         assert m.agg(F.sum("row_count")).collect()[0][0] == N
 
 
+class TestVersionedResume:
+    def test_changed_extraction_version_reprocesses(self, spark, source_path, tmp_path_factory):
+        """The manifest keys completion on (snapshot, extraction_version): a
+        version bump must invalidate every bucket (SURVEY.md §7 lineage)."""
+        from ocr_output_evaluation_spark.sources.manifest import completed_buckets
+
+        base = tmp_path_factory.mktemp("ver")
+        out, mf = str(base / "out"), str(base / "mf")
+        r = run_extraction(spark, source_path, out, mf, n_buckets=4)
+        snap = f"{source_path}#nb=4"
+        assert sorted(completed_buckets(spark, mf, snap, r["extraction_version"])) == [0, 1, 2, 3]
+        assert completed_buckets(spark, mf, snap, "deadbeef0000") == []
+        assert completed_buckets(spark, mf, "other-snapshot", r["extraction_version"]) == []
+
+
 class TestMetricsLayer:
     def test_doc_and_group_metrics(self, spark, source_path, tmp_path_factory):
         from ocr_output_evaluation_spark.plans.metrics import doc_metrics, group_metrics

@@ -152,6 +152,25 @@ def test_perplexity_lm_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "LM join must broadcast, never shuffle docs"
 
 
+def test_enrich_union_left_join_is_broadcast(spark, sf_dir):
+    from ocr_output_evaluation_spark.queries import enrich_union_stats
+
+    plan = plan_of(enrich_union_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan
+
+
+def test_rollup_uses_expand_single_pass(spark, sf_dir):
+    from ocr_output_evaluation_spark.queries import rollup_nation_totals
+
+    plan = plan_of(rollup_nation_totals(spark, sf_dir))
+    # grouping sets compile to one Expand + one aggregation pass, not one
+    # scan per grouping level
+    assert n_nodes(plan, "Expand") == 1
+    assert n_nodes(plan, "Scan parquet") == 3  # customer + 2 broadcast dims
+
+
 @pytest.mark.parametrize(
     "name",
     ["q1_pricing_summary", "group_moment_stats", "token_stats", "quality_scores"],
