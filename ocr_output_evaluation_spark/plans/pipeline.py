@@ -50,24 +50,27 @@ def extraction_plan(
     # Narrow BEFORE the UDF: html is the fat column; project only what the
     # extraction stage needs so parquet column pruning kicks in.
     narrowed = todo.select("url", "warc_ts", "lang", "html", "bucket")
-    return (
-        narrowed.repartition(min(n_tasks, max(len(pending), 1)), "bucket")
-        .withColumn("extraction", extract_udf(F.col("html")))
-        .select(
-            "url",
-            domain_of("url").alias("domain"),
-            "warc_ts",
-            "lang",
-            F.col("extraction.extracted_text").alias("extracted_text"),
-            F.col("extraction.text_sha256").alias("text_sha256"),
-            F.col("extraction.n_blocks_kept").alias("n_blocks_kept"),
-            F.col("extraction.n_blocks_dropped").alias("n_blocks_dropped"),
-            F.col("extraction.is_pdf").alias("is_pdf"),
-            F.col("extraction.error").alias("error"),
-            "bucket",
-            F.lit(version).alias("extraction_version"),
-        )
+    # Extract BEFORE the bucket repartition and project html away in the same
+    # step: the single shuffle then carries only the extracted rows (text is
+    # a fraction of the html bytes), and the UDF runs on scan partitions (no
+    # skewed-shuffle stall ahead of the Python stage). The repartition after
+    # extraction aligns task boundaries with the partitionBy(bucket) write so
+    # each task emits whole bucket partitions.
+    extracted = narrowed.withColumn("extraction", extract_udf(F.col("html"))).select(
+        "url",
+        domain_of("url").alias("domain"),
+        "warc_ts",
+        "lang",
+        F.col("extraction.extracted_text").alias("extracted_text"),
+        F.col("extraction.text_sha256").alias("text_sha256"),
+        F.col("extraction.n_blocks_kept").alias("n_blocks_kept"),
+        F.col("extraction.n_blocks_dropped").alias("n_blocks_dropped"),
+        F.col("extraction.is_pdf").alias("is_pdf"),
+        F.col("extraction.error").alias("error"),
+        "bucket",
+        F.lit(version).alias("extraction_version"),
     )
+    return extracted.repartition(min(n_tasks, max(len(pending), 1)), "bucket")
 
 
 def run_extraction(
