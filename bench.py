@@ -252,10 +252,14 @@ def main() -> None:
         fn = QUERIES[name]
         # best-of-2: first execution pays JIT/codegen compilation and any
         # host-throttle stall; the min is the capability number.
+        # noop sink, NOT .count(): count() lets Catalyst prune the aggregate/
+        # window expressions under measurement (verified — a windowed query's
+        # plan collapses to a bare row count); the noop write materializes
+        # every output column.
         best = None
         for _ in range(2):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

@@ -66,9 +66,10 @@ class _Block:
         self.link_chars = 0
 
 
-# Tokenizer: start tags begin strictly with "<letter", end tags allow
-# "</ letter" whitespace; anything else after "<" is literal text data.
-_TAG_NAME = re.compile(r"<(/?)\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+# Tokenizer: start tags begin strictly with "<letter" (whitespace after "<"
+# makes it literal text — `i < j` in prose must not swallow content); end
+# tags tolerate "</ letter" whitespace like html.parser does.
+_TAG_NAME = re.compile(r"<(?:(/)\s*([a-zA-Z][a-zA-Z0-9:-]*)|([a-zA-Z][a-zA-Z0-9:-]*))")
 _RAWTEXT_CLOSE = {
     t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in ("script", "style")
 }
@@ -106,7 +107,11 @@ class _BlockParser:
             if m is None:
                 # comment / doctype / PI / stray "<"
                 if doc.startswith("<!--", lt):
-                    end = find("-->", lt + 4)
+                    # search from lt+2 so the degenerate comments "<!-->" and
+                    # "<!--->" terminate on their own overlapping "-->"
+                    # (HTML5 abruptly-closed comments) instead of swallowing
+                    # the rest of the document
+                    end = find("-->", lt + 2)
                     i = n if end < 0 else end + 3
                 elif doc.startswith("<!", lt) or doc.startswith("<?", lt):
                     end = find(">", lt + 2)
@@ -118,7 +123,7 @@ class _BlockParser:
             gt = find(">", m.end())
             if gt < 0:
                 break  # truncated trailing tag: discard like a buffered parser
-            tag = m.group(2).lower()
+            tag = (m.group(2) or m.group(3)).lower()
             if m.group(1):
                 self.handle_endtag(tag)
             elif doc[gt - 1] == "/":

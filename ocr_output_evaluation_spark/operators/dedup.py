@@ -129,18 +129,25 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 50,
+    cache: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH, verified by
     estimated Jaccard (fraction of agreeing minhashes).
 
     -> (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    ``cache=False`` skips the signature persist for one-shot use; persisted
+    frames are never unpersisted by this function (the result is lazy), so
+    long-lived sessions invoking this repeatedly should clear caches.
     """
     rows_per_band = n_hashes // bands
     # Signatures are the expensive part. Compute them via the codegen'd
     # explode→hash-agg path and persist once: the plan references this frame
     # from four branches (two self-join sides, bucket sizing, final
     # verification) and would otherwise recompute signatures in each.
-    with_sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).persist()
+    with_sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    if cache:
+        with_sig = with_sig.persist()
     # band key = xxhash64 of the band's signature slice; the band explosion
     # carries ONLY (_id, band, bkey) — never the 32-long signature array —
     # so the band shuffle is ~24 bytes/row regardless of n_hashes.
@@ -305,17 +312,29 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
-    max_bucket: int = 200,
+    max_bucket: int = 200, cache: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming, found via 4x16-bit
-    band join (pigeonhole: any pair within distance 3 agrees on >= 1 band).
-    -> (id_a, id_b, hamming). Buckets over ``max_bucket`` rows are dropped
-    (broadcast anti-join, same degenerate-bucket guard as MinHash — a single
-    boilerplate signature shared by 10^6 docs must not go quadratic)."""
-    # Persist signatures: referenced by both self-join sides and the final
-    # verification join. Band rows carry only (_id, band, bkey), as in
-    # minhash_lsh_pairs — the signature rejoins after pair dedup.
-    base = simhash_signatures(df, text_col, id_col).persist()
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate recall is guaranteed by pigeonhole: the 64-bit signature is
+    split into ``max_hamming + 1`` bands, so any pair within the distance
+    budget agrees exactly on >= 1 band — the band count is DERIVED from
+    max_hamming, not fixed (a fixed 4-band split only guarantees recall up
+    to distance 3). -> (id_a, id_b, hamming). Buckets over ``max_bucket``
+    rows are dropped (broadcast anti-join, same degenerate-bucket guard as
+    MinHash). ``cache=False`` skips the signature persist for one-shot use
+    (persisted frames are never unpersisted by this function — long-lived
+    sessions calling repeatedly should clear them)."""
+    n_bands = max_hamming + 1
+    # contiguous bit ranges covering all 64 bits (last band takes the slack)
+    width = 64 // n_bands
+    ranges = [
+        (b * width, (b + 1) * width if b < n_bands - 1 else 64)
+        for b in range(n_bands)
+    ]
+    base = simhash_signatures(df, text_col, id_col)
+    if cache:
+        base = base.persist()
     bands = base.select(
         "_id",
         F.explode(
@@ -323,11 +342,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("_sig"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("_sig"), lo)
+                        .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
                         .alias("bkey"),
                     )
-                    for b in range(4)
+                    for b, (lo, hi) in enumerate(ranges)
                 ]
             )
         ).alias("bk"),

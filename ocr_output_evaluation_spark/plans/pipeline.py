@@ -199,8 +199,11 @@ def run_quality_pipeline(
         name = "_".join(keys)
         gm = group_metrics(dm_disk, list(keys))
         write_parquet(gm, f"{out_dir}/group_metrics_{name}")
-        write_csv(spark.read.parquet(f"{out_dir}/group_metrics_{name}"), f"{out_dir}/group_metrics_{name}_csv")
-        group_counts[name] = gm.count()
+        # count the written parquet, not the pre-write frame — counting `gm`
+        # would re-run the whole rollup aggregation a second time
+        gm_disk = spark.read.parquet(f"{out_dir}/group_metrics_{name}")
+        write_csv(gm_disk, f"{out_dir}/group_metrics_{name}_csv")
+        group_counts[name] = gm_disk.count()
     return {
         **ex,
         "doc_metrics_rows": dm_disk.count(),

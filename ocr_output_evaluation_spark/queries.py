@@ -794,9 +794,11 @@ def minhash_pairs(spark, sf):
 
 
 def simhash_pairs(spark, sf):
-    """SimHash near-dup pairs via 4×16-bit band join (rows-only check)."""
+    """SimHash near-dup pairs via 4×16-bit band join (rows-only check) —
+    max_hamming=3 keeps the bands wide (16-bit keys), so bucket collision
+    rates stay low at corpus scale while recall remains guaranteed."""
     d = t(spark, sf, "documents")
-    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=8)
+    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -1200,12 +1202,17 @@ def streaming_extraction_report(spark, sf):
     the incremental extraction pipeline (availableNow trigger, real
     checkpoint), then a per-lang rollup of the streamed output — proves the
     streaming twin produces the same shape as the batch path."""
+    import shutil
     import tempfile
 
     from .fixtures.generate import web_pages_df
     from .streaming import stream_extraction
 
-    base = tempfile.mkdtemp(prefix="ooe_stream_q_")
+    # fixed scratch dir, wiped on entry: repeated sweeps must not accumulate
+    # checkpoints/fixtures in /tmp, and a stale checkpoint against a
+    # rewritten source would corrupt offsets
+    base = f"{tempfile.gettempdir()}/ooe_stream_query"
+    shutil.rmtree(base, ignore_errors=True)
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     web_pages_df(spark, 200, 4).write.mode("overwrite").parquet(src)
     q = stream_extraction(spark, src, out, ckpt)

@@ -29,8 +29,13 @@ def get_spark(
     and bench share one code path.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
+        # Under spark-submit the JVM gateway already exists and carries the
+        # real --master (PYSPARK_GATEWAY_PORT is set in the driver env) —
+        # forcing local[] there would silently run a "cluster" job on the
+        # driver. Only default to local mode when we own the JVM.
+        if "PYSPARK_GATEWAY_PORT" not in os.environ:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            master = f"local[{cpus}]"
     # Make this package importable inside Python UDF workers regardless of the
     # driver's cwd. Local mode: workers inherit the driver env, so extending
     # PYTHONPATH before the JVM starts is sufficient. Cluster mode: ship the
@@ -42,9 +47,11 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config(
             "spark.sql.shuffle.partitions",
             shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS,
