@@ -74,6 +74,49 @@ def score_ppl_py(text: str | None, lang: str | None, lm: dict) -> float | None:
 
 
 # ---------------------------------------------------------------------------
+# LM training (corpus -> reference_lm table)
+# ---------------------------------------------------------------------------
+def train_char_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = NGRAM_N,
+    min_count: int = 1,
+) -> DataFrame:
+    """Derive the reference LM table from a corpus: per-lang char-ngram
+    counts with add-one smoothing, logp = log10((c+1)/(total+V)).
+
+    The reference ships a pretrained KenLM binary
+    (/root/reference/perplexity_scorer.py:84-135, HF-hub download); the
+    rebuild trains the joinable LM in-engine — one explode (generator form,
+    codegen) + one hash aggregation; the per-lang totals come from a window
+    over the already-aggregated (small) counts frame, not a second scan.
+    -> (lang, ngram, logp)."""
+    from pyspark.sql import Window as W
+
+    c = normalize_for_scoring(F.col(text_col))
+    grams = (
+        docs.select(F.col(lang_col).alias("lang"), c.alias("_t"))
+        .filter(F.length("_t") >= n)
+        .select(
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(n - 1))).alias("_i"),
+            "_t",
+        )
+        .select("lang", F.col("_t").substr(F.col("_i"), F.lit(n)).alias("ngram"))
+    )
+    counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("lang")
+    total = F.sum("c").over(w)
+    vocab = F.count(F.lit(1)).over(w)
+    return (
+        counts.withColumn("logp", F.log10((F.col("c") + 1) / (total + vocab)))
+        .filter(F.col("c") >= min_count)
+        .select("lang", "ngram", "logp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Native path (explode → broadcast join → agg)
 # ---------------------------------------------------------------------------
 def perplexity_native(

@@ -1245,6 +1245,38 @@ def media_features_report(spark, sf):
     )
 
 
+def train_lm(spark, sf):
+    """LM training in-engine: per-lang char-trigram add-one-smoothed log
+    probabilities derived from the corpus (replaces the reference's
+    downloaded pretrained model, /root/reference/perplexity_scorer.py:84-135)
+    — explode → hash-agg → window totals, fully SQL-oracled."""
+    from .operators.perplexity import train_char_lm
+
+    d = t(spark, sf, "documents")
+    lm = train_char_lm(d, text_col="text", lang_col="lang")
+    return lm.select("lang", "ngram", _r(F.col("logp")).alias("logp"))
+
+
+ORACLE_TRAIN_LM = r"""
+WITH norm AS (
+  SELECT lang,
+         trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+g AS (
+  SELECT lang, substr(t, CAST(i AS INT), 3) AS ngram
+  FROM norm, UNNEST(range(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 3
+),
+c AS (SELECT lang, ngram, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT lang, ngram,
+       round(log10((c + 1.0) / (sum(c) OVER (PARTITION BY lang)
+                                + count(*) OVER (PARTITION BY lang))), 6) AS logp
+FROM c
+"""
+
+
 def perplexity_report(spark, sf):
     """Char-ngram perplexity via the native explode→broadcast-join→agg path
     over fixture docs + fixture LM (rows-only; parity with the Arrow-UDF
@@ -1319,6 +1351,7 @@ QUERIES = {
     "challenging_docs": challenging_docs,
     "ivf_ann_topk": ivf_ann_topk,
     "extraction_report": extraction_report,
+    "train_lm": train_lm,
     "perplexity_report": perplexity_report,
     "media_features_report": media_features_report,
     "streaming_extraction_report": streaming_extraction_report,
@@ -1360,6 +1393,7 @@ ORACLES = {
     "rollup_nation_totals": ORACLE_ROLLUP_NATION,
     "band_filter_fallback": ORACLE_BAND_FALLBACK,
     "challenging_docs": ORACLE_CHALLENGING,
+    "train_lm": ORACLE_TRAIN_LM,
     # minhash_pairs / simhash_pairs / lsh_ann_topk: xxhash64-based — Spark-only,
     # rows-only check. extraction_report / perplexity_report: fixture+UDF
     # pipelines — byte-identity and parity are pytest-gated instead.
