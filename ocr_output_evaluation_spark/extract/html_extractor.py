@@ -89,6 +89,7 @@ class _BlockParser:
     def __init__(self) -> None:
         self.blocks: list[tuple[str, str, int]] = []  # (tag, text, link_chars)
         self._drop_depth = 0
+        self._drop_open: dict[str, int] = {}  # open count per drop tag
         self._anchor_depth = 0
         self._stack: list[_Block] = [_Block("body")]
 
@@ -126,9 +127,14 @@ class _BlockParser:
             tag = (m.group(2) or m.group(3)).lower()
             if m.group(1):
                 self.handle_endtag(tag)
-            elif doc[gt - 1] == "/":
-                self.handle_startendtag(tag, None)
             else:
+                # HTML5 semantics: a trailing "/" in a start tag is ignored
+                # (the self-closing flag means nothing for HTML elements), so
+                # "<tag .../>" is a plain start tag. Checking doc[gt-1]=='/'
+                # would misfire on unquoted attribute values ending in "/"
+                # (e.g. <a href=https://x.com/>), never opening the anchor
+                # and corrupting link-density classification. Void elements
+                # (br) behave identically either way.
                 self.handle_starttag(tag, None)
                 closer = _RAWTEXT_CLOSE.get(tag)
                 if closer is not None:
@@ -155,6 +161,7 @@ class _BlockParser:
     def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
         if tag in _DROP_SUBTREE:
             self._drop_depth += 1
+            self._drop_open[tag] = self._drop_open.get(tag, 0) + 1
             return
         if self._drop_depth:
             return
@@ -167,7 +174,11 @@ class _BlockParser:
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _DROP_SUBTREE:
-            if self._drop_depth:
+            # Only unwind a drop this tag actually opened: a stray </footer>
+            # inside an open <nav> must not cancel the nav's drop and leak
+            # its boilerplate into the extracted text.
+            if self._drop_open.get(tag, 0) > 0:
+                self._drop_open[tag] -= 1
                 self._drop_depth -= 1
             return
         if self._drop_depth:
@@ -183,10 +194,6 @@ class _BlockParser:
                         self._flush(blk)
                     del self._stack[i:]
                     break
-
-    def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
-        if tag == "br" and not self._drop_depth:
-            self._stack[-1].chars.append(" ")
 
     def handle_data(self, data: str) -> None:
         if self._drop_depth or not data:
@@ -241,14 +248,22 @@ def extract_html(html_bytes: bytes) -> ExtractionResult:
 
 
 def extract_document(html_bytes: bytes | None) -> ExtractionResult:
-    """Dispatch: empty / PDF / HTML. Pure function of the bytes."""
+    """Dispatch: empty / PDF / HTML. Pure function of the bytes.
+
+    Total by contract (D3 failure isolation): any unexpected exception from
+    either branch becomes an in-band error row — one corrupt payload must
+    never abort a task that holds thousands of good documents."""
     from .pdf_extractor import extract_pdf  # local import: keep module load cheap
 
     if html_bytes is None or len(html_bytes) == 0:
         return ExtractionResult(None, 0, 0, False, "empty-input")
-    if html_bytes[:5] == b"%PDF-":
-        return extract_pdf(html_bytes)
-    return extract_html(html_bytes)
+    is_pdf = html_bytes[:5] == b"%PDF-"
+    try:
+        if is_pdf:
+            return extract_pdf(html_bytes)
+        return extract_html(html_bytes)
+    except Exception as e:  # noqa: BLE001 - the isolation boundary
+        return ExtractionResult(None, 0, 0, is_pdf, f"internal-error: {type(e).__name__}")
 
 
 def extraction_version() -> str:

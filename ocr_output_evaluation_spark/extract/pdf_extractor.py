@@ -42,10 +42,11 @@ def _unescape(raw: bytes) -> bytes:
                 out += _ESCAPES[pair]
                 i += 2
                 continue
-            # Octal escape \ddd (1-3 digits)
+            # Octal escape \ddd (1-3 OCTAL digits — bytes.isdigit() would
+            # accept 8/9 and make int(digits, 8) raise on "\8")
             j = i + 1
             digits = b""
-            while j < n and len(digits) < 3 and raw[j : j + 1].isdigit():
+            while j < n and len(digits) < 3 and raw[j : j + 1] in b"01234567":
                 digits += raw[j : j + 1]
                 j += 1
             if digits:

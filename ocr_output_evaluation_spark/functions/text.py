@@ -81,20 +81,23 @@ def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
 
 def lang_id_scores(c: Column | str) -> Column:
     """Heuristic language-ID: per-lang stopword hit counts as a struct, plus
-    the argmax lang. Pure expressions — a when-chain argmax, no UDF."""
+    the argmax lang. Pure expressions; the argmax is array_position of the
+    max over a hits array (linear plan — a chained when-fold re-embeds the
+    running best each step and builds a 2^n_langs expression tree),
+    first-occurrence ties → earliest lang in STOPWORDS order."""
     c = _col(c)
-    hits = {lang: _word_hits(c, ws) for lang, ws in STOPWORDS.items()}
     langs = list(STOPWORDS)
-    best = F.lit(langs[0])
-    best_n = hits[langs[0]]
-    for lang in langs[1:]:
-        cond = hits[lang] > best_n
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_n = F.when(cond, hits[lang]).otherwise(best_n)
+    hits = {lang: _word_hits(c, ws) for lang, ws in STOPWORDS.items()}
+    arr = F.array(*[hits[lang] for lang in langs])
+    mx = F.array_max(arr)
+    pred = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]),
+        F.array_position(arr, mx).cast("int"),
+    )
     fields = [hits[lang].alias(f"hits_{lang}") for lang in langs]
     return F.struct(
         *fields,
-        F.when(best_n > 0, best).otherwise(F.lit(None)).alias("lang_pred"),
+        F.when(mx > 0, pred).otherwise(F.lit(None)).alias("lang_pred"),
     )
 
 

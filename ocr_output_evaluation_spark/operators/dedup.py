@@ -42,8 +42,15 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep one row (min id) per normalized-text fingerprint."""
-    fp = normalized_fingerprint(F.col(text_col)).alias("_fp")
+    """Keep one row (min id) per normalized-text fingerprint.
+
+    NULL-text rows (extraction errors) are NOT deduped away: md5(NULL) is
+    NULL and null-unsafe join equality would silently drop every such row,
+    so each gets a per-row sentinel fingerprint and survives."""
+    fp = F.coalesce(
+        normalized_fingerprint(F.col(text_col)),
+        F.concat(F.lit("\0null\0"), F.col(id_col).cast("string")),
+    )
     w_df = df.withColumn("_fp", fp)
     keep = w_df.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return w_df.join(keep, ["_fp", id_col], "inner").drop("_fp")

@@ -45,15 +45,17 @@ def normalize_text_py(text: str | None) -> str:
     """Python twin of functions.ngram.normalize_for_scoring (parity-tested).
 
     Spark side does lower -> [^\\p{L} ]+ -> ' ' -> collapse \\s+ -> trim.
-    Python re lacks \\p{L}; [^\\w ] plus a digits/underscore pass is
-    equivalent *after* whitespace collapsing (every junk run becomes spaces
-    either way)."""
+    Python re lacks \\p{L}, and the \\w-minus-digits approximation diverges
+    on category No/Nl characters (superscripts, fractions, Roman numerals:
+    isalnum but not \\d, yet stripped by \\p{L}). str.isalpha() is exactly
+    the L* categories, so keep letters/space per char, then collapse."""
     import re
 
     if text is None:
         return ""
-    kept = re.sub(r"[^\w ]+", " ", text.lower())
-    kept = re.sub(r"[\d_]+", " ", kept)
+    kept = "".join(
+        ch if (ch == " " or ch.isalpha()) else " " for ch in text.lower()
+    )
     return re.sub(r"\s+", " ", kept).strip()
 
 

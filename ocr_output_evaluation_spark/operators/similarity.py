@@ -39,7 +39,11 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # zero-norm guard: Spark 4 runs ANSI mode by default, so an unguarded
+    # division crashes the whole job on the first zero vector; NULL cosine
+    # matches the numpy path's NaN->drop behavior
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom != 0.0, dot_expr(a, b) / denom)
 
 
 def brute_force_top_k(
@@ -72,18 +76,30 @@ def brute_force_top_k_np(
     same rounding-stable results as the expression form (parity-tested)."""
     qv = None
 
+    dim = len(query)
+
     @F.pandas_udf(T.DoubleType())
     def cos_udf(vecs: pd.Series) -> pd.Series:
         nonlocal qv
         if qv is None:
             qv = np.asarray(query, dtype=np.float64)
             qv = qv / np.linalg.norm(qv)
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        if mat.size == 0:
-            return pd.Series([], dtype="float64")
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0.0] = np.nan
-        return pd.Series((mat @ qv) / norms)
+        # NULL / wrong-dimension rows -> NaN (-> NULL), matching the
+        # expression form; np.asarray(None) would otherwise abort the task
+        rows = [
+            np.asarray(v, dtype=np.float64)
+            if v is not None and len(v) == dim
+            else None
+            for v in vecs
+        ]
+        out = np.full(len(rows), np.nan)
+        good = [i for i, r in enumerate(rows) if r is not None]
+        if good:
+            mat = np.stack([rows[i] for i in good])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = np.nan
+            out[good] = (mat @ qv) / norms
+        return pd.Series(out)
 
     return (
         df.select(F.col(id_col), F.round(cos_udf(F.col(vec_col)), 9).alias("cosine"))

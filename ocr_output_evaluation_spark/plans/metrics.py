@@ -68,6 +68,10 @@ def doc_metrics(
         F.coalesce(n_nan, F.lit(0)).cast("long").alias("n_nan_conf"),
         F.coalesce(n_inf, F.lit(0)).cast("long").alias("n_inf_conf"),
         "perplexity",
+        # extraction error carried through so group rollups can count real
+        # failures (without this the n_errors branch in group_metrics is dead
+        # and every rollup claims zero errors)
+        "error",
         "extraction_version",
     )
 

@@ -21,7 +21,7 @@ Scale design (the parts the judge grades):
 
 from __future__ import annotations
 
-import uuid
+import hashlib
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -101,12 +101,16 @@ def run_extraction(
     # bucketing is meaningless at another (bucket ids remap), so a changed
     # n_buckets must look like a fresh snapshot (found by verification probe).
     snapshot = f"{source_snapshot_id or source_path}#nb={n_buckets}"
-    rid = run_id or uuid.uuid4().hex[:12]
 
     done = set(completed_buckets(spark, manifest_path, snapshot, version))
     pending = [b for b in range(n_buckets) if b not in done]
     if max_buckets is not None:
         pending = pending[:max_buckets]
+    # Deterministic run id (no RNG in the manifest): two identical re-runs of
+    # the same (snapshot, version, pending set) write identical ledger keys.
+    rid = run_id or hashlib.sha256(
+        f"{snapshot}:{version}:{','.join(map(str, pending))}".encode()
+    ).hexdigest()[:12]
     if not pending:
         return {"run_id": rid, "processed_buckets": [], "skipped_buckets": sorted(done),
                 "row_count": 0, "error_count": 0, "extraction_version": version}

@@ -122,6 +122,7 @@ DOC_METRICS = T.StructType(
         T.StructField("n_nan_conf", T.LongType(), True),    # NaN class (distinct from inf)
         T.StructField("n_inf_conf", T.LongType(), True),    # inf class
         T.StructField("perplexity", T.DoubleType(), True),  # NULL=no scoreable text, inf=LM rejection
+        T.StructField("error", T.StringType(), True),       # extraction error, carried through for rollup counters
         T.StructField("extraction_version", T.StringType(), True),
     ]
 )
