@@ -1,0 +1,127 @@
+"""Regression tests for review-found defects — each test reproduces the
+original failure input and pins the fixed behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_output_evaluation_spark.extract import extract_document
+
+
+def test_pdf_non_octal_escape_is_error_row_not_crash():
+    r = extract_document(b"%PDF-1.4\nBT (bad \\8 escape with words) Tj ET\n%%EOF")
+    # \8 is not an octal escape: backslash dropped, content survives
+    assert r.error is None and "bad 8 escape" in r.text
+
+
+def test_prose_less_than_is_literal_text():
+    r = extract_document(
+        b"<p>inequality holds where i < j for all pairs in the considered set</p>"
+    )
+    assert r.text == "inequality holds where i < j for all pairs in the considered set"
+
+
+def test_abrupt_comment_does_not_swallow_document():
+    r = extract_document(
+        b"<p>first paragraph with plenty of text to pass the threshold</p>"
+        b"<!--><p>second paragraph also has plenty of text to keep</p>"
+    )
+    assert r.n_blocks_kept == 2 and "second paragraph" in r.text
+
+
+def test_unquoted_href_trailing_slash_not_self_closing():
+    # link farm written with unquoted hrefs must still be dropped as
+    # boilerplate (the anchor must OPEN despite the trailing "/>")
+    farm = (
+        b"<div>"
+        + b" ".join(b'<a href=https://x%d.example/>word%d</a>' % (i, i) for i in range(30))
+        + b"</div>"
+    )
+    r = extract_document(farm)
+    assert r.n_blocks_kept == 0
+
+
+def test_stray_drop_close_does_not_leak_boilerplate():
+    r = extract_document(
+        b"<nav>menu </footer><div>boilerplate text that is long enough to pass</div></nav>"
+        b"<p>real content here with plenty of words to pass the threshold</p>"
+    )
+    assert r.text == "real content here with plenty of words to pass the threshold"
+
+
+def test_cosine_zero_norm_and_null_vectors_yield_null(spark):
+    from ocr_output_evaluation_spark.operators.similarity import (
+        brute_force_top_k,
+        brute_force_top_k_np,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0]), (3, None), (4, [3.0, 4.0])],
+        "id long, v array<double>",
+    )
+    a = [(r.id, r.cosine) for r in brute_force_top_k(df, "v", "id", [1.0, 2.0], 4).collect()]
+    b = [(r.id, r.cosine) for r in brute_force_top_k_np(df, "v", "id", [1.0, 2.0], 4).collect()]
+    assert a == b
+    got = dict(a)
+    assert got[2] is None and got[3] is None and got[1] == 1.0
+
+
+def test_dedup_exact_keeps_null_text_rows(spark):
+    from ocr_output_evaluation_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, "other")],
+        "id long, text string",
+    )
+    kept = sorted(r.id for r in dedup_exact(df, "text", "id").collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_normalize_py_matches_spark_on_numeric_letters(spark):
+    from ocr_output_evaluation_spark.functions.ngram import normalize_for_scoring
+    from ocr_output_evaluation_spark.operators.perplexity import normalize_text_py
+
+    texts = ["Area 50m² and ½ cup Ⅲ mix", "plain words", "", "123", "a¹b"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    spark_side = [
+        r.n for r in df.select(normalize_for_scoring(F.col("t")).alias("n")).collect()
+    ]
+    py_side = [normalize_text_py(t) for t in texts]
+    assert spark_side == py_side
+
+
+def test_group_metrics_error_counter_is_live(spark, tmp_path):
+    from ocr_output_evaluation_spark.fixtures.generate import (
+        reference_lm_pdf,
+        token_confidences_row,
+        web_pages_df,
+    )
+    from ocr_output_evaluation_spark.plans.pipeline import run_quality_pipeline
+    from ocr_output_evaluation_spark.schema import REFERENCE_LM, TOKEN_CONFIDENCES
+
+    n = 200
+    base = str(tmp_path)
+    web_pages_df(spark, n, 2).write.parquet(f"{base}/src")
+    spark.createDataFrame(
+        [token_confidences_row(i) for i in range(n)], schema=TOKEN_CONFIDENCES
+    ).write.parquet(f"{base}/confs")
+    spark.createDataFrame(reference_lm_pdf(), schema=REFERENCE_LM).write.parquet(f"{base}/lm")
+    r = run_quality_pipeline(
+        spark, f"{base}/src", f"{base}/confs", f"{base}/lm", f"{base}/out", n_buckets=2
+    )
+    gm = spark.read.parquet(f"{base}/out/group_metrics_lang")
+    total_errors = gm.agg(F.sum("n_errors")).collect()[0][0]
+    # fixture corpus has ~3% malformed pages; the rollup must see them
+    assert total_errors == r["error_count"] > 0
+
+
+def test_manifest_run_id_deterministic(spark, tmp_path):
+    from ocr_output_evaluation_spark.fixtures.generate import web_pages_df
+    from ocr_output_evaluation_spark.plans.pipeline import run_extraction
+
+    src = str(tmp_path / "src")
+    web_pages_df(spark, 100, 2).write.parquet(src)
+    r1 = run_extraction(spark, src, str(tmp_path / "o1"), str(tmp_path / "m1"), n_buckets=4)
+    r2 = run_extraction(spark, src, str(tmp_path / "o2"), str(tmp_path / "m2"), n_buckets=4)
+    assert r1["run_id"] == r2["run_id"]
