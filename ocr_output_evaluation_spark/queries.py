@@ -588,6 +588,43 @@ GROUP BY event_type
 """
 
 
+def user_sessions(spark, sf):
+    """Gap-based sessionization (operators/sessionize.py): per-user sessions
+    split on >30-minute inactivity gaps, one shuffle + one sort (shared
+    window spec for lag + cumulative sum), integer-microsecond arithmetic."""
+    from .operators.sessionize import session_stats
+
+    e = t(spark, sf, "events")
+    return session_stats(e, "user_id", "ts", gap_minutes=30.0, order_tiebreak="event_id")
+
+
+ORACLE_USER_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS f
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, us,
+         sum(f) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*)                                        AS n_events,
+       min(us)                                         AS session_start_us,
+       max(us)                                         AS session_end_us,
+       round((max(us) - min(us)) / 1000000.0, 6)       AS duration_s
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
 def running_spend(spark, sf):
     """Frame-spec window (rows unbounded-preceding → current): per-customer
     running total — beyond-reference window coverage (SURVEY.md §2.5)."""
@@ -1330,6 +1367,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_json_props": events_json_props,
     "running_spend": running_spend,
+    "user_sessions": user_sessions,
     "token_stats": token_stats,
     "lang_id_report": lang_id_report,
     "quality_scores": quality_scores,
@@ -1378,6 +1416,7 @@ ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_json_props": ORACLE_EVENTS_JSON,
     "running_spend": ORACLE_RUNNING_SPEND,
+    "user_sessions": ORACLE_USER_SESSIONS,
     "token_stats": ORACLE_TOKEN_STATS,
     "lang_id_report": _oracle_lang_id(),
     "quality_scores": ORACLE_QUALITY_SCORES,
