@@ -38,6 +38,7 @@ HEADLINE = [
     "top_langs_per_source",
     "events_hourly",
     "running_spend",
+    "user_sessions",
     "token_stats",
     "quality_scores",
     "exact_dup_stats",
