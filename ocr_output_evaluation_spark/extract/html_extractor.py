@@ -128,13 +128,20 @@ class _BlockParser:
             if m.group(1):
                 self.handle_endtag(tag)
             else:
-                # HTML5 semantics: a trailing "/" in a start tag is ignored
-                # (the self-closing flag means nothing for HTML elements), so
-                # "<tag .../>" is a plain start tag. Checking doc[gt-1]=='/'
-                # would misfire on unquoted attribute values ending in "/"
-                # (e.g. <a href=https://x.com/>), never opening the anchor
-                # and corrupting link-density classification. Void elements
-                # (br) behave identically either way.
+                # Trailing "/" policy: for HTML elements the self-closing
+                # flag officially means nothing, and checking doc[gt-1]=='/'
+                # misfires on unquoted attribute values ending in "/" (e.g.
+                # <a href=https://x.com/>) — so ordinary tags are ALWAYS
+                # treated as plain start tags (the anchor must open for
+                # link-density tracking). Drop-subtree tags are the
+                # exception: "<iframe .../>"/"<svg .../>"/"<script/>" must
+                # be an EMPTY dropped subtree, because opening a drop region
+                # that never closes would silently discard the rest of the
+                # document — the safer reading for either interpretation of
+                # the trailing slash.
+                if doc[gt - 1] == "/" and tag in _DROP_SUBTREE:
+                    i = gt + 1
+                    continue
                 self.handle_starttag(tag, None)
                 closer = _RAWTEXT_CLOSE.get(tag)
                 if closer is not None:

@@ -31,10 +31,14 @@ from ..functions.text import normalized_fingerprint
 # ---------------------------------------------------------------------------
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Groups of byte-equal (normalized) texts: -> (fingerprint, n_dups,
-    keep_id = min id). One shuffle on the fingerprint."""
+    keep_id = min id). One shuffle on the fingerprint. NULL-text rows
+    (extraction errors) are excluded — md5(NULL) is NULL for every such row
+    and would otherwise collapse unrelated failures into one phantom
+    duplicate cluster."""
     fp = normalized_fingerprint(F.col(text_col))
     return (
         df.select(fp.alias("fingerprint"), F.col(id_col).alias("_id"))
+        .filter(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("_id").alias("keep_id"))
         .filter(F.col("n_dups") > 1)

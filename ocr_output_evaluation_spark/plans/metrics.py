@@ -91,7 +91,7 @@ def group_metrics(docs: DataFrame, keys: list[str]) -> DataFrame:
         *moment_aggs("perplexity", "ppl"),
         *percentile_aggs("perplexity", "ppl", (0.10, 0.90)),
         *validity_class_aggs("perplexity", "ppl"),
-        F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_errors")
+        F.count("error").alias("n_errors")
         if "error" in docs.columns
         else F.lit(0).alias("n_errors"),
     )

@@ -125,3 +125,24 @@ def test_manifest_run_id_deterministic(spark, tmp_path):
     r1 = run_extraction(spark, src, str(tmp_path / "o1"), str(tmp_path / "m1"), n_buckets=4)
     r2 = run_extraction(spark, src, str(tmp_path / "o2"), str(tmp_path / "m2"), n_buckets=4)
     assert r1["run_id"] == r2["run_id"]
+
+
+def test_self_closed_drop_tag_is_empty_subtree_not_open_drop():
+    r = extract_document(
+        b"<p>intro paragraph with plenty of words to pass the length threshold</p>"
+        b"<iframe src=https://ads.example/frame /><p>the actual article body "
+        b"continues here with lots of real content text</p>"
+    )
+    assert r.n_blocks_kept == 2 and "article body" in r.text
+
+
+def test_exact_duplicates_ignores_null_text(spark):
+    from ocr_output_evaluation_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "id long, text string",
+    )
+    groups = exact_duplicates(df, "text", "id").collect()
+    # one real dup cluster; the three NULL rows must NOT form a phantom one
+    assert len(groups) == 1 and groups[0].n_dups == 2
