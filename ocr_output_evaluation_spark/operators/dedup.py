@@ -395,18 +395,41 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by cosine >= threshold, bucketed by random-hyperplane
-    LSH signature (deterministic pseudo-planes from xxhash64(seed, j, dim)).
-    Exact cosine verified inside buckets. -> (id_a, id_b, cosine)."""
+    """Near-dup pairs by cosine >= threshold, candidate-generated by BANDED
+    random-hyperplane LSH (n_bands independent signature tables of n_planes
+    bits each, deterministic pseudo-planes from xxhash64(band_seed, j, dim));
+    a pair is a candidate if it collides in ANY band — recall
+    1-(1-(1-theta/pi)^planes)^bands, so borderline plane flips in one table
+    are rescued by the others (single-table LSH measurably lost
+    same-cluster pairs at theta ~ 1e-3). Exact cosine verifies candidates.
+    -> (id_a, id_b, cosine). Pairs colliding in several bands are deduped
+    BEFORE the cosine so each pair's dot product is computed once."""
     from .similarity import cosine_expr, hyperplane_signature
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    sig = hyperplane_signature(F.col("_v"), n_planes=n_planes, seed=seed)
-    bucketed = base.withColumn("_b", sig)
-    a = bucketed.select(F.col("_b"), F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    b = bucketed.select(F.col("_b"), F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-    pairs = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                hyperplane_signature(
+                    F.col("_v"), n_planes=n_planes, seed=seed + 7919 * bi
+                ).alias("sig"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    bucketed = base.select(
+        "_id", "_v", F.explode(sigs).alias("_bs")
+    ).select("_id", "_v", F.col("_bs.band").alias("_band"), F.col("_bs.sig").alias("_b"))
+    a = bucketed.select("_band", "_b", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = bucketed.select("_band", "_b", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    pairs = (
+        a.join(b, ["_band", "_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
         pairs.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)

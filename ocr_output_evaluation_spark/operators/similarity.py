@@ -108,6 +108,116 @@ def brute_force_top_k_np(
     )
 
 
+def pairwise_top_k_np(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 50,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact global top-k most-similar pairs by cosine — the all-pairs analog
+    of ``brute_force_top_k_np`` (reference analog: the pairwise "challenging
+    volume" comparisons are driver-side pandas; here the n^2 work is
+    distributed).
+
+    Distributed block-matmul design (no driver collect, no crossJoin row
+    explosion): each vector lands in block b = pmod(xxhash64(id), n_blocks)
+    and is replicated to every unordered block pair (min(b,j), max(b,j)) —
+    n_blocks copies per row, versus n copies for a naive self-join. Each
+    block pair computes its local pairs with one float64 numpy matmul inside
+    applyInPandas and emits only its local top-k, so the final
+    TakeOrderedAndProject sees at most k * n_blocks^2 / 2 rows. Scale knob:
+    work per task ~ (n/n_blocks)^2 dot products; raise n_blocks so a block
+    fits executor memory (replication grows linearly while task work shrinks
+    quadratically).
+
+    NULL / wrong-dimension / zero-norm vectors drop out (no scoreable
+    cosine), matching the NaN->drop semantics of the query-vector paths.
+    -> (id_a, id_b, cosine) with id_a < id_b, ordered cosine desc with
+    (id_a, id_b) tiebreak, unrounded ordering — round at the call site.
+    """
+    blocked = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_b"),
+    ).filter(F.col("_v").isNotNull())
+    exploded = blocked.select(
+        "_id",
+        "_v",
+        "_b",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_j"),
+    ).select(
+        "_id",
+        "_v",
+        "_b",
+        F.least("_b", "_j").alias("_ba"),
+        F.greatest("_b", "_j").alias("_bb"),
+    ).dropDuplicates(["_id", "_ba", "_bb"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _pairs(key, pdf):
+        ba, bb = key
+        dims = {len(v) for v in pdf["_v"] if v is not None}
+        if not dims:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        dim = max(dims)
+
+        def pack(rows: pd.DataFrame):
+            good = [
+                i
+                for i, v in enumerate(rows["_v"])
+                if v is not None and len(v) == dim
+            ]
+            if not good:
+                return None, None
+            mat = np.stack(
+                [np.asarray(rows["_v"].iloc[i], dtype=np.float64) for i in good]
+            )
+            norms = np.linalg.norm(mat, axis=1)
+            keep = norms > 0.0
+            ids = rows["_id"].iloc[good].to_numpy()[keep]
+            mat = mat[keep] / norms[keep][:, None]
+            return ids, mat
+
+        if ba == bb:
+            ids, mat = pack(pdf)
+            if ids is None or len(ids) < 2:
+                return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ia, ib = ids[iu], ids[ju]
+            cos = sims[iu, ju]
+        else:
+            ids_a, mat_a = pack(pdf[pdf["_b"] == ba])
+            ids_b, mat_b = pack(pdf[pdf["_b"] == bb])
+            if ids_a is None or ids_b is None:
+                return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+            sims = mat_a @ mat_b.T
+            ia = np.repeat(ids_a, len(ids_b))
+            ib = np.tile(ids_b, len(ids_a))
+            cos = sims.ravel()
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
+        return out.sort_values(
+            ["cosine", "id_a", "id_b"], ascending=[False, True, True]
+        ).head(k)
+
+    return (
+        exploded.groupBy("_ba", "_bb")
+        .applyInPandas(_pairs, out_schema)
+        .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
+    )
+
+
 def _plane_component(j: Column | int, d: Column, seed: int) -> Column:
     """Deterministic pseudo-gaussian-ish component: xxhash64(seed,j,d) mapped
     to [-1,1). Rademacher-style planes are fine for LSH bucketing."""

@@ -1346,6 +1346,77 @@ def perplexity_report(spark, sf):
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+def embedding_pair_topk(spark, sf):
+    """All-pairs similarity: exact global top-25 most-cosine-similar vector
+    pairs via the distributed block-matmul operator (applyInPandas per block
+    pair, local top-k per group, TakeOrderedAndProject final). The dedup
+    variant (threshold + hyperplane buckets) is operators/dedup.py:
+    embedding_near_dup_pairs; this exact form is the oracle-checked baseline
+    the bucketed path's recall is measured against. Reference analog:
+    pairwise volume comparisons in select_challenging_images.py are
+    driver-side pandas; here n^2 work is distributed."""
+    from .operators.similarity import pairwise_top_k_np
+
+    e = t(spark, sf, "embeddings")
+    out = pairwise_top_k_np(e, "embedding", "vec_id", k=25, n_blocks=4)
+    return out.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))
+
+
+ORACLE_EMBEDDING_PAIR_TOPK = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) / (a.nrm * b.nrm) AS cos_raw
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0
+)
+SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+FROM p
+ORDER BY cos_raw DESC, id_a, id_b
+LIMIT 25
+"""
+
+
+def customers_without_orders(spark, sf):
+    """Anti-join (the harness's fixture-diff primitive, SURVEY §2.3, as a
+    first-class query): customers with no urgent-priority orders, rolled up
+    per market segment. The anti side is the big fact table — Catalyst plans a
+    broadcast/shuffled hash anti join; at 100 TB the orders side would be
+    bucketed on o_custkey so the anti join is co-located."""
+    c = t(spark, sf, "customer")
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment,
+       count(*)                 AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1388,6 +1459,8 @@ QUERIES = {
     "band_filter_fallback": band_filter_fallback,
     "challenging_docs": challenging_docs,
     "ivf_ann_topk": ivf_ann_topk,
+    "embedding_pair_topk": embedding_pair_topk,
+    "customers_without_orders": customers_without_orders,
     "extraction_report": extraction_report,
     "train_lm": train_lm,
     "perplexity_report": perplexity_report,
@@ -1433,6 +1506,8 @@ ORACLES = {
     "band_filter_fallback": ORACLE_BAND_FALLBACK,
     "challenging_docs": ORACLE_CHALLENGING,
     "train_lm": ORACLE_TRAIN_LM,
+    "embedding_pair_topk": ORACLE_EMBEDDING_PAIR_TOPK,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     # minhash_pairs / simhash_pairs / lsh_ann_topk: xxhash64-based — Spark-only,
     # rows-only check. extraction_report / perplexity_report: fixture+UDF
     # pipelines — byte-identity and parity are pytest-gated instead.

@@ -179,3 +179,80 @@ def test_minhash_signatures_match_expression_form(spark):
     assert 99 not in agg_sigs and expr_sigs[99] is None
     for k, v in agg_sigs.items():
         assert expr_sigs[k] == v, f"doc {k}: agg path != expression path"
+
+
+def test_pairwise_top_k_np_matches_local_numpy(spark):
+    """Exact all-pairs top-k: the distributed block-matmul result must equal
+    a single-process numpy brute force — no pair may be lost across block
+    boundaries, and NULL / wrong-dim / zero vectors must drop out."""
+    import numpy as np
+
+    from ocr_output_evaluation_spark.operators.similarity import pairwise_top_k_np
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(8).tolist() for i in range(40)}
+    vecs[40] = None           # NULL embedding
+    vecs[41] = [0.0] * 8      # zero norm
+    vecs[42] = [1.0, 2.0]     # wrong dimension
+    rows = [(i, v) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    got = pairwise_top_k_np(df, "v", "id", k=30, n_blocks=3).collect()
+
+    good = {i: np.asarray(v) for i, v in vecs.items() if v is not None and len(v) == 8 and any(v)}
+    exp = []
+    for a in sorted(good):
+        for b in sorted(good):
+            if a < b:
+                va, vb = good[a], good[b]
+                exp.append((a, b, float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))))
+    exp.sort(key=lambda t: (-t[2], t[0], t[1]))
+    exp = exp[:30]
+
+    assert [(r.id_a, r.id_b) for r in got] == [(a, b) for a, b, _ in exp]
+    for r, (_, _, c) in zip(got, exp):
+        assert abs(r.cosine - c) < 1e-9
+    dropped = {40, 41, 42}
+    assert not dropped & {r.id_a for r in got} | dropped & {r.id_b for r in got}
+
+
+def test_pairwise_top_k_single_block_and_k_larger_than_pairs(spark):
+    from ocr_output_evaluation_spark.operators.similarity import pairwise_top_k_np
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = pairwise_top_k_np(df, "v", "id", k=100, n_blocks=1).collect()
+    assert len(got) == 3  # all C(3,2) pairs, k larger than pair count
+    assert (got[0].id_a, got[0].id_b) == (1, 2)  # most similar first
+
+
+def test_embedding_near_dup_pairs_recall_on_planted_clusters(spark):
+    """Hyperplane-bucketed near-dup: planted duplicate clusters (cosine ~1)
+    must all surface; orthogonal decoys must not. Truth set computed by the
+    exact pairwise operator on the same input."""
+    import numpy as np
+
+    from ocr_output_evaluation_spark.operators.dedup import embedding_near_dup_pairs
+    from ocr_output_evaluation_spark.operators.similarity import pairwise_top_k_np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    next_id = 0
+    for _ in range(5):  # 5 clusters of 3 near-identical vectors
+        base = rng.randn(16)
+        for _ in range(3):
+            rows.append((next_id, (base + rng.randn(16) * 1e-3).tolist()))
+            next_id += 1
+    for _ in range(20):  # decoys
+        rows.append((next_id, rng.randn(16).tolist()))
+        next_id += 1
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    got = embedding_near_dup_pairs(df, "v", "id", threshold=0.999, n_planes=8, seed=3)
+    got_pairs = {(r.id_a, r.id_b) for r in got.collect()}
+
+    exact = pairwise_top_k_np(df, "v", "id", k=1000, n_blocks=2)
+    truth = {(r.id_a, r.id_b) for r in exact.collect() if r.cosine >= 0.999}
+
+    assert len(truth) == 15  # C(3,2) per cluster * 5
+    assert got_pairs == truth  # recall 1.0 on same-direction dups, no false positives
