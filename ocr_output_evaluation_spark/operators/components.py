@@ -1,0 +1,86 @@
+"""Connected components over near-duplicate pair edges — the clustering step
+of a dedup pipeline (pairs -> clusters -> keep one representative per
+cluster).
+
+Reference analog: /root/reference has no graph step (its dedup surface is
+`drop_duplicates`, select_challenging_images.py:72); at corpus scale,
+near-dup *pairs* (MinHash/SimHash/Jaccard/embedding) must be folded into
+clusters, which is an iterative fixpoint no single SQL pass expresses.
+
+Algorithm: hash-min label propagation. Every node starts labeled with its
+own id; each round every node takes the min label among itself and its
+neighbors; converged when no label changes. Deterministic (min is
+order-insensitive), converges in O(graph diameter) rounds — near-dup
+clusters are small and dense, so diameter is tiny; for adversarial chain
+graphs the large-star/small-star variant (Kiveris et al., "Connected
+Components in MapReduce and Beyond") drops rounds to O(log n) — not needed
+for dedup-shaped graphs, noted here as the scale-up escape hatch.
+
+Scale notes: one shuffle per round (groupBy node), edges reused every round
+— worth `.persist()` on a real cluster (the caller owns that choice);
+`localCheckpoint` after each round truncates the lineage chain so round k
+does not replay rounds 1..k-1 (and keeps the plan from growing
+unboundedly); the convergence probe is a single `count()` action per round
+on a tiny changed-labels frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """-> (id, component) — component = min node id reachable via edges.
+
+    `nodes` is the full membership universe: nodes without any edge come out
+    as singleton components (their own id), so every input row lands in
+    exactly one cluster and cluster sizes sum to the corpus size.
+    Raises RuntimeError if not converged within max_iter (dedup graphs
+    converge in a handful of rounds; hitting the cap means the input is not
+    a near-dup pair set)."""
+    n = nodes.select(F.col(node_col).cast("long").alias("id")).distinct()
+    e = edges.select(
+        F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b")
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+    labels = n.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    """-> (component, n_docs): dedup-cluster summary; n_docs == 1 rows are
+    unique documents, n_docs >= 2 rows are clusters to collapse (keep the
+    representative == the component id, i.e. the min doc id)."""
+    return components.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1417,6 +1417,58 @@ GROUP BY c_mktsegment
 """
 
 
+def dup_clusters(spark, sf):
+    """Near-dup pairs folded into duplicate CLUSTERS: n-gram Jaccard pairs
+    (the oracle-checkable dedup path) -> iterative hash-min connected
+    components (operators/components.py; the driver-contract's
+    'iterative algorithm' case — here it IS SQL-expressible via a recursive
+    CTE, so it stays oracle-checked) -> per-cluster size summary. Every doc
+    in the subset lands in exactly one cluster; component id = min doc_id
+    (the dedup representative)."""
+    from .operators.components import component_sizes, connected_components
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 60).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    comp = connected_components(
+        d.select("doc_id"), pairs, node_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return component_sizes(comp)
+
+
+ORACLE_DUP_CLUSTERS = """
+WITH RECURSIVE
+d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS sh
+  FROM d, UNNEST(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+SELECT component, count(*) AS n_docs FROM comp GROUP BY component
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1461,6 +1513,7 @@ QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_pair_topk": embedding_pair_topk,
     "customers_without_orders": customers_without_orders,
+    "dup_clusters": dup_clusters,
     "extraction_report": extraction_report,
     "train_lm": train_lm,
     "perplexity_report": perplexity_report,
@@ -1508,6 +1561,7 @@ ORACLES = {
     "train_lm": ORACLE_TRAIN_LM,
     "embedding_pair_topk": ORACLE_EMBEDDING_PAIR_TOPK,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "dup_clusters": ORACLE_DUP_CLUSTERS,
     # minhash_pairs / simhash_pairs / lsh_ann_topk: xxhash64-based — Spark-only,
     # rows-only check. extraction_report / perplexity_report: fixture+UDF
     # pipelines — byte-identity and parity are pytest-gated instead.

@@ -256,3 +256,35 @@ def test_embedding_near_dup_pairs_recall_on_planted_clusters(spark):
 
     assert len(truth) == 15  # C(3,2) per cluster * 5
     assert got_pairs == truth  # recall 1.0 on same-direction dups, no false positives
+
+
+def test_connected_components_chain_islands_singletons(spark):
+    from ocr_output_evaluation_spark.operators.components import (
+        component_sizes,
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    # chain 0-1-2-3, triangle 4-5-6 (+redundant edge), 7/8/9 isolated
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (4, 5), (5, 6), (6, 4)], "id_a long, id_b long"
+    )
+    comp = connected_components(nodes, edges)
+    got = {r.id: r.component for r in comp.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8, 9: 9}
+    sizes = {r.component: r.n_docs for r in component_sizes(comp).collect()}
+    assert sizes == {0: 4, 4: 3, 7: 1, 8: 1, 9: 1}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from ocr_output_evaluation_spark.operators.components import connected_components
+
+    n = 8  # chain needs n-1 hash-min rounds; cap below that must raise
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
