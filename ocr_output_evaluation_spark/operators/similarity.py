@@ -150,9 +150,11 @@ def pairwise_top_k_np(
         "_id",
         "_v",
         "_b",
+        # each j yields a distinct unordered pair {b, j} (j == b gives the
+        # diagonal group exactly once), so no dedup shuffle is needed here
         F.least("_b", "_j").alias("_ba"),
         F.greatest("_b", "_j").alias("_bb"),
-    ).dropDuplicates(["_id", "_ba", "_bb"])
+    )
 
     out_schema = T.StructType(
         [

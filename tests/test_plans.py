@@ -181,3 +181,28 @@ def test_no_python_udfs_in_native_queries(spark, sf_dir, name):
     plan = plan_of(QUERIES[name](spark, sf_dir))
     assert "BatchEvalPython" not in plan, f"{name} fell off the codegen path"
     assert "ArrowEvalPython" not in plan, f"{name} uses a Python UDF unexpectedly"
+
+
+def test_anti_join_broadcasts_filtered_orders(spark, sf_dir):
+    """customers_without_orders: the filtered orders side must broadcast
+    (BroadcastHashJoin LeftAnti), the customer fact side must not shuffle
+    before the join; one shuffle total (the final group-by)."""
+    from ocr_output_evaluation_spark.queries import customers_without_orders
+
+    plan = plan_of(customers_without_orders(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert n_shuffles(plan) == 1  # only the c_mktsegment aggregation
+
+
+def test_pairwise_topk_single_shuffle_then_local_topk(spark, sf_dir):
+    """embedding_pair_topk: exactly one shuffle (the block-pair groupBy into
+    applyInPandas) and a TakeOrderedAndProject final — no global sort, no
+    dedup exchange before the matmul stage."""
+    from ocr_output_evaluation_spark.queries import embedding_pair_topk
+
+    plan = plan_of(embedding_pair_topk(spark, sf_dir))
+    assert n_nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+    assert n_nodes(plan, "Sort") <= 1  # only the groupBy-keys sort for applyInPandas
+    assert n_shuffles(plan) == 1
