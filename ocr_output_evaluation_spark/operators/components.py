@@ -49,7 +49,15 @@ def connected_components(
     e = edges.select(
         F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b")
     )
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # materialize the symmetrized edge set once: every round joins against it,
+    # and without the checkpoint each round's action would replay the
+    # union+distinct shuffle (AQE re-plans per action, so cross-job stage
+    # reuse is not guaranteed)
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     labels = n.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
     for _ in range(max_iter):
