@@ -1,0 +1,137 @@
+"""Training-data export: the composed pipeline a 100 TB pre-training corpus
+build actually runs over the extracted table —
+
+    quality gate → exact dedup → near-dup cluster collapse → partitioned write
+
+Reference analog: the reference stops at per-volume quality stats and a
+sampled manifest (/root/reference/select_challenging_images.py:72
+`drop_duplicates` is its only dedup); the export layer is rebuild-only
+(SURVEY.md §2.13) but built entirely from operators that ARE oracle/parity
+tested individually (quality_score, exact-dup window, minhash_lsh_pairs,
+connected_components).
+
+Scale design:
+- doc identity is `xxhash64(url)` (64-bit): near-dup edges and components
+  carry 8-byte keys instead of url strings through every shuffle.
+- exact dedup is one window over text_sha256 (hash-partitioned, no skew:
+  sha256 keys are uniform) keeping the min-url-hash row — deterministic
+  across cluster sizes.
+- near-dup candidates come from the MinHash-LSH path (banded signatures,
+  bounded buckets), NOT the O(n^2) exact-Jaccard path; the pair set feeds
+  hash-min connected components and only cluster representatives
+  (component == own key) survive.
+- every stage stays a lazy DataFrame; the one persist is the quality-passed
+  frame, read by the pair stage, the component stage, and the final join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.text import quality_score
+from ..operators.components import connected_components
+from ..operators.dedup import minhash_lsh_pairs
+
+
+def training_export_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    min_quality: float = 0.35,
+    jaccard_threshold: float = 0.7,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> dict:
+    """Build the export lineage over an extracted-documents frame.
+
+    Returns the dict of stage frames (all lazy except `clean`, which is
+    persisted because three downstream stages consume it):
+    ``{"clean", "uniq", "pairs", "components", "kept"}`` — `kept` is the
+    final training set: quality-passed, exact-deduped, one representative
+    per near-dup cluster (the min doc_key, i.e. stable across runs and
+    cluster sizes)."""
+    key = F.xxhash64(F.col(url_col)).alias("doc_key")
+    clean = (
+        docs.filter(
+            F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)
+        )
+        .withColumn("quality", quality_score(text_col))
+        .filter(F.col("quality") >= min_quality)
+        .withColumn("doc_key", key)
+        .persist()
+    )
+
+    # exact dedup: sha256 of the text; min url-hash wins (deterministic)
+    sha = F.sha2(F.col(text_col), 256)
+    w = W.partitionBy(sha).orderBy(F.col("doc_key").asc(), F.col(url_col).asc())
+    uniq = (
+        clean.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    pairs = minhash_lsh_pairs(
+        uniq,
+        text_col,
+        "doc_key",
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+    )
+    components = connected_components(
+        uniq.select("doc_key"), pairs, node_col="doc_key"
+    )
+    reps = components.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias("doc_key")
+    )
+    kept = uniq.join(reps, "doc_key", "left_semi")
+    return {
+        "clean": clean,
+        "uniq": uniq,
+        "pairs": pairs,
+        "components": components,
+        "kept": kept,
+    }
+
+
+def run_training_export(
+    spark: SparkSession,
+    extracted_path: str,
+    out_dir: str,
+    text_col: str = "text",
+    url_col: str = "url",
+    min_quality: float = 0.35,
+    jaccard_threshold: float = 0.7,
+    partition_col: str | None = "bucket",
+) -> dict:
+    """Job wrapper: read the extracted table, run the export plan, write the
+    kept set partitioned by the resume bucket, report per-stage counts.
+    Counts are read off the written output where possible so the expensive
+    stages execute once."""
+    docs = spark.read.parquet(extracted_path)
+    stages = training_export_plan(
+        docs,
+        text_col=text_col,
+        url_col=url_col,
+        min_quality=min_quality,
+        jaccard_threshold=jaccard_threshold,
+    )
+    kept = stages["kept"]
+    writer = kept.write.mode("overwrite")
+    if partition_col and partition_col in kept.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(f"{out_dir}/training_docs")
+
+    out = spark.read.parquet(f"{out_dir}/training_docs")
+    summary = {
+        "input_rows": docs.count(),
+        "quality_pass_rows": stages["clean"].count(),
+        "exact_unique_rows": stages["uniq"].count(),
+        "near_dup_pairs": stages["pairs"].count(),
+        "kept_rows": out.count(),
+        "out_dir": out_dir,
+    }
+    stages["clean"].unpersist()
+    return summary

@@ -165,3 +165,70 @@ class TestMetricsLayer:
         ).withColumn("perplexity", F.rand(11) * 1000)
         plan = group_metrics(extracted, ["lang"])._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+def test_training_export_collapses_exact_and_near_dups(spark, tmp_path):
+    """Composed export: junk filtered by the quality gate, exact dups keep
+    one representative, near-dup cluster keeps the min-doc_key member,
+    unique docs pass through; output written partitioned and counted."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.plans.export import run_training_export
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then walks down to "
+        "the river where it finds a small boat with a red sail and a wooden "
+        "oar that somebody left behind on the muddy bank near the old mill"
+    )
+    near_base = (
+        "in the village by the mountain the baker wakes before dawn to heat "
+        "the stone oven and knead the dough for the market where the farmers "
+        "arrive with carts of apples and the children watch the pigeons"
+    )
+    near_a = near_base + " yesterday evening"
+    near_b = near_base + " yesterday morning"
+    uniq_text = (
+        "completely different content about spark physical plans and the "
+        "cost of a shuffle exchange when the build side of a join would fit "
+        "in a broadcast and the optimizer statistics are stale or missing"
+    )
+    rows = [
+        ("http://a.example/1", base, 0),       # exact-dup group
+        ("http://a.example/2", base, 0),
+        ("http://b.example/1", near_a, 1),     # near-dup pair (distinct base:
+        ("http://b.example/2", near_b, 1),     #  must not near-match group a)
+        ("http://c.example/1", uniq_text, 0),  # unique
+        ("http://d.example/1", "!!!???!!!..,,;;;!!!", 1),  # junk -> quality gate
+        ("http://e.example/1", None, 0),       # null text
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, bucket int")
+    src = str(tmp_path / "extracted")
+    df.write.partitionBy("bucket").parquet(src)
+
+    summary = run_training_export(
+        spark, src, str(tmp_path / "out"), min_quality=0.35, jaccard_threshold=0.6
+    )
+    assert summary["input_rows"] == 7
+    assert summary["quality_pass_rows"] == 5   # junk + null dropped
+    assert summary["exact_unique_rows"] == 4   # exact-dup pair collapsed
+    assert summary["near_dup_pairs"] == 1      # the near pair (exact pair already merged)
+    assert summary["kept_rows"] == 3           # one per cluster + unique
+
+    out = spark.read.parquet(str(tmp_path / "out" / "training_docs"))
+    kept_urls = {r.url for r in out.select("url").collect()}
+    # representatives are min xxhash64(url) per cluster — recompute, don't hardcode
+    def min_key(urls):
+        kd = {
+            r.url: r.k
+            for r in spark.createDataFrame([(u,) for u in urls], "url string")
+            .select("url", F.xxhash64("url").alias("k"))
+            .collect()
+        }
+        return min(urls, key=lambda u: (kd[u], u))
+
+    assert kept_urls == {
+        min_key(["http://a.example/1", "http://a.example/2"]),
+        min_key(["http://b.example/1", "http://b.example/2"]),
+        "http://c.example/1",
+    }
+    assert "bucket" in out.columns  # partition column survived the write
