@@ -1469,6 +1469,32 @@ SELECT component, count(*) AS n_docs FROM comp GROUP BY component
 """
 
 
+def training_export_summary(spark, sf):
+    """The composed training-data export (plans/export.py: quality gate →
+    exact-dedup window → MinHash-LSH near-dup pairs → connected-component
+    collapse) run over `documents`, summarized as kept-docs per lang.
+    MinHash/xxhash64 stages are Spark-native → rows-only driver check; the
+    end-to-end semantics are pytest-gated on a planted-dup fixture
+    (tests/test_pipeline.py)."""
+    from .plans.export import training_export_plan
+
+    d = t(spark, sf, "documents")
+    stages = training_export_plan(
+        d, text_col="text", url_col="doc_id", min_quality=0.2, jaccard_threshold=0.6
+    )
+    kept = stages["kept"]
+    out = (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            _r(F.avg("quality")).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+    stages["clean"].unpersist()
+    return out
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1514,6 +1540,7 @@ QUERIES = {
     "embedding_pair_topk": embedding_pair_topk,
     "customers_without_orders": customers_without_orders,
     "dup_clusters": dup_clusters,
+    "training_export_summary": training_export_summary,
     "extraction_report": extraction_report,
     "train_lm": train_lm,
     "perplexity_report": perplexity_report,
