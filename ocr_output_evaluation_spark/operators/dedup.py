@@ -420,16 +420,23 @@ def embedding_near_dup_pairs(
             for bi in range(n_bands)
         ]
     )
-    bucketed = base.select(
-        "_id", "_v", F.explode(sigs).alias("_bs")
-    ).select("_id", "_v", F.col("_bs.band").alias("_band"), F.col("_bs.sig").alias("_b"))
-    a = bucketed.select("_band", "_b", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    b = bucketed.select("_band", "_b", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-    pairs = (
+    # band shuffle carries ONLY (_band, _b, _id) — the payload-free band-join
+    # design of minhash_lsh_pairs above; vectors re-attach by two equi-joins
+    # AFTER the candidate pairs are deduped, so each embedding crosses the
+    # wire twice total instead of 2*n_bands times
+    bucketed = base.select("_id", F.explode(sigs).alias("_bs")).select(
+        "_id", F.col("_bs.band").alias("_band"), F.col("_bs.sig").alias("_b")
+    )
+    a = bucketed.select("_band", "_b", F.col("_id").alias("id_a"))
+    b = bucketed.select("_band", "_b", F.col("_id").alias("id_b"))
+    cand = (
         a.join(b, ["_band", "_b"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = cand.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
+    ).join(base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")), "id_b")
     return (
         pairs.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)

@@ -108,12 +108,30 @@ def brute_force_top_k_np(
     )
 
 
+def corpus_dim(df: DataFrame, vec_col: str) -> int:
+    """Modal embedding dimension of the corpus (deterministic tiebreak:
+    smallest modal size wins). One cheap size-only aggregation job; callers
+    that know their dimension should pass it explicitly instead."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("_d"))
+        .filter(F.col("_d") > 0)
+        .groupBy("_d")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("_d").asc())
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"no non-empty vectors in column {vec_col!r}")
+    return row._d
+
+
 def pairwise_top_k_np(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 50,
     n_blocks: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact global top-k most-similar pairs by cosine — the all-pairs analog
     of ``brute_force_top_k_np`` (reference analog: the pairwise "challenging
@@ -133,14 +151,25 @@ def pairwise_top_k_np(
 
     NULL / wrong-dimension / zero-norm vectors drop out (no scoreable
     cosine), matching the NaN->drop semantics of the query-vector paths.
+    "Wrong-dimension" is judged against `dim` — pass it when known, else it
+    is inferred once as the CORPUS-modal size (corpus_dim), never per
+    group: a per-group inference would let one corrupt longer vector drop
+    every valid vector co-grouped with it, and would make inclusion depend
+    on block assignment.
     -> (id_a, id_b, cosine) with id_a < id_b, ordered cosine desc with
     (id_a, id_b) tiebreak, unrounded ordering — round at the call site.
     """
+    if dim is None:
+        dim = corpus_dim(df, vec_col)
     blocked = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_b"),
-    ).filter(F.col("_v").isNotNull())
+    ).filter(
+        # prune NULL / wrong-dim rows JVM-side so they never cross the Arrow
+        # channel (pack() keeps the same checks as defense in depth)
+        F.col("_v").isNotNull() & (F.size(F.col("_v")) == dim)
+    )
     exploded = blocked.select(
         "_id",
         "_v",
@@ -166,10 +195,6 @@ def pairwise_top_k_np(
 
     def _pairs(key, pdf):
         ba, bb = key
-        dims = {len(v) for v in pdf["_v"] if v is not None}
-        if not dims:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-        dim = max(dims)
 
         def pack(rows: pd.DataFrame):
             good = [

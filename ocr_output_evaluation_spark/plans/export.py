@@ -20,8 +20,12 @@ Scale design:
   bounded buckets), NOT the O(n^2) exact-Jaccard path; the pair set feeds
   hash-min connected components and only cluster representatives
   (component == own key) survive.
-- every stage stays a lazy DataFrame; the one persist is the quality-passed
-  frame, read by the pair stage, the component stage, and the final join.
+- execution model: `training_export_plan` is NOT free to call — the
+  connected-components stage runs Spark jobs eagerly at plan-build time
+  (its convergence loop needs actions), and TWO frames come back persisted
+  (`clean` and `pairs`; both listed in the returned ``_persisted`` entry —
+  callers unpersist them once their counts/joins are done). The other
+  returned frames are lazy.
 """
 
 from __future__ import annotations
@@ -45,12 +49,14 @@ def training_export_plan(
 ) -> dict:
     """Build the export lineage over an extracted-documents frame.
 
-    Returns the dict of stage frames (all lazy except `clean`, which is
-    persisted because three downstream stages consume it):
-    ``{"clean", "uniq", "pairs", "components", "kept"}`` — `kept` is the
-    final training set: quality-passed, exact-deduped, one representative
-    per near-dup cluster (the min doc_key, i.e. stable across runs and
-    cluster sizes)."""
+    Returns the dict of stage frames ``{"clean", "uniq", "pairs",
+    "components", "kept", "_persisted"}`` — `kept` is the final training
+    set: quality-passed, exact-deduped, one representative per near-dup
+    cluster (the min doc_key, i.e. stable across runs and cluster sizes).
+    NOTE: the components stage executes eagerly here (iterative fixpoint);
+    `clean` and `pairs` come back persisted — unpersist the frames in
+    ``_persisted`` when done (run_training_export / the registered query
+    do)."""
     key = F.xxhash64(F.col(url_col)).alias("doc_key")
     clean = (
         docs.filter(
@@ -62,15 +68,29 @@ def training_export_plan(
         .persist()
     )
 
-    # exact dedup: sha256 of the text; min url-hash wins (deterministic)
+    # exact dedup, two hash-partitioned windows (sha256 keys are uniform —
+    # no skew):
+    #  1. one row per doc_key: the graph stages key nodes on doc_key, so a
+    #     url appearing twice (re-crawl snapshots) or an xxhash64 collision
+    #     must not put two rows behind one node — that would merge unrelated
+    #     near-dup clusters through the shared key and make the final
+    #     left_semi keep/drop both rows together;
+    #  2. one row per text sha256: min doc_key wins (deterministic).
     sha = F.sha2(F.col(text_col), 256)
-    w = W.partitionBy(sha).orderBy(F.col("doc_key").asc(), F.col(url_col).asc())
+    w_key = W.partitionBy("doc_key").orderBy(sha.asc(), F.col(url_col).asc())
+    w_sha = W.partitionBy(sha).orderBy(F.col("doc_key").asc(), F.col(url_col).asc())
     uniq = (
-        clean.withColumn("_rn", F.row_number().over(w))
+        clean.withColumn("_rn", F.row_number().over(w_key))
+        .filter(F.col("_rn") == 1)
+        .withColumn("_rn", F.row_number().over(w_sha))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
 
+    # cache=False: the signature frame would be a hidden persist no caller
+    # can free (dedup.py docstring warns about it); instead persist the much
+    # smaller verified-pairs frame, which both the component stage and the
+    # caller's pair count consume
     pairs = minhash_lsh_pairs(
         uniq,
         text_col,
@@ -79,7 +99,8 @@ def training_export_plan(
         bands=bands,
         shingle_n=shingle_n,
         jaccard_threshold=jaccard_threshold,
-    )
+        cache=False,
+    ).persist()
     components = connected_components(
         uniq.select("doc_key"), pairs, node_col="doc_key"
     )
@@ -93,6 +114,7 @@ def training_export_plan(
         "pairs": pairs,
         "components": components,
         "kept": kept,
+        "_persisted": [clean, pairs],
     }
 
 
@@ -133,5 +155,6 @@ def run_training_export(
         "kept_rows": out.count(),
         "out_dir": out_dir,
     }
-    stages["clean"].unpersist()
+    for frame in stages["_persisted"]:
+        frame.unpersist()
     return summary

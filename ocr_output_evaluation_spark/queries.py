@@ -1490,8 +1490,13 @@ def training_export_summary(spark, sf):
             _r(F.avg("quality")).alias("avg_quality"),
         )
         .orderBy("lang")
+        # materialize BEFORE releasing the stage caches: the driver collects
+        # the returned frame after this function exits, and unpersisting
+        # first would recompute the quality gate + dedup windows uncached
+        .localCheckpoint(eager=True)
     )
-    stages["clean"].unpersist()
+    for frame in stages["_persisted"]:
+        frame.unpersist()
     return out
 
 

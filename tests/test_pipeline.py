@@ -232,3 +232,29 @@ def test_training_export_collapses_exact_and_near_dups(spark, tmp_path):
         "http://c.example/1",
     }
     assert "bucket" in out.columns  # partition column survived the write
+
+
+def test_training_export_same_url_different_text_keeps_one(spark, tmp_path):
+    """Review regression: doc identity is xxhash64(url), so two rows sharing
+    a url (re-crawl snapshots with different text) must collapse to ONE
+    graph node before the near-dup stages — not merge clusters or
+    double-keep through the left_semi."""
+    from ocr_output_evaluation_spark.plans.export import run_training_export
+
+    t1 = (
+        "first snapshot of the page with a long enough body of text to pass "
+        "the quality gate including plenty of common stopwords that the "
+        "scorer wants to see in a natural language document overall"
+    )
+    t2 = t1.replace("first", "second").replace("overall", "entirely")
+    rows = [("http://same.example/page", t1, 0), ("http://same.example/page", t2, 0)]
+    df = spark.createDataFrame(rows, "url string, text string, bucket int")
+    src = str(tmp_path / "extracted")
+    df.write.partitionBy("bucket").parquet(src)
+
+    summary = run_training_export(
+        spark, src, str(tmp_path / "out"), min_quality=0.35, jaccard_threshold=0.6
+    )
+    assert summary["quality_pass_rows"] == 2
+    assert summary["exact_unique_rows"] == 1  # one row per doc_key survives
+    assert summary["kept_rows"] == 1
