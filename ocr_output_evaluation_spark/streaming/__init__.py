@@ -1,12 +1,16 @@
 from .pipeline import (
+    dedup_within_watermark,
     read_web_pages_stream,
     running_lang_totals,
+    stream_dedup_extraction,
     stream_extraction,
     windowed_lang_counts,
 )
 
 __all__ = [
+    "dedup_within_watermark",
     "read_web_pages_stream",
+    "stream_dedup_extraction",
     "stream_extraction",
     "windowed_lang_counts",
     "running_lang_totals",

@@ -76,6 +76,72 @@ def stream_extraction(
     return writer.start()
 
 
+def dedup_within_watermark(
+    extracted: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop arriving documents whose extracted text
+    (sha256) was already seen within the event-time watermark.
+
+    Scale design: a plain streaming ``dropDuplicates`` would grow its state
+    forever at crawl scale; ``dropDuplicatesWithinWatermark`` bounds state to
+    the watermark horizon — the right contract for a crawl feed, where
+    same-content re-fetches cluster in time. Cross-horizon (historical)
+    dedup stays the batch export's job (plans/export.py), exactly like the
+    manifest-vs-checkpoint split between the batch and streaming pipelines.
+
+    Error rows carry a NULL text_sha256; deduping on NULL would collapse
+    every failed extraction into one surviving row, so the dedup key falls
+    back to the url for them (error rows all pass through)."""
+    keyed = extracted.withColumn(
+        "_dedup_key",
+        F.coalesce(F.col("text_sha256"), F.concat(F.lit("err:"), F.col("url"))),
+    )
+    return (
+        keyed.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
+    )
+
+
+def stream_dedup_extraction(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Incremental extract-and-dedup: the stream_extraction plan with the
+    watermarked exact-dedup stage before the sink — the streaming twin of
+    the export pipeline's exact-dedup window."""
+    pages = read_web_pages_stream(spark, source_dir)
+    extracted = (
+        pages.select("url", "warc_ts", "lang", "html")
+        .withColumn("x", extract_udf(F.col("html")))
+        .select(
+            "url",
+            domain_of("url").alias("domain"),
+            "warc_ts",
+            "lang",
+            F.col("x.extracted_text").alias("extracted_text"),
+            F.col("x.text_sha256").alias("text_sha256"),
+            F.col("x.is_pdf").alias("is_pdf"),
+            F.col("x.error").alias("error"),
+        )
+    )
+    deduped = dedup_within_watermark(extracted, watermark=watermark)
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_lang_counts(
     pages: DataFrame,
     window: str = "1 hour",

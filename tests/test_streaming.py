@@ -112,3 +112,41 @@ def test_running_lang_totals_stateful(spark, source_dir, tmp_path):
     )
     want = {r.lang: (r.n, r.c) for r in batch}
     assert final == want
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Watermarked streaming exact dedup: same extracted content arriving
+    under different urls within the watermark collapses to one row; error
+    rows (NULL sha) all pass through (url-fallback dedup key)."""
+    from datetime import datetime
+
+    from ocr_output_evaluation_spark.schema import WEB_PAGES
+    from ocr_output_evaluation_spark.streaming import stream_dedup_extraction
+
+    pdf = web_pages_pdf(8)
+    good = pdf[pdf.html.map(lambda h: h is not None and len(h) > 200)].reset_index(drop=True)
+    html_a, html_b = bytes(good.iloc[0].html), bytes(good.iloc[1].html)
+    t0 = datetime(2024, 5, 1, 12, 0, 0)
+    t1 = datetime(2024, 5, 1, 12, 30, 0)  # within the 2h watermark of t0
+    rows = [
+        ("http://dup.example/1", t0, html_a, None, "en"),
+        ("http://dup.example/2", t0, html_a, None, "en"),   # same content
+        ("http://dup.example/3", t1, html_a, None, "en"),   # same, 30min later
+        ("http://uniq.example/1", t0, html_b, None, "en"),
+        ("http://err.example/1", t0, b"", None, "en"),      # error rows: both
+        ("http://err.example/2", t0, b"", None, "en"),      # must survive
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, WEB_PAGES).coalesce(1).write.parquet(src)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_dedup_extraction(spark, src, out, ckpt)
+    q.awaitTermination()
+
+    res = spark.read.parquet(out).collect()
+    ok = [r for r in res if r.error is None]
+    errs = [r for r in res if r.error is not None]
+    assert len(errs) == 2, "error rows must not collapse on NULL sha"
+    shas = [r.text_sha256 for r in ok]
+    assert len(shas) == len(set(shas)) == 2  # html_a once, html_b once
+    assert all(u.startswith(("http://dup.", "http://uniq.")) for u in {r.url for r in ok})
