@@ -52,6 +52,32 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed-table sink: the co-located-join layout for the big
+    fact-fact joins (SURVEY.md §4.1 partition pruning row; Iceberg analog:
+    ``bucket(n, col)`` partition transform). Two tables bucketed on the join
+    key with the same bucket count join WITHOUT any shuffle exchange — at
+    100 TB that turns the orders⋈lineitem class of joins from the dominant
+    shuffle into a map-side zip of matching buckets (pinned by
+    tests/test_plans.py::test_bucketed_join_no_shuffle). ``sort_cols``
+    additionally pre-sorts within buckets so sort-merge joins skip their
+    sort. Parquet-backed with an explicit ``path``; bucketing metadata lives
+    in the session catalog (saveAsTable — plain .parquet() paths cannot
+    carry it)."""
+    w = df.write.mode("overwrite").format("parquet").option("path", path)
+    w = w.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     """S6: human-facing CSV sink; small outputs coalesce to one file."""
     out = df.coalesce(1) if single_file else df

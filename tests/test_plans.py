@@ -206,3 +206,47 @@ def test_pairwise_topk_single_shuffle_then_local_topk(spark, sf_dir):
     assert n_nodes(plan, "TakeOrderedAndProject") == 1
     assert n_nodes(plan, "Sort") <= 1  # only the groupBy-keys sort for applyInPandas
     assert n_shuffles(plan) == 1
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO shuffle exchanges (the 100 TB fact-fact join layout) —
+    and the same join over plain parquet must shuffle, proving the bucketing
+    (not the data size) removed the exchanges."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.sources.io import write_bucketed_table
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(
+            o, "orders_b", ["o_orderkey"], 8, str(tmp_path / "ob"), ["o_orderkey"]
+        )
+        write_bucketed_table(
+            l, "lineitem_b", ["l_orderkey"], 8, str(tmp_path / "lb"), ["l_orderkey"]
+        )
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        plan = plan_of(joined)
+        assert n_nodes(plan, "SortMergeJoin") == 1
+        # the ONLY exchange allowed is the final 1-key aggregation
+        assert n_shuffles(plan) == 1, plan
+
+        plain = l.join(o, l.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        assert n_shuffles(plan_of(plain)) == 3  # both join sides + the agg
+
+        # same result either way
+        a = {(r.o_orderpriority, round(r.qty, 2)) for r in joined.collect()}
+        b = {(r.o_orderpriority, round(r.qty, 2)) for r in plain.collect()}
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
