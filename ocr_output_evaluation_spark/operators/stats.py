@@ -120,3 +120,38 @@ def group_stats(
     if with_validity:
         aggs += validity_class_aggs(value_col, prefix)
     return df.groupBy(*keys).agg(*aggs)
+
+
+def approx_group_stats(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    distinct_cols: list[str] | None = None,
+    pcts=PCTS,
+    accuracy: int = 10000,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Sketch-based grouped stats — the 100 TB alternate to group_stats.
+
+    Exact percentiles (F.percentile) shuffle every raw value to its group;
+    at corpus scale the sketches are the default: percentile_approx
+    (KLL-style, mergeable, error <= 1/accuracy of rank) and
+    approx_count_distinct (HyperLogLog++, relative stddev `rsd`), both
+    partial+final mergeable so map-side combine still applies.
+
+    NOT oracle-checkable and NEVER fed to the driver gate or the manifest
+    (CLAUDE.md invariant): sketch outputs are engine-specific. Accuracy is
+    pinned by tolerance tests against the exact forms instead
+    (tests/test_stats_parity.py)."""
+    aggs = [
+        F.count(F.col(value_col)).alias("n"),
+        *[
+            F.percentile_approx(F.col(value_col), float(p), accuracy).alias(
+                f"approx_p{int(p * 100)}"
+            )
+            for p in pcts
+        ],
+    ]
+    for c in distinct_cols or []:
+        aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"approx_nd_{c}"))
+    return df.groupBy(*keys).agg(*aggs)

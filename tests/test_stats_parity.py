@@ -238,3 +238,38 @@ class TestPerplexity:
         good = score_ppl_py("the quick brown fox", "en", lm_dict)
         bad = score_ppl_py("shan shui feng yue tian", "en", lm_dict)
         assert good < bad
+
+
+def test_approx_group_stats_within_tolerance(spark, sf_dir):
+    """Sketch stats (percentile_approx KLL, approx_count_distinct HLL++)
+    must track the exact forms within their documented error bounds — the
+    scale-path contract. Sketches never feed the oracle gate (CLAUDE.md)."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.operators.stats import approx_group_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = approx_group_stats(
+        li, ["l_returnflag"], "l_extendedprice", distinct_cols=["l_orderkey"]
+    ).collect()
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile(F.col("l_extendedprice"), F.lit(p)).alias(f"p{int(p*100)}")
+                for p in (0.10, 0.25, 0.75, 0.90, 0.95)
+            ],
+            F.countDistinct("l_orderkey").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    ex = {r.l_returnflag: r for r in exact}
+    assert len(approx) == len(exact) > 0
+    for a in approx:
+        e = ex[a.l_returnflag]
+        for p in (10, 25, 75, 90, 95):
+            got, want = getattr(a, f"approx_p{p}"), getattr(e, f"p{p}")
+            # rank error <= n/accuracy; translate to a loose value tolerance
+            assert abs(got - want) / max(abs(want), 1e-9) < 0.05, (p, got, want)
+        assert abs(a.approx_nd_l_orderkey - e.nd) / e.nd < 0.08  # rsd=0.02, 4 sigma
