@@ -15,6 +15,8 @@ Sandbox (same code path, local master picked by session.get_spark):
 Subcommands:
     extract   resumable bucketed extraction only
     quality   full EP1 chain: extraction -> doc metrics -> group rollups
+    export    training-data export over an extracted table: quality gate ->
+              exact dedup -> near-dup cluster collapse -> partitioned write
     fixtures  materialize the deterministic synthetic dataset (for dry runs)
 """
 
@@ -55,6 +57,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma list of single-key rollups")
     _add_common(q)
 
+    xp = sub.add_parser("export", help="training-data export (dedup + quality)")
+    xp.add_argument("--extracted", required=True,
+                    help="extracted-documents table (output of `extract`)")
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--min-quality", type=float, default=0.35)
+    xp.add_argument("--jaccard-threshold", type=float, default=0.7)
+    xp.add_argument("--text-col", default="extracted_text",
+                    help="text column of the input (the extract job emits "
+                         "`extracted_text`; raw web_pages tables use `text`)")
+    xp.add_argument("--url-col", default="url")
+    _add_common(xp)
+
     fx = sub.add_parser("fixtures", help="materialize synthetic dataset")
     fx.add_argument("--out", required=True)
     fx.add_argument("--n-pages", type=int, default=10000)
@@ -93,6 +107,18 @@ def main(argv: list[str] | None = None) -> int:
             args.out,
             n_buckets=args.n_buckets,
             group_keys=tuple((k,) for k in args.group_keys.split(",") if k),
+        )
+    elif args.cmd == "export":
+        from .plans.export import run_training_export
+
+        res = run_training_export(
+            spark,
+            args.extracted,
+            args.out,
+            text_col=args.text_col,
+            url_col=args.url_col,
+            min_quality=args.min_quality,
+            jaccard_threshold=args.jaccard_threshold,
         )
     else:
         from .fixtures.generate import write_fixture_set
