@@ -52,6 +52,34 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines source (the common interchange format for crawl/document
+    dumps). Always pass a schema at scale — schema inference is a full extra
+    pass over the data; with a schema the read is single-pass and corrupt
+    lines land in NULL columns instead of failing the job (PERMISSIVE mode,
+    Spark default)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one JSON object per line, partition-parallel).
+    Binary columns don't round-trip through JSON — base64 or drop them
+    first; the write fails fast on BinaryType rather than silently
+    corrupting."""
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.BinaryType):
+            raise ValueError(
+                f"write_jsonl: column {f.name!r} is BinaryType — base64-encode "
+                "or drop binary columns before a JSON sink"
+            )
+    df.write.mode("overwrite").json(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -140,3 +140,34 @@ def test_csv_dim_roundtrip(spark, tmp_path):
     back = read_csv_dim(spark, p, ["domain", "category"])
     assert back.columns == ["domain", "category"]
     assert {(r.domain, r.category) for r in back.collect()} == {("d1", "news"), ("d2", "blog")}
+
+
+def test_jsonl_roundtrip_and_binary_guard(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from ocr_output_evaluation_spark.sources.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [("http://a/1", "hello", 5), ("http://a/2", None, 0)],
+        "url string, text string, n_chars int",
+    )
+    p = str(tmp_path / "docs.jsonl")
+    write_jsonl(df, p)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    back = read_jsonl(spark, p, schema)
+    assert {(r.url, r.text, r.n_chars) for r in back.collect()} == {
+        ("http://a/1", "hello", 5),
+        ("http://a/2", None, 0),
+    }
+
+    binary_df = spark.createDataFrame([("u", bytearray(b"\x00"))], "url string, html binary")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="BinaryType"):
+        write_jsonl(binary_df, str(tmp_path / "bad.jsonl"))
