@@ -288,3 +288,44 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iter=2)
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Randomized (seeded) graph: the distributed hash-min result must equal
+    a single-process union-find on the same edges — components, membership,
+    and representative (min id) all identical."""
+    import numpy as np
+
+    from ocr_output_evaluation_spark.operators.components import connected_components
+
+    rng = np.random.RandomState(23)
+    n = 200
+    edges = {tuple(sorted((int(a), int(b))))
+             for a, b in rng.randint(0, n, size=(300, 2)) if a != b}
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: component = min node id reachable
+    want = {}
+    roots = {}
+    for x in range(n):
+        roots.setdefault(find(x), []).append(x)
+    for members in roots.values():
+        rep = min(members)
+        for m in members:
+            want[m] = rep
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(nodes, edf, max_iter=50).collect()}
+    assert got == want
