@@ -396,6 +396,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     seed: int = 42,
     n_bands: int = 4,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by cosine >= threshold, candidate-generated by BANDED
     random-hyperplane LSH (n_bands independent signature tables of n_planes
@@ -405,7 +406,10 @@ def embedding_near_dup_pairs(
     are rescued by the others (single-table LSH measurably lost
     same-cluster pairs at theta ~ 1e-3). Exact cosine verifies candidates.
     -> (id_a, id_b, cosine). Pairs colliding in several bands are deduped
-    BEFORE the cosine so each pair's dot product is computed once."""
+    BEFORE the cosine so each pair's dot product is computed once. Buckets
+    larger than max_bucket are dropped (degenerate-bucket guard — the
+    observable recall tradeoff that keeps hot directions from going
+    quadratic; a bucket that hot is boilerplate, not near-dup signal)."""
     from .similarity import cosine_expr, hyperplane_signature
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -427,6 +431,13 @@ def embedding_near_dup_pairs(
     bucketed = base.select("_id", F.explode(sigs).alias("_bs")).select(
         "_id", F.col("_bs.band").alias("_band"), F.col("_bs.sig").alias("_b")
     )
+    # Degenerate-bucket guard (same shape as minhash_lsh_pairs above): a
+    # bucket every zero/near-identical-direction vector hashes into would go
+    # quadratic before the cosine filter ever runs — drop over-cap buckets
+    # via a broadcast anti-join of the (tiny) bad-bucket list.
+    bucket_sizes = bucketed.groupBy("_band", "_b").agg(F.count(F.lit(1)).alias("bn"))
+    bad = bucket_sizes.filter(F.col("bn") > max_bucket).select("_band", "_b")
+    bucketed = bucketed.join(F.broadcast(bad), ["_band", "_b"], "left_anti")
     a = bucketed.select("_band", "_b", F.col("_id").alias("id_a"))
     b = bucketed.select("_band", "_b", F.col("_id").alias("id_b"))
     cand = (

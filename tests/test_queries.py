@@ -329,3 +329,31 @@ def test_connected_components_random_graph_matches_union_find(spark):
     edf = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
     got = {r.id: r.component for r in connected_components(nodes, edf, max_iter=50).collect()}
     assert got == want
+
+
+def test_embedding_near_dup_hot_bucket_guard(spark):
+    """A direction shared by > max_bucket vectors must be dropped before the
+    quadratic candidate join (degenerate-bucket guard), while normal small
+    clusters in the same corpus still surface."""
+    import numpy as np
+
+    from ocr_output_evaluation_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(5)
+    hot = rng.randn(8)
+    small = rng.randn(8)
+    rows = [(i, (hot * (1.0 + 1e-6 * i)).tolist()) for i in range(30)]  # hot direction
+    rows += [(100 + j, (small + rng.randn(8) * 1e-3).tolist()) for j in range(3)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    guarded = embedding_near_dup_pairs(
+        df, "v", "id", threshold=0.999, n_planes=8, seed=3, max_bucket=10
+    ).collect()
+    ids = {r.id_a for r in guarded} | {r.id_b for r in guarded}
+    assert ids == {100, 101, 102}  # hot direction dropped, small cluster kept
+    assert len(guarded) == 3  # C(3,2)
+
+    unguarded = embedding_near_dup_pairs(
+        df, "v", "id", threshold=0.999, n_planes=8, seed=3, max_bucket=10_000
+    )
+    assert unguarded.count() == 3 + 30 * 29 // 2  # cap off -> hot pairs appear

@@ -150,3 +150,37 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     shas = [r.text_sha256 for r in ok]
     assert len(shas) == len(set(shas)) == 2  # html_a once, html_b once
     assert all(u.startswith(("http://dup.", "http://uniq.")) for u in {r.url for r in ok})
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    """Dedup state lives in the checkpoint: a duplicate of batch-1 content
+    arriving after a RESTART (same event-time horizon) must still be
+    dropped — exactly-once dedup across stream restarts."""
+    from datetime import datetime
+
+    from ocr_output_evaluation_spark.schema import WEB_PAGES
+    from ocr_output_evaluation_spark.streaming import stream_dedup_extraction
+
+    pdf = web_pages_pdf(8)
+    good = pdf[pdf.html.map(lambda h: h is not None and len(h) > 200)].reset_index(drop=True)
+    html_a = bytes(good.iloc[0].html)
+    t0 = datetime(2024, 5, 1, 12, 0, 0)
+    t1 = datetime(2024, 5, 1, 12, 45, 0)  # later but within the 2h watermark
+
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("http://r.example/1", t0, html_a, None, "en")], WEB_PAGES
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_dedup_extraction(spark, src, out, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 1
+
+    # restart: same content, new url, new file — state must remember the sha
+    spark.createDataFrame(
+        [("http://r.example/2", t1, html_a, None, "en")], WEB_PAGES
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_dedup_extraction(spark, src, out, ckpt)
+    q2.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].url == "http://r.example/1"
