@@ -1500,6 +1500,40 @@ def training_export_summary(spark, sf):
     return out
 
 
+def parts_above_type_avg(spark, sf):
+    """Correlated-subquery semantics ('rows above their group's average') in
+    the scale-idiomatic Spark form: one window average over the group key —
+    a single hash-partitioned shuffle instead of the self-join a literal
+    correlated subquery decorrelates into. The oracle states the same
+    predicate as a window CTE; float guard: prices compared at 1.02x the
+    average, rounded columns aliased identically."""
+    w = W.partitionBy("p_type")
+    p = t(spark, sf, "part").withColumn("_avg", F.avg("p_retailprice").over(w))
+    return (
+        p.filter(F.col("p_retailprice") > 1.02 * F.col("_avg"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _r(F.avg("p_retailprice"), 2).alias("avg_price_above"),
+        )
+    )
+
+
+ORACLE_PARTS_ABOVE_TYPE_AVG = """
+WITH t AS (
+  SELECT p_type, p_retailprice,
+         avg(p_retailprice) OVER (PARTITION BY p_type) AS a
+  FROM part
+)
+SELECT p_type,
+       count(*)                     AS n_parts,
+       round(avg(p_retailprice), 2) AS avg_price_above
+FROM t
+WHERE p_retailprice > 1.02 * a
+GROUP BY p_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1546,6 +1580,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "dup_clusters": dup_clusters,
     "training_export_summary": training_export_summary,
+    "parts_above_type_avg": parts_above_type_avg,
     "extraction_report": extraction_report,
     "train_lm": train_lm,
     "perplexity_report": perplexity_report,
@@ -1594,6 +1629,7 @@ ORACLES = {
     "embedding_pair_topk": ORACLE_EMBEDDING_PAIR_TOPK,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "dup_clusters": ORACLE_DUP_CLUSTERS,
+    "parts_above_type_avg": ORACLE_PARTS_ABOVE_TYPE_AVG,
     # minhash_pairs / simhash_pairs / lsh_ann_topk: xxhash64-based — Spark-only,
     # rows-only check. extraction_report / perplexity_report: fixture+UDF
     # pipelines — byte-identity and parity are pytest-gated instead.
