@@ -60,31 +60,49 @@ def connected_components(
     )
 
     labels = n.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_min"))
-            .withColumnRenamed("a", "id")
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component")).alias(
-                    "_changed"
-                ),
+    # Each round's localCheckpoint pins a full labels frame in executor
+    # storage; without releasing the previous round's copy, up to max_iter
+    # label frames stay resident (ADVICE r1). Keep a one-round trailing
+    # handle and unpersist it once the new round has materialized (eager
+    # checkpoint above), and release sym before returning. NOTE:
+    # localCheckpoint is not fault-tolerant — on a real cluster a lost
+    # executor loses checkpointed blocks; a long 100 TB run should set a
+    # reliable `spark.sparkContext.setCheckpointDir` and use .checkpoint()
+    # instead (one-line swap here).
+    prev = labels
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.b == labels.id)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_min"))
+                .withColumnRenamed("a", "id")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    ).alias("component"),
+                    (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component")).alias(
+                        "_changed"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.filter(F.col("_changed")).count()
+            if prev is not None:
+                prev.unpersist()
+            labels = new_labels.drop("_changed")
+            prev = new_labels
+            if changed == 0:
+                # the returned frame derives from new_labels — keep its blocks
+                prev = None
+                return labels
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        sym.unpersist()
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

@@ -111,18 +111,36 @@ def brute_force_top_k_np(
 def corpus_dim(df: DataFrame, vec_col: str) -> int:
     """Modal embedding dimension of the corpus (deterministic tiebreak:
     smallest modal size wins). One cheap size-only aggregation job; callers
-    that know their dimension should pass it explicitly instead."""
-    row = (
+    that know their dimension should pass it explicitly instead.
+
+    Observability (ADVICE r1): on a corpus where corrupt vectors outnumber
+    valid ones the mode silently selects the corrupt population and every
+    valid vector is dropped downstream — so the size histogram is tiny and
+    collected whole, and a warning reports the dropped fraction whenever the
+    modal size covers < 90% of non-empty vectors."""
+    rows = (
         df.select(F.size(F.col(vec_col)).alias("_d"))
         .filter(F.col("_d") > 0)
         .groupBy("_d")
         .count()
         .orderBy(F.col("count").desc(), F.col("_d").asc())
-        .first()
+        .collect()
     )
-    if row is None:
+    if not rows:
         raise ValueError(f"no non-empty vectors in column {vec_col!r}")
-    return row._d
+    total = sum(r["count"] for r in rows)
+    modal = rows[0]
+    if modal["count"] < 0.9 * total:
+        import warnings
+
+        warnings.warn(
+            f"corpus_dim({vec_col!r}): inferred dim={modal._d} covers only "
+            f"{modal['count']}/{total} non-empty vectors; "
+            f"{total - modal['count']} rows will be dropped by the size filter "
+            f"— pass dim explicitly if this is not intended",
+            stacklevel=2,
+        )
+    return modal._d
 
 
 def pairwise_top_k_np(
@@ -271,12 +289,6 @@ def hyperplane_signature(vec: Column, n_planes: int = 12, seed: int = 42) -> Col
         )
         sig = sig + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig
-
-
-def _signature_py(vec, n_planes: int, seed: int) -> int:
-    """Driver-side twin of hyperplane_signature for the query vector —
-    computed via a 1-row DataFrame to guarantee identical hashing."""
-    raise NotImplementedError  # replaced by query_bucket() below
 
 
 def query_bucket(spark, query: list[float], n_planes: int = 12, seed: int = 42) -> int:

@@ -92,10 +92,24 @@ def dedup_within_watermark(
 
     Error rows carry a NULL text_sha256; deduping on NULL would collapse
     every failed extraction into one surviving row, so the dedup key falls
-    back to the url for them (error rows all pass through)."""
+    back to (url, warc_ts) for them — i.e. error rows dedup per url+fetch
+    within the watermark rather than passing a flood of identical retries.
+    The url is NULL-guarded (ADVICE r1): `concat` is NULL-absorbing, and an
+    unguarded NULL url would collapse every NULL-url error row into one.
+    With the guard, NULL-url errors still dedup per warc_ts; rows NULL in
+    BOTH url and warc_ts are indistinguishable to any streaming key — the
+    source contract (schema.WEB_PAGES) requires url NOT NULL upstream."""
     keyed = extracted.withColumn(
         "_dedup_key",
-        F.coalesce(F.col("text_sha256"), F.concat(F.lit("err:"), F.col("url"))),
+        F.coalesce(
+            F.col("text_sha256"),
+            F.concat(
+                F.lit("err:"),
+                F.coalesce(F.col("url"), F.lit("\0nourl")),
+                F.lit(":"),
+                F.coalesce(F.col("warc_ts").cast("string"), F.lit("\0nots")),
+            ),
+        ),
     )
     return (
         keyed.withWatermark("warc_ts", watermark)
