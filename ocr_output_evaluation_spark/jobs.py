@@ -17,6 +17,8 @@ Subcommands:
     quality   full EP1 chain: extraction -> doc metrics -> group rollups
     export    training-data export over an extracted table: quality gate ->
               exact dedup -> near-dup cluster collapse -> partitioned write
+    ann-index build the materialized ANN index (LSH bucketed table and/or
+              IVF cell-partitioned layout) over an embeddings table
     fixtures  materialize the deterministic synthetic dataset (for dry runs)
 """
 
@@ -69,6 +71,21 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--url-col", default="url")
     _add_common(xp)
 
+    ann = sub.add_parser("ann-index", help="build the materialized ANN index")
+    ann.add_argument("--embeddings", required=True,
+                     help="parquet table with (id, vector) columns")
+    ann.add_argument("--vec-col", default="embedding")
+    ann.add_argument("--id-col", default="vec_id")
+    ann.add_argument("--out", required=True, help="index root directory")
+    ann.add_argument("--kind", choices=["lsh", "ivf", "both"], default="both")
+    ann.add_argument("--n-planes", type=int, default=12)
+    ann.add_argument("--n-cells", type=int, default=256)
+    ann.add_argument("--seed", type=int, default=42)
+    ann.add_argument("--lsh-buckets", type=int, default=64,
+                     help="physical bucket files for the LSH table "
+                          "(cluster: O(10^3); probes read ~13/n of them)")
+    _add_common(ann)
+
     fx = sub.add_parser("fixtures", help="materialize synthetic dataset")
     fx.add_argument("--out", required=True)
     fx.add_argument("--n-pages", type=int, default=10000)
@@ -120,6 +137,24 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             jaccard_threshold=args.jaccard_threshold,
         )
+    elif args.cmd == "ann-index":
+        from .operators.ann_index import build_ivf_index, build_lsh_index
+
+        emb = spark.read.parquet(args.embeddings)
+        res = {"out": args.out, "rows": emb.count(), "built": []}
+        if args.kind in ("lsh", "both"):
+            build_lsh_index(
+                spark, emb, args.vec_col, args.id_col,
+                name="ooe_ann_lsh", path=f"{args.out}/lsh",
+                n_planes=args.n_planes, seed=args.seed, n_buckets=args.lsh_buckets,
+            )
+            res["built"].append("lsh")
+        if args.kind in ("ivf", "both"):
+            build_ivf_index(
+                spark, emb, args.vec_col, args.id_col, path=f"{args.out}/ivf",
+                n_cells=args.n_cells, seed=args.seed,
+            )
+            res["built"].append("ivf")
     else:
         from .fixtures.generate import write_fixture_set
 

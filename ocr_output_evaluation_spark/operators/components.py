@@ -42,13 +42,14 @@ def connected_components(
     `nodes` is the full membership universe: nodes without any edge come out
     as singleton components (their own id), so every input row lands in
     exactly one cluster and cluster sizes sum to the corpus size.
+    Node ids may be any orderable scalar type (long doc ids, the export
+    plan's DECIMAL(38,0) 126-bit keys); nodes and edges must agree on it —
+    no silent cast here, a mismatch should fail loudly at analysis.
     Raises RuntimeError if not converged within max_iter (dedup graphs
     converge in a handful of rounds; hitting the cap means the input is not
     a near-dup pair set)."""
-    n = nodes.select(F.col(node_col).cast("long").alias("id")).distinct()
-    e = edges.select(
-        F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b")
-    )
+    n = nodes.select(F.col(node_col).alias("id")).distinct()
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     # materialize the symmetrized edge set once: every round joins against it,
     # and without the checkpoint each round's action would replay the
     # union+distinct shuffle (AQE re-plans per action, so cross-job stage

@@ -410,27 +410,25 @@ def embedding_near_dup_pairs(
     larger than max_bucket are dropped (degenerate-bucket guard — the
     observable recall tradeoff that keeps hot directions from going
     quadratic; a bucket that hot is boilerplate, not near-dup signal)."""
-    from .similarity import cosine_expr, hyperplane_signature
+    from .similarity import cosine_expr, hyperplane_signatures_multi
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                hyperplane_signature(
-                    F.col("_v"), n_planes=n_planes, seed=seed + 7919 * bi
-                ).alias("sig"),
-            )
-            for bi in range(n_bands)
-        ]
+    # All bands' signatures in ONE posexplode + ONE codegen hash aggregation
+    # (hyperplane_signatures_multi) instead of n_bands x n_planes interpreted
+    # F.aggregate folds per row — the same explode->agg rewrite that bought
+    # minhash 8x (VERDICT r1 item 5; bit parity with the expression form is
+    # pytest-pinned). NULL/empty vectors drop out here instead of all
+    # hashing to sig 0 in every band; they could never pass the cosine
+    # verification anyway (NULL cosine), so the pair output is unchanged.
+    seeds = tuple(seed + 7919 * bi for bi in range(n_bands))
+    sig_frame = hyperplane_signatures_multi(
+        base, "_v", "_id", n_planes=n_planes, seeds=seeds
     )
     # band shuffle carries ONLY (_band, _b, _id) — the payload-free band-join
     # design of minhash_lsh_pairs above; vectors re-attach by two equi-joins
     # AFTER the candidate pairs are deduped, so each embedding crosses the
     # wire twice total instead of 2*n_bands times
-    bucketed = base.select("_id", F.explode(sigs).alias("_bs")).select(
-        "_id", F.col("_bs.band").alias("_band"), F.col("_bs.sig").alias("_b")
-    )
+    bucketed = sig_frame.select("_id", F.posexplode("_sigs").alias("_band", "_b"))
     # Degenerate-bucket guard (same shape as minhash_lsh_pairs above): a
     # bucket every zero/near-identical-direction vector hashes into would go
     # quadratic before the cosine filter ever runs — drop over-cap buckets

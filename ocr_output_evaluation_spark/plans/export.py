@@ -11,8 +11,13 @@ tested individually (quality_score, exact-dup window, minhash_lsh_pairs,
 connected_components).
 
 Scale design:
-- doc identity is `xxhash64(url)` (64-bit): near-dup edges and components
-  carry 8-byte keys instead of url strings through every shuffle.
+- doc identity is a 126-bit packed decimal (``doc_key_expr``): xxhash64(url)
+  in the high bits, an independent-seed xxhash64 in the low 62 — so
+  near-dup edges and components carry 16-byte fixed keys instead of url
+  strings through every shuffle. 64 bits is NOT enough at the 10^12-doc
+  design point: birthday collisions there number ~27k in expectation, and
+  the one-row-per-key window below silently drops one doc per collision
+  (VERDICT r1 item 7); at 126 bits the expectation is ~3e-14.
 - exact dedup is one window over text_sha256 (hash-partitioned, no skew:
   sha256 keys are uniform) keeping the min-url-hash row — deterministic
   across cluster sizes.
@@ -32,9 +37,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from pyspark.sql.column import Column
+
 from ..functions.text import quality_score
 from ..operators.components import connected_components
 from ..operators.dedup import minhash_lsh_pairs
+
+
+def doc_key_expr(url_col: str) -> Column:
+    """126-bit document identity as DECIMAL(38,0):
+    ``xxhash64(url) * 2^62 + (xxhash64(url, 1) mod 2^62)``.
+
+    Decimal because the graph stages need one orderable, groupable scalar
+    (min-label propagation, windows, joins); 2^126 > 10^37 fits DECIMAL(38)
+    with headroom, and a collision now needs BOTH independent xxhash64
+    draws to agree. Cost: 16-byte keys through the dedup shuffles instead
+    of 8 — the price of not silently losing ~27k docs per 10^12."""
+    hi = F.xxhash64(F.col(url_col)).cast("decimal(20,0)").cast("decimal(38,0)")
+    lo = F.pmod(F.xxhash64(F.col(url_col), F.lit(1)), F.lit(2**62))
+    return hi * F.lit(2**62).cast("decimal(38,0)") + lo.cast("decimal(38,0)")
 
 
 def training_export_plan(
@@ -46,6 +67,7 @@ def training_export_plan(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
+    key_expr: Column | None = None,
 ) -> dict:
     """Build the export lineage over an extracted-documents frame.
 
@@ -56,8 +78,10 @@ def training_export_plan(
     NOTE: the components stage executes eagerly here (iterative fixpoint);
     `clean` and `pairs` come back persisted — unpersist the frames in
     ``_persisted`` when done (run_training_export / the registered query
-    do)."""
-    key = F.xxhash64(F.col(url_col)).alias("doc_key")
+    do). ``key_expr`` overrides the 126-bit default doc identity — used by
+    the collision test to inject a deliberately-narrow key and demonstrate
+    the drop mechanism the wide default prevents."""
+    key = (key_expr if key_expr is not None else doc_key_expr(url_col)).alias("doc_key")
     clean = (
         docs.filter(
             F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)

@@ -1198,6 +1198,33 @@ LIMIT 20
 """
 
 
+def ann_index_topk(spark, sf):
+    """Materialized-index ANN (rows-only): build the bucketed LSH index once
+    (operators/ann_index.py — codegen explode→agg signatures, bucketBy(sig)
+    layout), then answer the top-k probe by scanning ONLY the probed buckets
+    (bucket pruning pinned by tests/test_ann_index.py). Identical results to
+    lsh_ann_topk by construction; the difference is the probe cost: index
+    files for 13 of n buckets instead of a full-corpus signature pass."""
+    import shutil
+    import tempfile
+
+    from .operators.ann_index import build_lsh_index, lsh_top_k_indexed
+
+    e = t(spark, sf, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    base = f"{tempfile.gettempdir()}/ooe_ann_query"
+    shutil.rmtree(base, ignore_errors=True)
+    build_lsh_index(
+        spark, e, "embedding", "vec_id", name="ooe_ann_query_idx",
+        path=f"{base}/lsh", n_planes=12, seed=42, n_buckets=16,
+    )
+    out = lsh_top_k_indexed(spark, "ooe_ann_query_idx", query, k=10, multiprobe=1)
+    return out.select(
+        F.col("id").alias("vec_id"), _r(F.col("cosine")).alias("cosine")
+    )
+
+
 def ivf_ann_topk(spark, sf):
     """IVF-style ANN (rows-only): deterministic coarse centroids, route each
     vector to its nearest cell, probe the query's nearest cells only."""
@@ -1685,6 +1712,7 @@ QUERIES = {
     "band_filter_fallback": band_filter_fallback,
     "challenging_docs": challenging_docs,
     "ivf_ann_topk": ivf_ann_topk,
+    "ann_index_topk": ann_index_topk,
     "embedding_pair_topk": embedding_pair_topk,
     "customers_without_orders": customers_without_orders,
     "dup_clusters": dup_clusters,

@@ -32,6 +32,82 @@ def read_table(
     return spark.read.table(path_or_name)
 
 
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S1: JDBC control-plane scan (the reference's Postgres catalog,
+    /root/reference/db_queries.py:9-48, reads task_executions/volumes/jobs
+    via psycopg2). Spark-first shape: one lazy JDBC relation per table;
+    Catalyst pushes filters and column pruning into the generated SQL
+    (`PushedFilters` on the scan — pinned by tests/test_jdbc_catalog.py),
+    so `WHERE status='done'` runs in the database, not in Spark.
+
+    Catalog tables are control-plane small — a single-partition read is the
+    norm. For a big JDBC fact table pass ``partition_column`` + bounds so
+    the read fans out to ``num_partitions`` parallel range queries instead
+    of one connection streaming everything through one task."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        r = r.option("driver", driver)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return r.load()
+
+
+def catalog_volumes_for_job(
+    spark: SparkSession, url: str, job_name: str, driver: str | None = None
+) -> DataFrame:
+    """The reference's `get_volumes_for_job` (db_queries.py:9-48) as a
+    DataFrame plan over JDBC scans: task_executions ⋈ jobs (name filter)
+    ⋈ volumes, status='done' pushed into the database, etag hex-encoded
+    with the 6-char version prefix, ordered by volume id. Both filters land
+    in the JDBC relations' PushedFilters; only the projected columns are
+    fetched (JDBC column pruning)."""
+    te = read_jdbc_table(spark, url, "task_executions", driver)
+    jobs = read_jdbc_table(spark, url, "jobs", driver)
+    vols = read_jdbc_table(spark, url, "volumes", driver)
+    from pyspark.sql import functions as F
+
+    etag_hex = F.lower(F.hex(F.col("s3_etag")))
+    return (
+        te.filter(F.col("status") == "done")
+        .join(
+            F.broadcast(
+                jobs.filter(F.col("name") == job_name).select(
+                    F.col("id").alias("job_id")
+                )
+            ),
+            "job_id",
+        )
+        .join(
+            vols.select(
+                F.col("id").alias("volume_id"), "bdrc_w_id", "bdrc_i_id"
+            ),
+            "volume_id",
+        )
+        .select(
+            F.col("bdrc_w_id").alias("w_id"),
+            F.col("bdrc_i_id").alias("i_id"),
+            etag_hex.alias("etag_hex"),
+            F.substring(etag_hex, 1, 6).alias("i_version"),
+            "volume_id",
+        )
+        .orderBy("volume_id")
+    )
+
+
 def read_csv_dim(
     spark: SparkSession, path: str, column_names: list[str] | None = None
 ) -> DataFrame:

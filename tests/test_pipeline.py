@@ -216,12 +216,14 @@ def test_training_export_collapses_exact_and_near_dups(spark, tmp_path):
 
     out = spark.read.parquet(str(tmp_path / "out" / "training_docs"))
     kept_urls = {r.url for r in out.select("url").collect()}
-    # representatives are min xxhash64(url) per cluster — recompute, don't hardcode
+    # representatives are min doc_key per cluster — recompute, don't hardcode
     def min_key(urls):
+        from ocr_output_evaluation_spark.plans.export import doc_key_expr
+
         kd = {
             r.url: r.k
             for r in spark.createDataFrame([(u,) for u in urls], "url string")
-            .select("url", F.xxhash64("url").alias("k"))
+            .select("url", doc_key_expr("url").alias("k"))
             .collect()
         }
         return min(urls, key=lambda u: (kd[u], u))
@@ -235,9 +237,9 @@ def test_training_export_collapses_exact_and_near_dups(spark, tmp_path):
 
 
 def test_training_export_same_url_different_text_keeps_one(spark, tmp_path):
-    """Review regression: doc identity is xxhash64(url), so two rows sharing
-    a url (re-crawl snapshots with different text) must collapse to ONE
-    graph node before the near-dup stages — not merge clusters or
+    """Review regression: doc identity is doc_key_expr(url), so two rows
+    sharing a url (re-crawl snapshots with different text) must collapse to
+    ONE graph node before the near-dup stages — not merge clusters or
     double-keep through the left_semi."""
     from ocr_output_evaluation_spark.plans.export import run_training_export
 
@@ -258,3 +260,65 @@ def test_training_export_same_url_different_text_keeps_one(spark, tmp_path):
     assert summary["quality_pass_rows"] == 2
     assert summary["exact_unique_rows"] == 1  # one row per doc_key survives
     assert summary["kept_rows"] == 1
+
+
+def test_doc_key_collision_resistance(spark):
+    """VERDICT r1 item 7: 64-bit xxhash64(url) keys collide ~27k times at
+    10^12 docs and the one-row-per-key window silently drops one doc per
+    collision. (a) demonstrate the drop mechanism by injecting a
+    deliberately-narrow key; (b) show the 126-bit default key separates
+    docs the narrow key conflates and packs both independent hashes."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.plans.export import (
+        doc_key_expr,
+        training_export_plan,
+    )
+
+    # fully distinct texts (no shared shingles) so the near-dup stage cannot
+    # legitimately merge anything — only key collisions can lose docs here
+    rows = [
+        (
+            f"http://site.example/{i}",
+            " ".join(f"tok{i}x{j}" for j in range(60)),
+            0,
+        )
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, bucket int")
+
+    # (a) a 1-bit key conflates distinct urls -> the per-key window provably
+    # drops docs (this IS the old failure mode, shrunk to test scale)
+    narrow = training_export_plan(
+        df, url_col="url", min_quality=0.2, jaccard_threshold=0.95,
+        key_expr=F.pmod(F.xxhash64(F.col("url")), F.lit(2)).cast("long"),
+    )
+    n_narrow = narrow["uniq"].count()
+    for f in narrow["_persisted"]:
+        f.unpersist()
+    assert n_narrow == 2  # 8 distinct docs crushed onto 2 keys -> 6 dropped
+
+    # (b) the default 126-bit key keeps every distinct url
+    wide = training_export_plan(
+        df, url_col="url", min_quality=0.2, jaccard_threshold=0.95
+    )
+    n_wide = wide["uniq"].count()
+    kept = wide["kept"].count()
+    for f in wide["_persisted"]:
+        f.unpersist()
+    assert n_wide == 8 and kept == 8
+
+    # (c) key structure: DECIMAL(38,0) packing hi*2^62 + lo with independent
+    # seeds — reconstructable, so neither half is dead weight
+    probe = (
+        spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+        .select(
+            doc_key_expr("url").alias("k"),
+            F.xxhash64(F.col("url")).alias("h1"),
+            F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(2**62)).alias("h2"),
+        )
+        .collect()
+    )
+    assert len({r.k for r in probe}) == 8
+    for r in probe:
+        assert int(r.k) == int(r.h1) * 2**62 + int(r.h2)
