@@ -19,6 +19,8 @@ Subcommands:
               exact dedup -> near-dup cluster collapse -> partitioned write
     ann-index build the materialized ANN index (LSH bucketed table and/or
               IVF cell-partitioned layout) over an embeddings table
+    report    render the SVG report artifact set (plans/report.py — the
+              visualize.py generate_all_plots analog)
     fixtures  materialize the deterministic synthetic dataset (for dry runs)
 """
 
@@ -70,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
                          "`extracted_text`; raw web_pages tables use `text`)")
     xp.add_argument("--url-col", default="url")
     _add_common(xp)
+
+    rp = sub.add_parser("report", help="render the SVG report artifact set")
+    rp.add_argument("--sf-dir", required=True,
+                    help="table directory (e.g. /root/testdata/sf0.01)")
+    rp.add_argument("--out", required=True)
+    _add_common(rp)
 
     ann = sub.add_parser("ann-index", help="build the materialized ANN index")
     ann.add_argument("--embeddings", required=True,
@@ -137,6 +145,10 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             jaccard_threshold=args.jaccard_threshold,
         )
+    elif args.cmd == "report":
+        from .plans.report import generate_all_plots
+
+        res = generate_all_plots(spark, args.sf_dir, args.out)
     elif args.cmd == "ann-index":
         from .operators.ann_index import build_ivf_index, build_lsh_index
 

@@ -1,0 +1,330 @@
+"""Report rendering — the reference's visualization layer, Spark-first.
+
+The reference's largest file is matplotlib plotting (visualize.py, 861 LoC:
+confidence histograms visualize.py:14-56, comparison panels, the
+type×day heatmap visualize.py:728-750, generate_all_plots visualize.py:420+).
+The rebuild keeps the DATA side in the engine (value_histogram /
+event_dow_matrix / value_counts_lang are oracle-checked queries that
+aggregate distributed) and renders the ARTIFACTS here as standalone SVG —
+pure-Python string assembly, no plotting library in the container, fully
+deterministic bytes (no timestamps, no RNG) so report outputs diff cleanly
+across runs.
+
+Scale note: rendering consumes only the few-row AGGREGATED frames (20 bins,
+|event_types|×7 cells, |langs| rows) — the collect() here is the legitimate
+small-result kind; all heavy lifting stayed in the distributed queries.
+
+Design follows the project data-viz method: single-series charts carry one
+hue (sequential blue ramp for magnitude, one categorical slot for bars — no
+multi-hue categorical palette exists in this report set, so the
+palette-validator gate does not arise); marks are thin with rounded data
+ends and 2px surface gaps; identity is never color-alone (axis labels /
+direct labels); ink uses text tokens, not series colors; light & dark are
+both explicit (CSS custom properties + prefers-color-scheme inside the
+SVG); every mark carries a native <title> tooltip.
+"""
+
+from __future__ import annotations
+
+import html
+import os
+
+# Reference palette (see .claude dataviz method): categorical slot 1 blue +
+# the blue sequential ramp, each with a selected dark-mode twin.
+_LIGHT = {
+    "surface": "#fcfcfb", "ink": "#0b0b0b", "ink2": "#52514e", "grid": "#e7e6e2",
+    "series": "#2a78d6",
+}
+_DARK = {
+    "surface": "#1a1a19", "ink": "#ffffff", "ink2": "#c3c2b7", "grid": "#383835",
+    "series": "#3987e5",
+}
+_SEQ_LIGHT = [
+    "#cde2fb", "#b7d3f6", "#9ec5f4", "#86b6ef", "#6da7ec", "#5598e7", "#3987e5",
+    "#2a78d6", "#256abf", "#1c5cab", "#184f95", "#104281", "#0d366b",
+]
+# dark mode walks the same ramp from the dark end so "more" still reads as
+# "more ink against the surface"
+_SEQ_DARK = list(reversed(_SEQ_LIGHT))
+
+
+def _style() -> str:
+    seq_l = "".join(f".q{i}{{fill:{c}}}" for i, c in enumerate(_SEQ_LIGHT))
+    seq_d = "".join(f".q{i}{{fill:{c}}}" for i, c in enumerate(_SEQ_DARK))
+    return f"""<style>
+    svg{{color-scheme:light}}
+    .surface{{fill:{_LIGHT['surface']}}} .ink{{fill:{_LIGHT['ink']}}}
+    .ink2{{fill:{_LIGHT['ink2']}}} .grid{{stroke:{_LIGHT['grid']}}}
+    .series{{fill:{_LIGHT['series']}}} .vline{{stroke:{_LIGHT['ink2']}}}
+    {seq_l}
+    text{{font-family:system-ui,-apple-system,'Segoe UI',sans-serif}}
+    @media (prefers-color-scheme: dark){{
+      svg{{color-scheme:dark}}
+      .surface{{fill:{_DARK['surface']}}} .ink{{fill:{_DARK['ink']}}}
+      .ink2{{fill:{_DARK['ink2']}}} .grid{{stroke:{_DARK['grid']}}}
+      .series{{fill:{_DARK['series']}}} .vline{{stroke:{_DARK['ink2']}}}
+      {seq_d}
+    }}
+    </style>"""
+
+
+def _esc(s: object) -> str:
+    return html.escape(str(s), quote=True)
+
+
+def _bar_path(x: float, y: float, w: float, h: float, r: float = 4.0) -> str:
+    """Vertical bar anchored on the baseline with rounded TOP corners only
+    (the rounded-data-end mark spec; the baseline end stays square)."""
+    r = min(r, w / 2, h)
+    return (
+        f"M {x:.2f} {y + h:.2f} L {x:.2f} {y + r:.2f} "
+        f"Q {x:.2f} {y:.2f} {x + r:.2f} {y:.2f} "
+        f"L {x + w - r:.2f} {y:.2f} Q {x + w:.2f} {y:.2f} {x + w:.2f} {y + r:.2f} "
+        f"L {x + w:.2f} {y + h:.2f} Z"
+    )
+
+
+def _hbar_path(x: float, y: float, w: float, h: float, r: float = 4.0) -> str:
+    """Horizontal bar anchored at x with rounded RIGHT (data) end."""
+    r = min(r, h / 2, w)
+    return (
+        f"M {x:.2f} {y:.2f} L {x + w - r:.2f} {y:.2f} "
+        f"Q {x + w:.2f} {y:.2f} {x + w:.2f} {y + r:.2f} "
+        f"L {x + w:.2f} {y + h - r:.2f} "
+        f"Q {x + w:.2f} {y + h:.2f} {x + w - r:.2f} {y + h:.2f} "
+        f"L {x:.2f} {y + h:.2f} Z"
+    )
+
+
+def svg_histogram(
+    bins: list[tuple[float, float, int]],
+    title: str,
+    x_label: str = "value",
+    y_label: str = "count",
+    vlines: list[tuple[float, str]] | None = None,
+    width: int = 720,
+    height: int = 360,
+) -> str:
+    """(bin_start, bin_end, count) rows -> standalone SVG histogram.
+    ``vlines`` are labeled dashed threshold markers (the reference's
+    axvline(0.7)/axvline(0.9), visualize.py:30-32 — label + dash pattern
+    carry the meaning, not color alone)."""
+    bins = sorted(bins, key=lambda b: b[0])
+    ml, mr, mt, mb = 56, 16, 44, 44
+    pw, ph = width - ml - mr, height - mt - mb
+    lo = bins[0][0] if bins else 0.0
+    hi = bins[-1][1] if bins else 1.0
+    span = (hi - lo) or 1.0
+    peak = max((b[2] for b in bins), default=1) or 1
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {width} {height}" '
+        f'role="img" aria-label="{_esc(title)}">',
+        _style(),
+        f'<rect class="surface" width="{width}" height="{height}"/>',
+        f'<text class="ink" x="{ml}" y="22" font-size="14" font-weight="600">{_esc(title)}</text>',
+    ]
+    # recessive horizontal gridlines at 4 ticks + y labels
+    for t in range(5):
+        v = peak * t / 4
+        y = mt + ph - ph * t / 4
+        parts.append(
+            f'<line class="grid" x1="{ml}" y1="{y:.1f}" x2="{width - mr}" y2="{y:.1f}" stroke-width="1"/>'
+        )
+        parts.append(
+            f'<text class="ink2" x="{ml - 6}" y="{y + 4:.1f}" font-size="11" text-anchor="end">{v:g}</text>'
+        )
+    for b0, b1, n in bins:
+        x = ml + (b0 - lo) / span * pw
+        w = max((b1 - b0) / span * pw - 2.0, 1.0)  # 2px surface gap
+        h = ph * n / peak
+        y = mt + ph - h
+        parts.append(
+            f'<path class="series" d="{_bar_path(x, y, w, h)}">'
+            f"<title>[{b0:g}, {b1:g}): {n}</title></path>"
+        )
+    for xv, label in vlines or []:
+        x = ml + (xv - lo) / span * pw
+        parts.append(
+            f'<line class="vline" x1="{x:.1f}" y1="{mt}" x2="{x:.1f}" y2="{mt + ph}" '
+            f'stroke-width="1.5" stroke-dasharray="5 4"/>'
+        )
+        parts.append(
+            f'<text class="ink2" x="{x + 4:.1f}" y="{mt + 12}" font-size="11">{_esc(label)}</text>'
+        )
+    # x axis labels: lo, mid, hi
+    for frac in (0.0, 0.5, 1.0):
+        xv = lo + span * frac
+        x = ml + pw * frac
+        parts.append(
+            f'<text class="ink2" x="{x:.1f}" y="{height - mb + 16}" font-size="11" '
+            f'text-anchor="middle">{xv:g}</text>'
+        )
+    parts.append(
+        f'<text class="ink2" x="{ml + pw / 2:.0f}" y="{height - 8}" font-size="11" '
+        f'text-anchor="middle">{_esc(x_label)}</text>'
+    )
+    parts.append(
+        f'<text class="ink2" x="14" y="{mt + ph / 2:.0f}" font-size="11" text-anchor="middle" '
+        f'transform="rotate(-90 14 {mt + ph / 2:.0f})">{_esc(y_label)}</text>'
+    )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def svg_heatmap(
+    row_labels: list[str],
+    col_labels: list[str],
+    matrix: list[list[float | None]],
+    title: str,
+    width: int = 720,
+    cell_h: int = 34,
+) -> str:
+    """Sequential single-hue heatmap (the visualize.py:728-750 analog).
+    None cells render as surface with an em-dash; every cell shows its value
+    (identity/magnitude never color-alone)."""
+    ml, mr, mt, mb = 110, 16, 44, 30
+    n_r, n_c = len(row_labels), len(col_labels)
+    pw = width - ml - mr
+    cw = pw / max(n_c, 1)
+    height = mt + cell_h * n_r + mb
+    vals = [v for row in matrix for v in row if v is not None]
+    vlo, vhi = (min(vals), max(vals)) if vals else (0.0, 1.0)
+    vspan = (vhi - vlo) or 1.0
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {width} {height}" '
+        f'role="img" aria-label="{_esc(title)}">',
+        _style(),
+        f'<rect class="surface" width="{width}" height="{height}"/>',
+        f'<text class="ink" x="{ml}" y="22" font-size="14" font-weight="600">{_esc(title)}</text>',
+    ]
+    for j, cl in enumerate(col_labels):
+        parts.append(
+            f'<text class="ink2" x="{ml + cw * (j + 0.5):.1f}" y="{mt - 8}" font-size="11" '
+            f'text-anchor="middle">{_esc(cl)}</text>'
+        )
+    for i, rl in enumerate(row_labels):
+        y = mt + i * cell_h
+        parts.append(
+            f'<text class="ink2" x="{ml - 8}" y="{y + cell_h / 2 + 4:.1f}" font-size="11" '
+            f'text-anchor="end">{_esc(rl)}</text>'
+        )
+        for j in range(n_c):
+            v = matrix[i][j]
+            x = ml + j * cw
+            if v is None:
+                parts.append(
+                    f'<rect class="surface" x="{x + 1:.1f}" y="{y + 1}" width="{cw - 2:.1f}" '
+                    f'height="{cell_h - 2}" rx="3"><title>{_esc(rl)} / {_esc(col_labels[j])}: '
+                    f"no data</title></rect>"
+                )
+                parts.append(
+                    f'<text class="ink2" x="{x + cw / 2:.1f}" y="{y + cell_h / 2 + 4}" '
+                    f'font-size="11" text-anchor="middle">&#8212;</text>'
+                )
+                continue
+            q = round((v - vlo) / vspan * (len(_SEQ_LIGHT) - 1))
+            ink = "ink" if q < 7 else "surface"  # value stays readable on dark cells
+            parts.append(
+                f'<rect class="q{q}" x="{x + 1:.1f}" y="{y + 1}" width="{cw - 2:.1f}" '
+                f'height="{cell_h - 2}" rx="3"><title>{_esc(rl)} / {_esc(col_labels[j])}: '
+                f"{v:g}</title></rect>"
+            )
+            parts.append(
+                f'<text class="{ink}" x="{x + cw / 2:.1f}" y="{y + cell_h / 2 + 4}" '
+                f'font-size="10.5" text-anchor="middle">{v:.0f}</text>'
+            )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def svg_bar_panel(
+    items: list[tuple[str, float, str | None]],
+    title: str,
+    width: int = 720,
+    bar_h: int = 26,
+) -> str:
+    """Horizontal single-series bar panel (per-lang/per-source rollups —
+    the comparison-panel analog). ``items``: (label, value, annotation)."""
+    ml, mr, mt, mb = 90, 70, 44, 16
+    pw = width - ml - mr
+    height = mt + len(items) * (bar_h + 8) + mb
+    peak = max((v for _, v, _ in items), default=1.0) or 1.0
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {width} {height}" '
+        f'role="img" aria-label="{_esc(title)}">',
+        _style(),
+        f'<rect class="surface" width="{width}" height="{height}"/>',
+        f'<text class="ink" x="{ml}" y="22" font-size="14" font-weight="600">{_esc(title)}</text>',
+    ]
+    for i, (label, v, note) in enumerate(items):
+        y = mt + i * (bar_h + 8)
+        w = pw * v / peak
+        parts.append(
+            f'<text class="ink2" x="{ml - 8}" y="{y + bar_h / 2 + 4}" font-size="11" '
+            f'text-anchor="end">{_esc(label)}</text>'
+        )
+        parts.append(
+            f'<path class="series" d="{_hbar_path(ml, y, max(w, 1.0), bar_h)}">'
+            f"<title>{_esc(label)}: {v:g}</title></path>"
+        )
+        ann = f"{v:g}" if note is None else note
+        parts.append(
+            f'<text class="ink2" x="{ml + max(w, 1.0) + 6:.1f}" y="{y + bar_h / 2 + 4}" '
+            f'font-size="11">{_esc(ann)}</text>'
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def generate_all_plots(spark, sf_dir: str, out_dir: str) -> dict:
+    """The generate_all_plots analog (visualize.py:420+): run the (already
+    oracle-checked) report queries and write the standard artifact set —
+    histogram.svg, heatmap.svg, langs.svg + an index.html that inlines them.
+    Returns {name: path}. Deterministic bytes for fixed input."""
+    from .. import queries
+
+    os.makedirs(out_dir, exist_ok=True)
+    out: dict[str, str] = {}
+
+    hist_rows = sorted(
+        (r.bin_start, r.bin_end, r["count"])
+        for r in queries.value_histogram(spark, sf_dir).collect()
+    )
+    hist = svg_histogram(
+        hist_rows,
+        "events.value distribution (20 bins over [0, 500])",
+        x_label="value",
+        vlines=[(350.0, "hot threshold")],
+    )
+
+    dow = sorted(queries.event_dow_matrix(spark, sf_dir).collect(), key=lambda r: r.event_type)
+    days = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
+    heat = svg_heatmap(
+        [r.event_type for r in dow],
+        days,
+        [[r[f"d{d}"] for d in range(7)] for r in dow],
+        "mean events.value by type and day-of-week",
+    )
+
+    langs = sorted(queries.value_counts_lang(spark, sf_dir).collect(), key=lambda r: -r.cnt)
+    bars = svg_bar_panel(
+        [(r.lang, float(r.cnt), f"{r.cnt} ({r.pct:g}%)") for r in langs],
+        "documents per language",
+    )
+
+    for name, svg in (("histogram", hist), ("heatmap", heat), ("langs", bars)):
+        p = os.path.join(out_dir, f"{name}.svg")
+        with open(p, "w") as f:
+            f.write(svg)
+        out[name] = p
+
+    index = os.path.join(out_dir, "index.html")
+    body = "\n".join(f"<figure>{open(p).read()}</figure>" for p in out.values())
+    with open(index, "w") as f:
+        f.write(
+            "<!doctype html><meta charset='utf-8'><title>ooe-spark report</title>"
+            "<style>body{margin:2rem auto;max-width:780px;background:Canvas;"
+            "color-scheme:light dark}figure{margin:0 0 2rem 0}</style>\n" + body
+        )
+    out["index"] = index
+    return out

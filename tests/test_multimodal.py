@@ -1,13 +1,16 @@
 """Multimodal column plumbing: decode / features / resize / frame-sample.
 
-The fake FIMG/FAUD/FVID containers make the Spark-side plumbing (schemas,
-Arrow batches, row expansion, in-band errors) fully testable without image
-libraries; each operator is checked against a pure-Python/numpy golden twin.
-"""
+The fake FIMG/FAUD/FVID containers stress the Spark-side plumbing (schemas,
+Arrow batches, row expansion, in-band errors); the REAL stdlib codecs (PNG
+chunk/inflate/unfilter decoder, WAV via `wave`) are exercised both through
+the fixture rows that carry genuine PNG/WAV bytes and by direct round-trip
+tests below. Each operator is checked against a pure-Python/numpy golden
+twin."""
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -21,7 +24,16 @@ from ocr_output_evaluation_spark.multimodal import (
     resize_images,
     sample_frames,
 )
-from ocr_output_evaluation_spark.multimodal.media import _raster, decode_meta
+from ocr_output_evaluation_spark.multimodal.media import (
+    PNG_SIG,
+    _raster,
+    decode_body,
+    decode_meta,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+)
 
 N = 120
 
@@ -60,8 +72,7 @@ def test_image_features_golden(spark, media):
         if meta["error"] is not None:
             assert f.error is not None
             continue
-        body = row["payload"][{"fimg": 9, "faud": 12, "fvid": 10}[meta["format"]]:]
-        arr = np.frombuffer(body, dtype=np.uint8)
+        arr = decode_body(row["payload"], meta)
         assert f.byte_mean == pytest.approx(float(arr.mean()))
         assert f.byte_std == pytest.approx(float(arr.std(ddof=0)))
         assert len(f.histogram) == 16
@@ -77,10 +88,14 @@ def test_resize_images_golden(spark, media):
         row = make_media_row(i)
         meta = decode_meta(row["payload"])
         r = out[i]
-        if meta["error"] is not None or meta["format"] != "fimg":
+        if meta["error"] is not None or meta["format"] not in ("fimg", "png"):
             assert r.error is not None and r.payload is None
             continue
-        arr, w, h, c = _raster(row["payload"])
+        if meta["format"] == "png":
+            _, arr = decode_png(row["payload"])
+            h, w, c = arr.shape
+        else:
+            arr, w, h, c = _raster(row["payload"])
         ys = (np.arange(6) * h // 6).astype(np.int64)
         xs = (np.arange(4) * w // 4).astype(np.int64)
         want = arr[np.ix_(ys, xs)].tobytes()
@@ -113,3 +128,97 @@ def test_sample_frames_every_other(spark, media):
             assert bytes(r.frame) == row["payload"][start : start + fsize]
         checked += 1
     assert checked > 5
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (VERDICT r1 item 9)
+# ---------------------------------------------------------------------------
+def _filter_scanlines(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Reference PNG filterer for the test only: produce the FILTERED raw
+    stream for a chosen per-row filter type, so decode_png's unfilter paths
+    1-4 are exercised against ground truth (our encoder always emits 0)."""
+    h, w, c = arr.shape
+    stride = w * c
+    flat = arr.reshape(h, stride).astype(np.int16)
+    out = b""
+    prev = np.zeros(stride, dtype=np.int16)
+    for y, ft in zip(range(h), filters):
+        line = flat[y]
+        a = np.concatenate([np.zeros(c, np.int16), line[:-c]])
+        b = prev
+        cdiag = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line - a
+        elif ft == 2:
+            enc = line - b
+        elif ft == 3:
+            enc = line - ((a + b) >> 1)
+        elif ft == 4:
+            p = a + b - cdiag
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cdiag)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cdiag))
+            enc = line - pred
+        out += bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+    return out
+
+
+def test_png_roundtrip_and_all_filters():
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(6, 5, c), dtype=np.uint8)
+        meta, back = decode_png(encode_png(arr))
+        assert (meta["width"], meta["height"], meta["n_channels"]) == (5, 6, c)
+        assert np.array_equal(back, arr)
+
+    # hand-build a PNG using every filter type 0-4 and check exact decode
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    raw = _filter_scanlines(arr, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    meta, back = decode_png(png)
+    assert np.array_equal(back, arr)
+
+
+def test_png_malformed_stays_in_band():
+    good = encode_png(np.zeros((3, 3, 1), dtype=np.uint8))
+    truncated = good[: len(good) // 2]
+    meta = decode_meta(truncated)
+    assert meta["error"] is not None and meta["error"].startswith("decode-error")
+    # interlaced / 16-bit variants are rejected, not mis-decoded
+    bad_ihdr = struct.pack(">IIBBBBB", 3, 3, 16, 0, 0, 0, 0)
+    assert "unsupported png" in str(pytest.raises(ValueError, decode_png, PNG_SIG
+        + good[8:16] + bad_ihdr + good[16 + 13:]).value)
+
+
+def test_wav_roundtrip():
+    pcm = bytes(range(200)) + bytes(56)
+    b = encode_wav(pcm, 16000)
+    meta, body = decode_wav(b)
+    assert meta == {"format": "wav", "sample_rate": 16000, "n_samples": 256, "n_channels": 1}
+    assert body.tobytes() == pcm
+    top = decode_meta(b)
+    assert top["error"] is None and top["format"] == "wav"
+    assert top["sample_rate"] == 16000 and top["n_samples"] == 256
+
+
+def test_fixture_contains_real_codecs_and_features_cover_them(spark, media):
+    metas = [decode_meta(make_media_row(i)["payload"]) for i in range(N)]
+    fmts = {m["format"] for m in metas if m["error"] is None}
+    assert {"png", "wav", "fimg", "faud", "fvid"} <= fmts
+    # the Spark feature pass scores real-codec rows, not just containers
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    png_ids = [i for i, m in enumerate(metas) if m["format"] == "png" and m["error"] is None]
+    wav_ids = [i for i, m in enumerate(metas) if m["format"] == "wav" and m["error"] is None]
+    assert png_ids and wav_ids
+    for i in png_ids + wav_ids:
+        assert feats[i].error is None and feats[i].byte_mean is not None
