@@ -73,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--url-col", default="url")
     _add_common(xp)
 
+    sq = sub.add_parser("sql", help="SQL over a table directory (one-shot or REPL)")
+    sq.add_argument("--tables", required=True,
+                    help="directory of <name>.parquet tables to register as views")
+    sq.add_argument("--query", default=None,
+                    help="run one query and exit; omit for the interactive loop")
+    sq.add_argument("--limit", type=int, default=50, help="display row cap")
+    _add_common(sq)
+
     rp = sub.add_parser("report", help="render the SVG report artifact set")
     rp.add_argument("--sf-dir", required=True,
                     help="table directory (e.g. /root/testdata/sf0.01)")
@@ -145,6 +153,16 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             jaccard_threshold=args.jaccard_threshold,
         )
+    elif args.cmd == "sql":
+        from .sources.io import register_tables_dir, sql_repl
+
+        names = register_tables_dir(spark, args.tables)
+        if args.query:
+            spark.sql(args.query).show(args.limit, truncate=False)
+            res = {"tables": names, "query": args.query}
+        else:
+            sql_repl(spark, names, limit=args.limit)
+            res = {"tables": names}
     elif args.cmd == "report":
         from .plans.report import generate_all_plots
 

@@ -1198,6 +1198,26 @@ LIMIT 20
 """
 
 
+def embedding_near_dup_report(spark, sf):
+    """Embedding near-dup pairs (X5, rows-only: hyperplane signatures are
+    xxhash64-derived): banded random-hyperplane LSH candidates -> exact
+    cosine verify, summarized as pair count + cosine spread. Recall vs the
+    exact all-pairs truth (X7) is pytest-pinned on planted clusters
+    (tests/test_queries.py)."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    e = t(spark, sf, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.2, n_planes=8, n_bands=4, seed=3
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _r(F.min("cosine")).alias("min_cos"),
+        _r(F.max("cosine")).alias("max_cos"),
+        _r(F.avg("cosine")).alias("avg_cos"),
+    )
+
+
 def ann_index_topk(spark, sf):
     """Materialized-index ANN (rows-only): build the bucketed LSH index once
     (operators/ann_index.py — codegen explode→agg signatures, bucketBy(sig)
@@ -1713,6 +1733,7 @@ QUERIES = {
     "challenging_docs": challenging_docs,
     "ivf_ann_topk": ivf_ann_topk,
     "ann_index_topk": ann_index_topk,
+    "embedding_near_dup_report": embedding_near_dup_report,
     "embedding_pair_topk": embedding_pair_topk,
     "customers_without_orders": customers_without_orders,
     "dup_clusters": dup_clusters,

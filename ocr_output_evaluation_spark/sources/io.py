@@ -194,3 +194,45 @@ def register_views(spark: SparkSession, tables: dict[str, str]) -> None:
     (/root/reference/explore_stats.py:20-43)."""
     for name, path in tables.items():
         spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def register_tables_dir(spark: SparkSession, tables_dir: str) -> list[str]:
+    """Register every ``<name>.parquet`` under a directory as a temp view
+    named ``<name>`` (the testdata sf-dir layout and the extract/quality job
+    outputs both follow it). -> sorted registered names."""
+    names = []
+    for entry in sorted(os.listdir(tables_dir)):
+        if entry.endswith(".parquet"):
+            name = entry[: -len(".parquet")]
+            spark.read.parquet(os.path.join(tables_dir, entry)).createOrReplaceTempView(name)
+            names.append(name)
+    return names
+
+
+def sql_repl(spark: SparkSession, names: list[str], limit: int = 50) -> None:
+    """Interactive SQL loop over the registered views — the
+    `run_custom_query` / `interactive_mode` surface of the reference
+    (/root/reference/explore_stats.py:433-514), served by Spark SQL instead
+    of DuckDB. `schema` describes every view; errors print and the loop
+    continues (never crashes the session)."""
+    print(f"tables: {', '.join(names)}")
+    print("type 'exit' to quit, 'schema' for table schemas")
+    while True:
+        try:
+            q = input("SQL> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return
+        if not q:
+            continue
+        if q.lower() in ("exit", "quit"):
+            return
+        if q.lower() == "schema":
+            for n in names:
+                print(f"\n{n}:")
+                spark.sql(f"DESCRIBE {n}").show(100, truncate=False)
+            continue
+        try:
+            spark.sql(q).show(limit, truncate=False)
+        except Exception as e:  # keep the loop alive on bad SQL
+            print(f"Error: {e}")
