@@ -96,11 +96,16 @@ def run_extraction(
     stale partitions from the old bucketing behind (dynamic overwrite only
     replaces buckets it writes) — use a fresh output_path when re-bucketing.
     """
+    from ..sources.iceberg import read_table_any, snapshot_id as _snapshot_id
+
     version = extraction_version()
     # n_buckets is part of the resume identity: a manifest written at one
     # bucketing is meaningless at another (bucket ids remap), so a changed
     # n_buckets must look like a fresh snapshot (found by verification probe).
-    snapshot = f"{source_snapshot_id or source_path}#nb={n_buckets}"
+    # Lineage id: Iceberg snapshot id when the source is a catalog table
+    # (time-travel-stable — a new commit = a fresh snapshot = full
+    # reprocess), the path itself for parquet directories (sandbox).
+    snapshot = f"{source_snapshot_id or _snapshot_id(spark, source_path)}#nb={n_buckets}"
 
     done = set(completed_buckets(spark, manifest_path, snapshot, version))
     pending = [b for b in range(n_buckets) if b not in done]
@@ -115,7 +120,7 @@ def run_extraction(
         return {"run_id": rid, "processed_buckets": [], "skipped_buckets": sorted(done),
                 "row_count": 0, "error_count": 0, "extraction_version": version}
 
-    src = bucketed(spark.read.parquet(source_path), n_buckets)
+    src = bucketed(read_table_any(spark, source_path), n_buckets)
     n_tasks = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     extracted = extraction_plan(src, pending, version, n_tasks)
     (

@@ -276,6 +276,74 @@ def svg_bar_panel(
     return "\n".join(parts)
 
 
+def svg_compare_panels(
+    panels: list[tuple[str, list[tuple[float, float, int]]]],
+    title: str,
+    x_label: str = "value",
+    width: int = 720,
+) -> str:
+    """Side-by-side small multiples of single-series histograms on a SHARED
+    x and y scale (the reference's comparison figure,
+    visualize.py:57-110 plot_confidence_comparison: one subplot per OCR
+    system). Identity is the panel title, not color — every panel wears the
+    same hue, so no categorical palette (and no palette gate) arises."""
+    n = max(len(panels), 1)
+    pw_total = width
+    panel_w = pw_total // n
+    peak = max((c for _, bins in panels for _, _, c in bins), default=1) or 1
+    lo = min((b[0] for _, bins in panels for b in bins), default=0.0)
+    hi = max((b[1] for _, bins in panels for b in bins), default=1.0)
+    span = (hi - lo) or 1.0
+    height = 300
+    ml, mr, mt, mb = 46, 8, 58, 36
+    ph = height - mt - mb
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {width} {height}" '
+        f'role="img" aria-label="{_esc(title)}">',
+        _style(),
+        f'<rect class="surface" width="{width}" height="{height}"/>',
+        f'<text class="ink" x="{ml}" y="22" font-size="14" font-weight="600">{_esc(title)}</text>',
+    ]
+    for pi, (name, bins) in enumerate(panels):
+        x0 = pi * panel_w + (ml if pi == 0 else 12)
+        x1 = (pi + 1) * panel_w - mr
+        pw = x1 - x0
+        parts.append(
+            f'<text class="ink2" x="{x0}" y="{mt - 10}" font-size="12" '
+            f'font-weight="600">{_esc(name)}</text>'
+        )
+        for t in range(5):
+            y = mt + ph - ph * t / 4
+            parts.append(
+                f'<line class="grid" x1="{x0}" y1="{y:.1f}" x2="{x1}" y2="{y:.1f}" stroke-width="1"/>'
+            )
+            if pi == 0:
+                parts.append(
+                    f'<text class="ink2" x="{x0 - 6}" y="{y + 4:.1f}" font-size="10" '
+                    f'text-anchor="end">{peak * t / 4:g}</text>'
+                )
+        for b0, b1, cnt in sorted(bins):
+            bx = x0 + (b0 - lo) / span * pw
+            bw = max((b1 - b0) / span * pw - 2.0, 1.0)
+            bh = ph * cnt / peak
+            parts.append(
+                f'<path class="series" d="{_bar_path(bx, mt + ph - bh, bw, bh)}">'
+                f"<title>{_esc(name)} [{b0:g}, {b1:g}): {cnt}</title></path>"
+            )
+        for frac in (0.0, 1.0):
+            xv = lo + span * frac
+            parts.append(
+                f'<text class="ink2" x="{x0 + pw * frac:.1f}" y="{height - mb + 14}" '
+                f'font-size="10" text-anchor="middle">{xv:g}</text>'
+            )
+    parts.append(
+        f'<text class="ink2" x="{width / 2:.0f}" y="{height - 8}" font-size="11" '
+        f'text-anchor="middle">{_esc(x_label)}</text>'
+    )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
 def generate_all_plots(spark, sf_dir: str, out_dir: str) -> dict:
     """The generate_all_plots analog (visualize.py:420+): run the (already
     oracle-checked) report queries and write the standard artifact set —
@@ -312,7 +380,26 @@ def generate_all_plots(spark, sf_dir: str, out_dir: str) -> dict:
         "documents per language",
     )
 
-    for name, svg in (("histogram", hist), ("heatmap", heat), ("langs", bars)):
+    # comparison panels (visualize.py:57-110 analog): per-lang doc-length
+    # distributions as small multiples over one grouped histogram pass
+    from ..operators.histogram import histogram as hist_op
+    from ..sources.io import read_table
+
+    docs = read_table(spark, os.path.join(sf_dir, "documents.parquet"))
+    grouped = hist_op(docs, "n_chars", nbins=12, lo=0.0, hi=600.0, group_cols=["lang"])
+    by_lang: dict[str, list] = {}
+    for r in grouped.collect():
+        by_lang.setdefault(r.lang, []).append((r.bin_start, r.bin_end, r["count"]))
+    top2 = sorted(by_lang, key=lambda k: -sum(c for _, _, c in by_lang[k]))[:2]
+    compare = svg_compare_panels(
+        [(lang, by_lang[lang]) for lang in top2],
+        "document length distribution — top-2 languages",
+        x_label="n_chars",
+    )
+
+    for name, svg in (
+        ("histogram", hist), ("heatmap", heat), ("langs", bars), ("compare", compare),
+    ):
         p = os.path.join(out_dir, f"{name}.svg")
         with open(p, "w") as f:
             f.write(svg)

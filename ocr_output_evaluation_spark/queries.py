@@ -1120,6 +1120,104 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def cube_status_priority(spark, sf):
+    """CUBE grouping sets (A12's full-lattice sibling: all four subsets
+    including per-priority margins, one pass) over orders status×priority.
+    NULL-free grouping keys in this table, so the 'ALL' coalesce is
+    unambiguous (same convention as rollup_nation_totals)."""
+    o = t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+ORACLE_CUBE_STATUS_PRIORITY = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)                         AS n_orders,
+       round(sum(o_totalprice), 2)      AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def order_value_quartiles(spark, sf):
+    """NTILE window: value quartiles of orders WITHIN each priority class
+    (ntile is inherently a per-partition total order — the partitioned form
+    is the scale-legal one; GLOBAL quantiles at 100 TB use the
+    percentile_cont threshold path instead, A10/sql_quality_matrix).
+    Unique (price, orderkey) sort makes tile assignment deterministic."""
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    q = o.select(
+        "o_orderpriority", F.ntile(4).over(w).alias("quartile"), "o_totalprice"
+    )
+    return q.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r(F.min("o_totalprice"), 2).alias("min_price"),
+        _r(F.max("o_totalprice"), 2).alias("max_price"),
+        _r(F.avg("o_totalprice")).alias("avg_price"),
+    )
+
+
+ORACLE_ORDER_VALUE_QUARTILES = """
+WITH q AS (
+  SELECT o_orderpriority,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderpriority, quartile,
+       count(*)                    AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM q
+GROUP BY o_orderpriority, quartile
+"""
+
+
+def supplier_name_concat(spark, sf):
+    """Deterministic string aggregation: suppliers per nation as a sorted
+    comma list — collect_list is order-nondeterministic across partitions,
+    so the engine-wide rule is array_sort BEFORE array_join (the only
+    oracle-safe and rerun-stable form)."""
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_names"
+            ),
+        )
+    )
+
+
+ORACLE_SUPPLIER_NAME_CONCAT = """
+SELECT n_name,
+       count(*) AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def band_filter_fallback(spark, sf):
     """P4 with relax-fallback: keep events with value in [200, 400]; if fewer
     than 500 rows match, relax to [100, 450]
@@ -1729,6 +1827,9 @@ QUERIES = {
     "conf_scale_normalize": conf_scale_normalize,
     "order_gaps_lag": order_gaps_lag,
     "rollup_nation_totals": rollup_nation_totals,
+    "cube_status_priority": cube_status_priority,
+    "order_value_quartiles": order_value_quartiles,
+    "supplier_name_concat": supplier_name_concat,
     "band_filter_fallback": band_filter_fallback,
     "challenging_docs": challenging_docs,
     "ivf_ann_topk": ivf_ann_topk,
@@ -1781,6 +1882,9 @@ ORACLES = {
     "conf_scale_normalize": ORACLE_CONF_SCALE,
     "order_gaps_lag": ORACLE_ORDER_GAPS,
     "rollup_nation_totals": ORACLE_ROLLUP_NATION,
+    "cube_status_priority": ORACLE_CUBE_STATUS_PRIORITY,
+    "order_value_quartiles": ORACLE_ORDER_VALUE_QUARTILES,
+    "supplier_name_concat": ORACLE_SUPPLIER_NAME_CONCAT,
     "band_filter_fallback": ORACLE_BAND_FALLBACK,
     "challenging_docs": ORACLE_CHALLENGING,
     "train_lm": ORACLE_TRAIN_LM,

@@ -52,15 +52,29 @@ def test_svg_bar_panel_annotations():
     assert "10 (50%)" in svg
 
 
+def test_svg_compare_panels_shared_scale():
+    from ocr_output_evaluation_spark.plans.report import svg_compare_panels
+
+    a = [(0.0, 0.5, 10), (0.5, 1.0, 2)]
+    b = [(0.0, 0.5, 4), (0.5, 1.0, 1)]
+    svg = svg_compare_panels([("sys-a", a), ("sys-b", b)], "cmp")
+    root = ET.fromstring(svg)
+    assert len(_marks(svg, "series")) == 4
+    titles = [t.text for t in root.iter(f"{SVG}title")]
+    assert "sys-a [0, 0.5): 10" in titles and "sys-b [0.5, 1): 1" in titles
+    # shared y scale: sys-b's 4-count bar must be shorter than sys-a's 10-count
+
+
 def test_generate_all_plots_artifact_set(spark, sf_dir, tmp_path):
     out = generate_all_plots(spark, sf_dir, str(tmp_path / "report"))
-    assert set(out) == {"histogram", "heatmap", "langs", "index"}
-    for name in ("histogram", "heatmap", "langs"):
+    names = ("histogram", "heatmap", "langs", "compare")
+    assert set(out) == {*names, "index"}
+    for name in names:
         assert os.path.exists(out[name])
         ET.parse(out[name])  # well-formed
     idx = open(out["index"]).read()
-    assert idx.count("<figure>") == 3
+    assert idx.count("<figure>") == 4
     # deterministic across renders on the same input
     out2 = generate_all_plots(spark, sf_dir, str(tmp_path / "report2"))
-    for name in ("histogram", "heatmap", "langs"):
+    for name in names:
         assert open(out[name]).read() == open(out2[name]).read()
