@@ -170,8 +170,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "ann-index":
         from .operators.ann_index import build_ivf_index, build_lsh_index
 
+        # no emb.count() here: that would be a full extra corpus scan just
+        # for a cosmetic stat — the build itself is the one corpus pass
         emb = spark.read.parquet(args.embeddings)
-        res = {"out": args.out, "rows": emb.count(), "built": []}
+        res = {"out": args.out, "built": []}
         if args.kind in ("lsh", "both"):
             build_lsh_index(
                 spark, emb, args.vec_col, args.id_col,

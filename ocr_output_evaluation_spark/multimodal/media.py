@@ -164,9 +164,18 @@ def decode_png(b: bytes) -> tuple[dict, np.ndarray]:
     if depth != 8 or colortype not in _PNG_CHANNELS or interlace != 0:
         raise ValueError(f"unsupported png variant depth={depth} ct={colortype} il={interlace}")
     c = _PNG_CHANNELS[colortype]
-    raw = zlib.decompress(idat)
     stride = w * c
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # Decompression-bomb guard (untrusted web payloads): the exact inflated
+    # size is known from IHDR, so (a) sanity-cap the declared raster and
+    # (b) inflate AT MOST expected+1 bytes via decompressobj — a crafted
+    # IDAT can then never allocate beyond the declared size, and oversize
+    # streams surface as the in-band error path, not an executor OOM.
+    if expected > 256 * 1024 * 1024:
+        raise ValueError(f"declared raster too large ({w}x{h}x{c})")
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("raster size mismatch")
     arr = np.frombuffer(_png_unfilter(raw, h, stride, c), dtype=np.uint8).reshape(h, w, c)
     meta = dict(format="png", width=int(w), height=int(h), n_channels=int(c))
@@ -247,24 +256,34 @@ def decode_meta(payload: bytes | None) -> dict:
     """Parse the typed header out of a payload. Never raises on bad input —
     errors are returned in-band (the D3 failure-isolation rule of the
     extraction pipeline, /root/reference/parallel_processor.py:90-95 analog)."""
+    return _decode(payload)[0]
+
+
+def _decode(payload: bytes | None) -> tuple[dict, np.ndarray | None]:
+    """Single-pass decode: (meta, decoded body or None). For the real codecs
+    (PNG/WAV) metadata extraction IS the full decode, so the body comes back
+    alongside the meta and feature/resize operators never decode twice
+    (review r2); container formats return None — their body is a free slice
+    (decode_body). PNG body: (h, w, c) uint8; WAV body: flat PCM uint8."""
+    body: np.ndarray | None = None
     out = dict(
         format=None, width=None, height=None, n_channels=None, sample_rate=None,
         n_samples=None, n_frames=None, payload_bytes=None, error=None,
     )
     if payload is None:
         out["error"] = "null-payload"
-        return out
+        return out, None
     b = bytes(payload)
     out["payload_bytes"] = len(b)
     if len(b) < 4:
         out["error"] = "truncated-header"
-        return out
+        return out, None
     magic = b[:4]
     try:
         if magic == MAGIC_IMG:
             if len(b) < 9:
                 out["error"] = "truncated-header"
-                return out
+                return out, None
             w, h = struct.unpack(">HH", b[4:8])
             c = b[8]
             out.update(format="fimg", width=w, height=h, n_channels=c)
@@ -273,7 +292,7 @@ def decode_meta(payload: bytes | None) -> dict:
         elif magic == MAGIC_AUD:
             if len(b) < 12:
                 out["error"] = "truncated-header"
-                return out
+                return out, None
             sr, n = struct.unpack(">II", b[4:12])
             out.update(format="faud", sample_rate=sr, n_samples=n)
             if len(b) - 12 != n:
@@ -281,16 +300,16 @@ def decode_meta(payload: bytes | None) -> dict:
         elif magic == MAGIC_VID:
             if len(b) < 10:
                 out["error"] = "truncated-header"
-                return out
+                return out, None
             w, h, nf = struct.unpack(">HHH", b[4:10])
             out.update(format="fvid", width=w, height=h, n_frames=nf)
             if len(b) - 10 != w * h * nf:
                 out["error"] = "frame-size-mismatch"
         elif b[:8] == PNG_SIG:
-            meta, _ = decode_png(b)
+            meta, body = decode_png(b)
             out.update(meta)
         elif _is_wav(b):
-            meta, _ = decode_wav(b)
+            meta, body = decode_wav(b)
             out.update(meta)
         else:
             _decode_real(b)
@@ -298,7 +317,7 @@ def decode_meta(payload: bytes | None) -> dict:
         out["error"] = f"unsupported-codec: {e.args[0][:60]}"
     except Exception as e:  # malformed real-codec payloads stay in-band (D3)
         out["error"] = f"decode-error: {type(e).__name__}: {str(e)[:60]}"
-    return out
+    return out, body
 
 
 def decode_body(b: bytes, meta: dict) -> np.ndarray:
@@ -397,11 +416,12 @@ def image_features(df: DataFrame, payload_col: str = "payload", n_bins: int = 16
         for pdf in batches:
             rows = []
             for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                meta = decode_meta(p if p is None else bytes(p))
+                meta, body = _decode(p if p is None else bytes(p))
                 if meta["error"] is not None:
                     rows.append((int(mid), kind, None, None, None, meta["error"]))
                     continue
-                arr = decode_body(bytes(p), meta)
+                # real codecs decoded once in _decode; containers slice free
+                arr = body.reshape(-1) if body is not None else decode_body(bytes(p), meta)
                 hist = np.histogram(arr, bins=edges)[0]
                 rows.append(
                     (
@@ -441,12 +461,12 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, payload_col: str = "pay
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
-                meta = decode_meta(p if p is None else bytes(p))
+                meta, body = _decode(p if p is None else bytes(p))
                 if meta["error"] is not None or meta["format"] not in ("fimg", "png"):
                     rows.append((int(mid), None, None, None, meta["error"] or "not-an-image"))
                     continue
                 if meta["format"] == "png":
-                    _, arr = decode_png(bytes(p))
+                    arr = body  # decoded once in _decode
                     h, w, c = arr.shape
                 else:
                     arr, w, h, c = _raster(bytes(p))

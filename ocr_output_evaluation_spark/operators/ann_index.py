@@ -94,9 +94,11 @@ def lsh_top_k_indexed(
     scan because no exchange is avoided — which silently DISCARDS bucket
     pruning and makes the probe read every bucket (measured: no
     SelectedBucketsCount in the plan). Pruning is the entire point of this
-    index, so the probe pins autoBucketedScan off for the session; the only
-    bucketed tables in this engine are indexes and co-located-join tables,
-    both of which want bucketed scans unconditionally."""
+    index, so the engine disables autoBucketedScan as a SESSION default
+    (session.get_spark — uniform plans regardless of query order); the set
+    here is a safety net for externally-built sessions. It is idempotent
+    and matches the session default, so it never changes an in-engine
+    session's behavior mid-stream."""
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     qb = query_bucket(spark, query, n_planes, seed)
     buckets = {qb}
@@ -121,11 +123,17 @@ def build_ivf_index(
     seed: int = 42,
 ) -> None:
     """One corpus pass: deterministic centroids, nearest-centroid routing,
-    write ``{path}/index`` partitioned by cell + ``{path}/centroids``."""
-    cents = sample_centroids(df, vec_col, id_col, n_cells, seed)
-    routed = route_to_cells(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec", cents
-    ).select("id", "vec", F.col("_cell").alias("cell"))
+    write ``{path}/index`` partitioned by cell + ``{path}/centroids``.
+    NULL/empty vectors are excluded like the LSH build — they have no
+    searchable direction and would otherwise land in a NULL-cell partition
+    no probe ever reads (review r2)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(
+        F.col("vec").isNotNull() & (F.size("vec") > 0)
+    )
+    cents = sample_centroids(base, "vec", "id", n_cells, seed)
+    routed = route_to_cells(base, "vec", cents).select(
+        "id", "vec", F.col("_cell").alias("cell")
+    )
     routed.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/index")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],

@@ -101,6 +101,11 @@ def connected_components(
                 # the returned frame derives from new_labels — keep its blocks
                 prev = None
                 return labels
+        # non-convergence: release the last round's frame too — nothing can
+        # reference it after the raise (review r2)
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     finally:
         sym.unpersist()

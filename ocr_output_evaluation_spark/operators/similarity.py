@@ -379,12 +379,15 @@ def sample_centroids(
 ) -> list[list[float]]:
     """Deterministic coarse centroids: the n_cells vectors with the smallest
     xxhash64(id, seed) — reproducible across runs and cluster sizes (no RNG,
-    no df.sample)."""
+    no df.sample). NULL/empty vectors are excluded here (not by callers): a
+    NULL centroid would crash the driver-side list() and could never route
+    anything (review r2)."""
     return [
         list(r.v)
         for r in df.select(
             F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("h")
         )
+        .filter(F.col("v").isNotNull() & (F.size("v") > 0))
         .orderBy("h")
         .limit(n_cells)
         .collect()

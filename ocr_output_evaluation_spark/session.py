@@ -64,6 +64,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Oracle comparisons (DuckDB) are UTC-naive; pin the session TZ.
         .config("spark.sql.session.timeZone", "UTC")
+        # Bucketed scans unconditionally: Spark's DisableUnnecessaryBucketedScan
+        # otherwise downgrades filter-only scans of bucketed tables to plain
+        # file scans, silently DISCARDING bucket pruning (measured on the ANN
+        # index probe). The only bucketed tables in this engine are ANN
+        # indexes and co-located-join tables — both always want bucketed
+        # reads — and setting it here (not per-query) keeps plans identical
+        # regardless of query order (review r2).
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         # Arrow for every pandas UDF / createDataFrame / toPandas hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Extraction UDF batch size: bounds the per-batch memory of html blobs

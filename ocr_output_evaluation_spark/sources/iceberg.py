@@ -21,10 +21,18 @@ joins, partition pruning on `bucket` for the resume anti-join.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 _CATALOG_IMPL = "org.apache.iceberg.spark.SparkCatalog"
 _EXTENSIONS = "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+
+
+def _is_path(target: str) -> bool:
+    """Same path-vs-catalog heuristic as io.read_table (review r2: a weaker
+    '/'-based check misclassified relative paths as catalog names)."""
+    return os.path.sep in target or target.endswith(".parquet")
 
 
 def iceberg_confs(catalog: str, warehouse: str, catalog_type: str = "hadoop") -> dict[str, str]:
@@ -62,12 +70,19 @@ def write_table_any(
     """Write to an Iceberg table (catalog name target) when the runtime is
     present, else a parquet directory (path target) — same call shape.
 
-    Iceberg path: `writeTo(target).partitionedBy(bucket(n, col))` — the
-    bucket transform is the url-hash layout the resume manifest and the
-    co-located joins key on. Parquet path: `partitionBy(col)` dynamic
-    overwrite (sources/io.write_parquet semantics). Returns which branch ran
-    ('iceberg' | 'parquet')."""
-    if iceberg_available(spark):  # pragma: no cover - jar absent in sandbox
+    ``bucket_col`` is a RAW column (e.g. the url): BOTH branches hash it
+    into exactly ``n_buckets`` partitions — Iceberg via its `bucket(n, col)`
+    transform, parquet via an explicit `pmod(xxhash64(col), n)` partition
+    column named ``{bucket_col}_bucket`` (review r2: a raw `partitionBy` on
+    a high-cardinality column would create one directory per value, and the
+    two branches would otherwise produce structurally different layouts).
+    The hash functions differ between formats (Iceberg murmur3 vs xxhash64),
+    so bucket IDS are format-specific — resume manifests never mix formats
+    because the snapshot lineage id differs too (``snapshot_id``). An
+    already-bucketed INT column should be passed through a plain writer
+    (io.write_parquet partition_by), not re-hashed here.
+    Returns which branch ran ('iceberg' | 'parquet')."""
+    if iceberg_available(spark) and not _is_path(target):  # pragma: no cover
         from pyspark.sql.functions import bucket, col
 
         w = df.writeTo(target)
@@ -75,17 +90,27 @@ def write_table_any(
             w = w.partitionedBy(bucket(n_buckets, col(bucket_col)))
         w.createOrReplace()
         return "iceberg"
-    w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    from pyspark.sql import functions as F
+
     if bucket_col and bucket_col in df.columns:
-        w = w.partitionBy(bucket_col)
-    w.parquet(target)
+        pcol = f"{bucket_col}_bucket"
+        df = df.withColumn(
+            pcol, F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
+        )
+        w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        w.partitionBy(pcol).parquet(target)
+    else:
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(target)
     return "parquet"
 
 
 def read_table_any(spark: SparkSession, target: str) -> DataFrame:
     """spark.read.table for catalog names, parquet for paths — the single
-    call sites in plans/* stay format-agnostic."""
-    if iceberg_available(spark) and "/" not in target:  # pragma: no cover
+    call sites in plans/* stay format-agnostic. Path detection matches
+    io.read_table (path separator or .parquet suffix)."""
+    if iceberg_available(spark) and not _is_path(target):  # pragma: no cover
         return spark.read.table(target)
     return spark.read.parquet(target)
 
@@ -95,7 +120,7 @@ def snapshot_id(spark: SparkSession, target: str) -> str:
     current snapshot id from the table's metadata (time-travel-stable);
     parquet fallback: the path itself (the manifest additionally scopes by
     bucket count — sources/manifest.py)."""
-    if iceberg_available(spark) and "/" not in target:  # pragma: no cover
+    if iceberg_available(spark) and not _is_path(target):  # pragma: no cover
         row = spark.sql(
             f"SELECT snapshot_id FROM {target}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).first()

@@ -23,14 +23,20 @@ def test_iceberg_confs_shape():
     assert args.count("--conf ") == 4 and "spark.sql.catalog.ooe=" in args
 
 
-def test_parquet_fallback_roundtrip(spark, tmp_path):
+def test_parquet_fallback_roundtrip_hash_buckets(spark, tmp_path):
     assert iceberg_available(spark) is False  # no runtime jar in this container
     df = spark.createDataFrame(
-        [(1, "a", 0), (2, "b", 1), (3, "c", 0)], "id int, v string, bucket int"
+        [(i, f"http://e.x/{i}") for i in range(40)], "id int, url string"
     )
     target = str(tmp_path / "t")
-    assert write_table_any(spark, df, target, bucket_col="bucket") == "parquet"
+    # bucket_col is a RAW high-cardinality column: the parquet branch must
+    # hash it into n_buckets partitions, NOT one directory per value
+    assert write_table_any(spark, df, target, bucket_col="url", n_buckets=4) == "parquet"
+    import os
+
+    dirs = [d for d in os.listdir(target) if d.startswith("url_bucket=")]
+    assert 1 <= len(dirs) <= 4
     back = read_table_any(spark, target)
-    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
-    assert "bucket" in back.columns  # partition layout survived
+    assert back.count() == 40 and "url_bucket" in back.columns
+    assert back.select("url_bucket").distinct().count() <= 4
     assert snapshot_id(spark, target) == target  # path-as-lineage fallback

@@ -222,3 +222,45 @@ def test_fixture_contains_real_codecs_and_features_cover_them(spark, media):
     assert png_ids and wav_ids
     for i in png_ids + wav_ids:
         assert feats[i].error is None and feats[i].byte_mean is not None
+
+
+def test_png_decompression_bomb_rejected():
+    """A crafted IDAT inflating far past the declared raster must surface as
+    an in-band error, not an allocation blow-up (review r2)."""
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)  # declares 3x3 gray
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    bomb = _z.compress(bytes(50_000_000))  # inflates to 50 MB against 12 B declared
+    png = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    meta = decode_meta(png)
+    assert meta["error"] is not None and "decode-error" in meta["error"]
+    # absurd declared dimensions are rejected before any inflation
+    big_ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    png2 = PNG_SIG + chunk(b"IHDR", big_ihdr) + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
+    meta2 = decode_meta(png2)
+    assert meta2["error"] is not None and "too large" in meta2["error"]
+
+
+def test_ivf_build_ignores_null_vectors(spark, tmp_path):
+    """NULL/empty vectors must neither crash centroid sampling nor land in a
+    NULL-cell partition (review r2)."""
+    from ocr_output_evaluation_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_top_k_indexed,
+    )
+
+    rows = [(i, [float(i), 1.0]) for i in range(12)] + [(90, None), (91, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_null")
+    build_ivf_index(spark, df, "embedding", "vec_id", path, n_cells=4, seed=1)
+    idx = spark.read.parquet(f"{path}/index")
+    assert idx.count() == 12  # null/empty rows excluded entirely
+    got = ivf_top_k_indexed(spark, path, [1.0, 1.0], k=3, n_probe=4)
+    assert len(got.collect()) == 3
