@@ -215,6 +215,90 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """ORACLE-GRADE banded MinHash-LSH: identical pipeline shape to
+    ``minhash_lsh_pairs`` (shingle explode → per-seed min-hash agg → band
+    keys → payload-free band self-join → dedup → signature verify) but the
+    hash family is ``md5(seed ':' shingle)`` compared as hex STRINGS — md5,
+    min-over-strings, and concat are bit-identical in DuckDB, so the whole
+    candidate generation is SQL-replayable end-to-end (the xxhash64 family
+    of the scale path is Spark-only and rows-only checked). Strings cost
+    ~4x the bytes of the 64-bit path: this variant is the CORRECTNESS
+    keel — the production path remains ``minhash_lsh_pairs``.
+    -> (id_a, id_b, est_jaccard) with id_a < id_b."""
+    rows_per_band = n_hashes // bands
+    c = F.col(text_col)
+    sh = (
+        df.filter(F.length(c) >= shingle_n)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(c) - F.lit(shingle_n - 1))
+            ).alias("_i"),
+            c.alias("_t"),
+        )
+        .select("_id", F.col("_t").substr(F.col("_i"), F.lit(shingle_n)).alias("_sh"))
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"_mh{i}")
+        for i in range(n_hashes)
+    ]
+    with_sig = sh.groupBy("_id").agg(*aggs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"_mh{i}")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = with_sig.select("_id", F.explode(band_structs).alias("bk")).select(
+        "_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a = band_rows.select("band", "bkey", F.col("_id").alias("id_a"))
+    b = band_rows.select("band", "bkey", F.col("_id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    sig_a = with_sig.select(
+        F.col("_id").alias("id_a"), *[F.col(f"_mh{i}").alias(f"_a{i}") for i in range(n_hashes)]
+    )
+    sig_b = with_sig.select(
+        F.col("_id").alias("id_b"), *[F.col(f"_mh{i}").alias(f"_b{i}") for i in range(n_hashes)]
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", agree.cast("double") / F.lit(float(n_hashes)))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (verification-grade, for candidate pairs or small sets)
 # ---------------------------------------------------------------------------

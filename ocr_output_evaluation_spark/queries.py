@@ -32,7 +32,12 @@ from .functions.text import (
     whitespace_token_count,
 )
 from .functions.valid import valid
-from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_dup_pairs
+from .operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_md5,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
 from .operators.histogram import histogram
 from .operators.salted import salted_group_stats
 from .operators.similarity import cosine_expr, lsh_top_k
@@ -1120,6 +1125,62 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def minhash_pairs_md5(spark, sf):
+    """Banded MinHash-LSH with the md5 hash family (dedup.py
+    minhash_lsh_pairs_md5) — the ORACLE-CHECKED LSH dedup path: DuckDB
+    replays shingling, per-seed min-md5 signatures, band keys, the band
+    self-join and the signature verification value-for-value. The xxhash64
+    production path (`minhash_pairs`) stays rows-only; this variant proves
+    the banded-LSH pipeline SHAPE against SQL semantics."""
+    d = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    out = minhash_lsh_pairs_md5(
+        d, "text", "doc_id", n_hashes=16, bands=4, shingle_n=5,
+        jaccard_threshold=0.25,
+    )
+    return out.select("id_a", "id_b", _r(F.col("est_jaccard")).alias("est_jaccard"))
+
+
+ORACLE_MINHASH_PAIRS_MD5 = """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND length(text) >= 5
+),
+sh AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+  FROM d, UNNEST(range(1, length(text) - 3)) AS t(i)
+),
+seeds AS (SELECT UNNEST(range(0, 16)) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS h
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bandkeys AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(h, '|' ORDER BY seed)) AS bkey
+  FROM mh GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.id_a, c.id_b, sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS n_agree
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(n_agree / 16.0, 6) AS est_jaccard
+FROM agree
+WHERE n_agree / 16.0 >= 0.25
+"""
+
+
 def cube_status_priority(spark, sf):
     """CUBE grouping sets (A12's full-lattice sibling: all four subsets
     including per-priority margins, one pass) over orders status×priority.
@@ -1816,6 +1877,7 @@ QUERIES = {
     "exact_dup_stats": exact_dup_stats,
     "ngram_jaccard_small": ngram_jaccard_small,
     "minhash_pairs": minhash_pairs,
+    "minhash_pairs_md5": minhash_pairs_md5,
     "simhash_pairs": simhash_pairs,
     "embedding_topk": embedding_topk,
     "lsh_ann_topk": lsh_ann_topk,
@@ -1874,6 +1936,7 @@ ORACLES = {
     "quality_scores": ORACLE_QUALITY_SCORES,
     "exact_dup_stats": ORACLE_EXACT_DUP,
     "ngram_jaccard_small": ORACLE_NGRAM_JACCARD,
+    "minhash_pairs_md5": ORACLE_MINHASH_PAIRS_MD5,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "salted_source_stats": ORACLE_SALTED_STATS,
     "sql_summary": SQL_SUMMARY,

@@ -357,3 +357,26 @@ def test_embedding_near_dup_hot_bucket_guard(spark):
         df, "v", "id", threshold=0.999, n_planes=8, seed=3, max_bucket=10_000
     )
     assert unguarded.count() == 3 + 30 * 29 // 2  # cap off -> hot pairs appear
+
+
+def test_minhash_md5_oracle_variant_finds_planted_dups(spark):
+    """The oracle-grade md5 LSH family must behave like the xxhash64 scale
+    path on planted near-dups (full correctness is the DuckDB oracle gate —
+    queries.minhash_pairs_md5)."""
+    from ocr_output_evaluation_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank where the old mill stands and the miller works all day long"
+    )
+    rows = [
+        (1, base),
+        (2, base + " indeed"),
+        (3, "a completely different text about spark shuffle exchanges and "
+            "broadcast joins in adaptive query execution plans at scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_lsh_pairs_md5(df, "text", "doc_id", jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
