@@ -469,6 +469,84 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash_near_dup_pairs_md5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """ORACLE-GRADE SimHash (the md5 twin of ``simhash_near_dup_pairs``,
+    same role as ``minhash_lsh_pairs_md5``): token hash = first 16 hex
+    digits of md5(token), bit j = bit (j mod 4) of hex digit (j div 4);
+    signature = 64-char '0'/'1' string (vote sums, bit set iff vote > 0);
+    candidates from ``max_hamming + 1`` contiguous 64/(h+1)-char band
+    equality (pigeonhole recall); verification = exact character hamming.
+    Every step is bit-identical in DuckDB (md5 hex, substr, string_agg),
+    so the full pipeline is SQL-replayable. Strings are ~8x the bytes of
+    the 64-bit scale path — verification-grade only.
+    -> (id_a, id_b, hamming) with id_a < id_b."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    ranges = [
+        (b * width, (b + 1) * width if b < n_bands - 1 else 64)
+        for b in range(n_bands)
+    ]
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(toks).alias("_tok")
+    ).select("_id", F.md5(F.col("_tok")).alias("_h"))
+    digit = lambda j: F.conv(F.substring(F.col("_h"), j // 4 + 1, 1), 16, 10).cast("int")  # noqa: E731
+    votes = exploded.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(digit(j), j % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = F.concat(
+        *[F.when(F.col(f"_v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
+    )
+    base = votes.select("_id", sig.alias("_sig"))
+    bands = base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(F.col("_sig"), lo + 1, hi - lo).alias("bkey"),
+                    )
+                    for b, (lo, hi) in enumerate(ranges)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bkey")
+    a = bands.select("band", "bkey", F.col("_id").alias("id_a"))
+    b = bands.select("band", "bkey", F.col("_id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = base.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sa"))
+    sig_b = base.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sb"))
+    ham = sum(
+        F.when(
+            F.substring(F.col("sa"), j + 1, 1) != F.substring(F.col("sb"), j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(64)
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -1181,6 +1181,63 @@ WHERE n_agree / 16.0 >= 0.25
 """
 
 
+def simhash_pairs_md5(spark, sf):
+    """SimHash near-dup pairs on the md5 hash family (dedup.py
+    simhash_near_dup_pairs_md5) — the ORACLE-CHECKED SimHash path: DuckDB
+    replays token md5s, per-bit vote sums, the 64-char bit-string
+    signature, 4x16-char band candidates and the exact hamming verify.
+    The xxhash64 production path (`simhash_pairs`) stays rows-only."""
+    from .operators.dedup import simhash_near_dup_pairs_md5
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    out = simhash_near_dup_pairs_md5(d, "text", "doc_id", max_hamming=3)
+    return out.select("id_a", "id_b", "hamming")
+
+
+ORACLE_SIMHASH_PAIRS_MD5 = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+t2 AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE length(tok) > 0),
+bits AS (
+  SELECT doc_id, j.j,
+         CASE WHEN ((strpos('0123456789abcdef',
+                            substr(h, CAST(j.j // 4 AS INT) + 1, 1)) - 1)
+                    // CAST(pow(2, j.j % 4) AS INT)) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM t2, (SELECT UNNEST(range(0, 64)) AS j) j
+),
+votes AS (SELECT doc_id, j, sum(vote) AS v FROM bits GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS s
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.b, substr(s, CAST(b.b * 16 AS INT) + 1, 16) AS bkey
+  FROM sig, (SELECT UNNEST(range(0, 4)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey
+  WHERE a.doc_id < c.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN substr(sa.s, CAST(p.p AS INT), 1)
+                   <> substr(sb.s, CAST(p.p AS INT), 1) THEN 1 ELSE 0 END) AS hamming
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b,
+  (SELECT UNNEST(range(1, 65)) AS p) p
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 3
+"""
+
+
 def cube_status_priority(spark, sf):
     """CUBE grouping sets (A12's full-lattice sibling: all four subsets
     including per-priority margins, one pass) over orders status×priority.
@@ -1879,6 +1936,7 @@ QUERIES = {
     "minhash_pairs": minhash_pairs,
     "minhash_pairs_md5": minhash_pairs_md5,
     "simhash_pairs": simhash_pairs,
+    "simhash_pairs_md5": simhash_pairs_md5,
     "embedding_topk": embedding_topk,
     "lsh_ann_topk": lsh_ann_topk,
     "salted_source_stats": salted_source_stats,
@@ -1937,6 +1995,7 @@ ORACLES = {
     "exact_dup_stats": ORACLE_EXACT_DUP,
     "ngram_jaccard_small": ORACLE_NGRAM_JACCARD,
     "minhash_pairs_md5": ORACLE_MINHASH_PAIRS_MD5,
+    "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "salted_source_stats": ORACLE_SALTED_STATS,
     "sql_summary": SQL_SUMMARY,

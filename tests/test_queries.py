@@ -380,3 +380,26 @@ def test_minhash_md5_oracle_variant_finds_planted_dups(spark):
              minhash_lsh_pairs_md5(df, "text", "doc_id", jaccard_threshold=0.5).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_simhash_md5_oracle_variant_finds_planted_dups(spark):
+    """The oracle-grade md5 SimHash family behaves like the xxhash64 scale
+    path on planted near-dups (full correctness is the DuckDB oracle gate —
+    queries.simhash_pairs_md5)."""
+    from ocr_output_evaluation_spark.operators.dedup import simhash_near_dup_pairs_md5
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank where the old mill stands and the miller works all day long"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("quiet", "silent")),
+        (3, "entirely unrelated words about catalyst optimizer rules and "
+            "whole stage codegen boundaries in modern query engines today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_near_dup_pairs_md5(df, "text", "doc_id", max_hamming=6).collect()}
+    assert (1, 2) in got
+    assert all(3 not in k for k in got)
