@@ -1,7 +1,7 @@
 """Local stand-in for the driver's correctness gate: run every queries()
 entry via Spark AND its oracle_sql() via DuckDB on the same sf dir, compare
 row count + column names + order-insensitive values. Exit non-zero on any
-mismatch. Usage: python tools/check_oracle.py [sf_dir] [name ...]
+mismatch. Usage: python tools/check_oracle.py [--strict] [sf_dir] [name ...]
 """
 
 from __future__ import annotations
@@ -60,9 +60,36 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     return issues
 
 
+def strict_issues(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Driver-hash emulation (`--strict`): the driver value-hashes the raw
+    stringified frames WITHOUT the dtype coercion `normalize` applies, so a
+    BIGINT on the Spark side vs a HUGEINT->float64 on the DuckDB side
+    stringifies as '1' vs '1.0' and red-flags even though values are equal
+    (exactly the round-1 `user_sessions` false negative this local gate
+    missed). Compare str()-rendered cells after a column-name sort and a
+    raw-value row sort."""
+    if sorted(a.columns) != sorted(b.columns):
+        return [f"columns differ: spark={sorted(a.columns)} oracle={sorted(b.columns)}"]
+    a = a.reindex(sorted(a.columns), axis=1)
+    b = b.reindex(sorted(b.columns), axis=1)
+
+    def render(df: pd.DataFrame) -> list[tuple]:
+        rows = [tuple("NULL" if pd.isna(v) else str(v) for v in r) for r in df.itertuples(index=False)]
+        return sorted(rows)
+
+    ra, rb = render(a), render(b)
+    if ra == rb:
+        return []
+    bad = [i for i, (x, y) in enumerate(zip(ra, rb)) if x != y][:1]
+    i = bad[0] if bad else 0
+    return [f"strict stringified mismatch at sorted-row {i}: spark={ra[i]} oracle={rb[i]}"]
+
+
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from ocr_output_evaluation_spark.queries import ORACLES, QUERIES
     from ocr_output_evaluation_spark.session import get_spark
@@ -93,6 +120,8 @@ def main() -> int:
             n_fail += 1
             continue
         issues = frames_equal(sdf, odf)
+        if not issues and strict:
+            issues = strict_issues(sdf, odf)
         if issues:
             n_fail += 1
             print(f"FAIL {name} ({len(sdf)} vs {len(odf)} rows):")
