@@ -21,6 +21,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join — the JOIN-side twin of ``salted_group_stats`` for
+    when the BUILD side is too large to broadcast and the probe side's join
+    key is skewed (one hot domain/key → one straggler task in a plain
+    shuffle join).
+
+    Probe side rows get salt = pmod(xxhash64(salt_col), S); the build side
+    is replicated S ways (explode of a salt sequence). The join key becomes
+    (key, salt), so a hot key's rows spread across S reduce tasks instead
+    of one. Cost: the build side shuffles S× its size — worth it exactly
+    when the hot key's row count dwarfs build_size × S (the usual shape:
+    fact-table skew against a mid-size dimension). Result-identical to the
+    plain join (oracle-checked: `salted_join_stats`); AQE's skew-join split
+    covers the same failure mode adaptively, this is the explicit,
+    deterministic form the north rule asks to be demonstrable.
+
+    ``how``: 'inner' or 'left' (left = probe side preserved)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).cast("int")
+    probe = big.withColumn("_salt", salt)
+    build = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    out = probe.join(build, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def salted_group_stats(
     df: DataFrame,
     keys: list[str],

@@ -900,6 +900,37 @@ WHERE o_orderpriority IS NOT NULL
 """
 
 
+def salted_join_stats(spark, sf):
+    """Salted equi-join (operators/salted.py salted_join): orders (probe,
+    salt on o_orderkey) against customer replicated n_salts ways, joined on
+    (custkey, salt) so a hot customer's orders spread across salt tasks —
+    result invariant to the salt, so the oracle is the PLAIN join: the skew
+    path's correctness is exactly this equality (same contract as
+    salted_source_stats)."""
+    from .operators.salted import salted_join
+
+    o = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice", "o_orderkey"
+    )
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(o, c, "custkey", salt_col="o_orderkey", n_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT c_mktsegment,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def sql_summary(spark, sf):
     """EP3/A9: the SQL exploration surface — the SAME SQL string the oracle
     runs is handed to spark.sql over registered temp views
@@ -1940,6 +1971,7 @@ QUERIES = {
     "embedding_topk": embedding_topk,
     "lsh_ann_topk": lsh_ann_topk,
     "salted_source_stats": salted_source_stats,
+    "salted_join_stats": salted_join_stats,
     "sql_summary": sql_summary,
     "sql_quality_matrix": sql_quality_matrix,
     "fingerprint_stats": fingerprint_stats,
@@ -1998,6 +2030,7 @@ ORACLES = {
     "simhash_pairs_md5": ORACLE_SIMHASH_PAIRS_MD5,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "salted_source_stats": ORACLE_SALTED_STATS,
+    "salted_join_stats": ORACLE_SALTED_JOIN,
     "sql_summary": SQL_SUMMARY,
     "sql_quality_matrix": SQL_QUALITY_MATRIX,
     "enrich_union_stats": ORACLE_ENRICH_UNION,

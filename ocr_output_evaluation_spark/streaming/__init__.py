@@ -1,5 +1,6 @@
 from .pipeline import (
     dedup_within_watermark,
+    enrich_stream_with_dim,
     read_web_pages_stream,
     running_lang_totals,
     stream_dedup_extraction,
@@ -9,6 +10,7 @@ from .pipeline import (
 
 __all__ = [
     "dedup_within_watermark",
+    "enrich_stream_with_dim",
     "read_web_pages_stream",
     "stream_dedup_extraction",
     "stream_extraction",

@@ -181,6 +181,17 @@ def windowed_lang_counts(
     )
 
 
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    the (batch) dimension table — Spark plans this as a per-batch join with
+    NO streaming state (the static side is re-scanned/broadcast per batch,
+    so dim updates between batches are picked up). The streaming twin of
+    the batch metadata-enrichment layer (J1 / metadata_loader.py:109-146).
+    Left join: pages with no dim row keep NULL enrichment — the stream must
+    never drop rows because a dimension is incomplete."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
 RUNNING_TOTALS_OUTPUT = T.StructType(
     [
         T.StructField("lang", T.StringType(), False),

@@ -250,3 +250,31 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_matches_plain_and_salts_the_key(spark):
+    """salted_join: result-identical to the plain join (incl. left rows with
+    no match) and the physical join condition carries the salt column."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.operators.salted import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(300) for k in (["hot"] if i % 2 == 0 else [f"k{i}"])],
+        "key string, row_id int",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k3", "B")], "key string, tag string"
+    )
+    got = salted_join(big, small, "key", salt_col="row_id", n_salts=4)
+    want = big.join(small, "key")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    left_got = salted_join(big, small, "key", salt_col="row_id", n_salts=4, how="left")
+    left_want = big.join(small, "key", "left")
+    assert sorted((r.key, r.row_id, r.tag) for r in left_got.collect()) == sorted(
+        (r.key, r.row_id, r.tag) for r in left_want.collect()
+    )
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the join really keys on (key, salt)

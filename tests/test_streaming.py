@@ -184,3 +184,39 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path):
     q2.awaitTermination()
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0].url == "http://r.example/1"
+
+
+def test_stream_static_enrichment_join(spark, source_dir, tmp_path):
+    """Stream-static join: each micro-batch enriches against a batch dim
+    table with NO streaming state; unmatched rows keep NULL enrichment."""
+    from ocr_output_evaluation_spark.streaming import enrich_stream_with_dim
+
+    dim = spark.createDataFrame(
+        [("en", "latin"), ("de", "latin"), ("zh", "cjk")], "lang string, script string"
+    )
+    stream = read_web_pages_stream(spark, source_dir)
+    enriched = enrich_stream_with_dim(
+        stream.select("url", "lang"), dim, on="lang"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_pages")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM enriched_pages").collect()
+    # N.B. source_dir is module-scoped and the resume test appends a second
+    # batch with re-seeded urls — enrichment must preserve EVERY stream row
+    # (left join), so only compare against the batch row count, not url
+    # uniqueness
+    n_src = spark.read.parquet(source_dir).count()
+    assert len(rows) == n_src and len(rows) > 0
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.script)
+    assert by_lang["en"] == {"latin"} and by_lang["zh"] == {"cjk"}
+    # langs absent from the dim (fr/es/bo fixtures) survive with NULL script
+    missing = set(by_lang) - {"en", "de", "zh"}
+    assert missing and all(by_lang[m] == {None} for m in missing)
