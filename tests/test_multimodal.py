@@ -264,3 +264,53 @@ def test_ivf_build_ignores_null_vectors(spark, tmp_path):
     assert idx.count() == 12  # null/empty rows excluded entirely
     got = ivf_top_k_indexed(spark, path, [1.0, 1.0], k=3, n_probe=4)
     assert len(got.collect()) == 3
+
+
+# ---------------------------------------------------------------------------
+# Codec fuzz (hypothesis): decode_meta is total; round-trips are exact
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_meta_total_on_arbitrary_bytes(payload):
+    """Any byte string — truncated headers, fake magics, garbage chunk
+    lengths — must come back as an in-band meta dict, never an exception."""
+    meta = decode_meta(payload)
+    assert set(meta) == {
+        "format", "width", "height", "n_channels", "sample_rate",
+        "n_samples", "n_frames", "payload_bytes", "error",
+    }
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_meta_total_on_corrupted_png(payload):
+    """PNG-signature-prefixed garbage exercises the chunk walker / inflate /
+    unfilter error paths; all must stay in-band."""
+    meta = decode_meta(PNG_SIG + payload)
+    assert meta["error"] is None or isinstance(meta["error"], str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_fuzz(w, h, c, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    meta, back = decode_png(encode_png(arr))
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (w, h, c)
+    assert np.array_equal(back, arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=1, max_size=600), st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_fuzz(pcm, sr):
+    meta, body = decode_wav(encode_wav(pcm, sr))
+    assert meta["sample_rate"] == sr and meta["n_samples"] == len(pcm)
+    assert body.tobytes() == pcm
