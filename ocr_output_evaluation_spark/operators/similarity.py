@@ -396,12 +396,50 @@ def sample_centroids(
 
 def route_to_cells(df: DataFrame, vec_col: str, cents: list[list[float]]) -> DataFrame:
     """Assign every vector to its most-cosine-similar centroid as a `_cell`
-    INT column. One array of per-cell similarities materialized via
-    withColumn (single evaluation), argmax = array_position of the max
-    (ties -> first cell, deterministic). NOT a chained when(d < best_d)
-    fold: that embeds the running best twice per step -> a 2^n_cells
-    expression tree (took 40s to plan+run at n_cells=8; this form is
-    linear)."""
+    INT column (ties -> first cell; NULL/empty/zero/wrong-dim vectors ->
+    NULL cell). Arrow-numpy path: one mapInPandas batch matmul against the
+    (tiny, task-closure) centroid matrix — the higher-order-function
+    cosine array this replaced ran n_cells interpreted folds per row, the
+    same trap that cost minhash/hyperplane 2.4-8x before their rewrites
+    (parity with the expression form is pytest-pinned; the fixture has no
+    cosine ties, and both forms take the first argmax)."""
+    cmat = np.asarray(cents, dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0.0] = np.nan
+    cunit = cmat / cnorm[:, None]
+    dim = cmat.shape[1]
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField("_cell", T.IntegerType(), True)])
+
+    def route(batches):
+        for pdf in batches:
+            cells = []
+            for v in pdf[vec_col]:
+                if v is None or len(v) != dim:
+                    cells.append(None)
+                    continue
+                vec = np.asarray(v, dtype=np.float64)
+                n = np.linalg.norm(vec)
+                if n == 0.0:
+                    cells.append(None)
+                    continue
+                sims = cunit @ (vec / n)
+                if np.all(np.isnan(sims)):
+                    cells.append(None)
+                    continue
+                cells.append(int(np.nanargmax(sims)))
+            pdf = pdf.copy()
+            pdf["_cell"] = pd.Series(cells, dtype="Int32", index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(route, schema=out_schema)
+
+
+def route_to_cells_expr(df: DataFrame, vec_col: str, cents: list[list[float]]) -> DataFrame:
+    """Expression-form twin of ``route_to_cells`` (kept as the parity
+    reference): per-cell cosine array via withColumn (single evaluation),
+    argmax = array_position of the max — NOT a chained when(d < best_d)
+    fold, which embeds the running best twice per step -> a 2^n_cells
+    expression tree (took 40s to plan+run at n_cells=8)."""
     sims = F.array(
         *[
             cosine_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))

@@ -117,3 +117,34 @@ def test_ivf_index_layout_partitioned_by_cell(spark, sf_dir, tmp_path):
     assert 1 <= len(cells) <= 4
     cents = spark.read.parquet(f"{path}/centroids")
     assert cents.count() == 4
+
+
+def test_route_to_cells_np_matches_expression_form(spark, sf_dir):
+    """The Arrow-numpy routing must assign the same cell as the expression
+    form for every vector, including NULL/empty/zero/wrong-dim edge rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.operators.similarity import (
+        route_to_cells,
+        route_to_cells_expr,
+        sample_centroids,
+    )
+
+    e = _emb(spark, sf_dir).limit(150)
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, []),
+            (9003, [0.0] * 64),
+            (9004, [1.0, 2.0]),  # wrong dim
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    df = e.select("vec_id", "embedding").unionByName(edge)
+    cents = sample_centroids(df, "embedding", "vec_id", 6, seed=11)
+    got = {r.vec_id: r._cell for r in route_to_cells(df, "embedding", cents).collect()}
+    want = {
+        r.vec_id: r._cell for r in route_to_cells_expr(df, "embedding", cents).collect()
+    }
+    assert got == want and len(got) == 154
+    assert got[9001] is None and got[9002] is None and got[9003] is None and got[9004] is None
