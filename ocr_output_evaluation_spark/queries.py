@@ -968,15 +968,18 @@ def sql_quality_matrix(spark, sf):
 
 def fingerprint_stats(spark, sf):
     """Document fingerprinting (rolling polynomial hash over a 128-char
-    prefix, pure array expressions — functions/text.py) per lang: collision
-    behavior + hash range. Oracle: DuckDB recursive-CTE power table + per-char
-    UNNEST replay of the fold (ORACLE_FINGERPRINT_STATS)."""
-    from .functions.text import rolling_fingerprint
+    prefix) per lang: collision behavior + hash range. Scale path: the
+    codegen posexplode→agg form (functions/text.rolling_fingerprints —
+    interpreted-HOF fold kept only as the parity reference). Oracle: DuckDB
+    recursive-CTE power table + per-char UNNEST replay
+    (ORACLE_FINGERPRINT_STATS)."""
+    from .functions.text import rolling_fingerprints
 
     d = t(spark, sf, "documents")
-    fp = rolling_fingerprint(F.col("text"))
+    fps = rolling_fingerprints(d, F.col("text"), "doc_id")
     return (
-        d.select("lang", fp.alias("fp"))
+        d.select("doc_id", "lang")
+        .join(fps, "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

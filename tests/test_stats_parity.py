@@ -273,3 +273,27 @@ def test_approx_group_stats_within_tolerance(spark, sf_dir):
             # rank error <= n/accuracy; translate to a loose value tolerance
             assert abs(got - want) / max(abs(want), 1e-9) < 0.05, (p, got, want)
         assert abs(a.approx_nd_l_orderkey - e.nd) / e.nd < 0.08  # rsd=0.02, 4 sigma
+
+
+def test_rolling_fingerprints_codegen_parity(spark, sf_dir):
+    """The posexplode->agg fingerprint path must equal the interpreted
+    F.aggregate fold for every doc, incl. empty/NULL text edge rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.functions.text import (
+        rolling_fingerprint,
+        rolling_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, None), (90003, "x" * 300)], "doc_id long, text string"
+    )
+    df = docs.unionByName(edge)
+    want = {
+        r.doc_id: r.fp
+        for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    got = {r.doc_id: r.fp for r in rolling_fingerprints(df, F.col("text"), "doc_id").collect()}
+    assert got == want
+    assert got[90001] == 0 and got[90002] is None
