@@ -124,15 +124,18 @@ def build_ivf_index(
 ) -> None:
     """One corpus pass: deterministic centroids, nearest-centroid routing,
     write ``{path}/index`` partitioned by cell + ``{path}/centroids``.
-    NULL/empty vectors are excluded like the LSH build — they have no
-    searchable direction and would otherwise land in a NULL-cell partition
-    no probe ever reads (review r2)."""
+    Unroutable vectors — NULL/empty, zero-norm, wrong-dim (NULL ``_cell``
+    from route_to_cells) — are excluded entirely: they have no searchable
+    direction and would otherwise land in a NULL-cell partition no probe
+    ever reads (review r2 + r2-b)."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).filter(
         F.col("vec").isNotNull() & (F.size("vec") > 0)
     )
     cents = sample_centroids(base, "vec", "id", n_cells, seed)
-    routed = route_to_cells(base, "vec", cents).select(
-        "id", "vec", F.col("_cell").alias("cell")
+    routed = (
+        route_to_cells(base, "vec", cents)
+        .filter(F.col("_cell").isNotNull())
+        .select("id", "vec", F.col("_cell").alias("cell"))
     )
     routed.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/index")
     spark.createDataFrame(

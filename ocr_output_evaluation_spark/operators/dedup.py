@@ -223,16 +223,21 @@ def minhash_lsh_pairs_md5(
     bands: int = 4,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 200,
+    cache: bool = True,
 ) -> DataFrame:
     """ORACLE-GRADE banded MinHash-LSH: identical pipeline shape to
     ``minhash_lsh_pairs`` (shingle explode → per-seed min-hash agg → band
-    keys → payload-free band self-join → dedup → signature verify) but the
-    hash family is ``md5(seed ':' shingle)`` compared as hex STRINGS — md5,
-    min-over-strings, and concat are bit-identical in DuckDB, so the whole
-    candidate generation is SQL-replayable end-to-end (the xxhash64 family
-    of the scale path is Spark-only and rows-only checked). Strings cost
-    ~4x the bytes of the 64-bit path: this variant is the CORRECTNESS
-    keel — the production path remains ``minhash_lsh_pairs``.
+    keys → degenerate-bucket guard → payload-free band self-join → dedup →
+    signature verify) but the hash family is ``md5(seed ':' shingle)``
+    compared as hex STRINGS — md5, min-over-strings, and concat are
+    bit-identical in DuckDB, so the whole candidate generation INCLUDING
+    the ``max_bucket`` guard is SQL-replayable end-to-end (the xxhash64
+    family of the scale path is Spark-only and rows-only checked). Strings
+    cost ~4x the bytes of the 64-bit path: this variant is the CORRECTNESS
+    keel — the production path remains ``minhash_lsh_pairs``. ``cache``
+    persists the signature frame referenced from four plan branches (same
+    contract as the production twin: never unpersisted here).
     -> (id_a, id_b, est_jaccard) with id_a < id_b."""
     rows_per_band = n_hashes // bands
     c = F.col(text_col)
@@ -252,6 +257,8 @@ def minhash_lsh_pairs_md5(
         for i in range(n_hashes)
     ]
     with_sig = sh.groupBy("_id").agg(*aggs)
+    if cache:
+        with_sig = with_sig.persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -272,6 +279,11 @@ def minhash_lsh_pairs_md5(
     band_rows = with_sig.select("_id", F.explode(band_structs).alias("bk")).select(
         "_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    # same degenerate-bucket guard as the production twin (boilerplate-
+    # identical docs -> quadratic pairs); replayed in the oracle SQL
+    bucket_sizes = band_rows.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
+    bad = bucket_sizes.filter(F.col("bn") > max_bucket).select("band", "bkey")
+    band_rows = band_rows.join(F.broadcast(bad), ["band", "bkey"], "left_anti")
     a = band_rows.select("band", "bkey", F.col("_id").alias("id_a"))
     b = band_rows.select("band", "bkey", F.col("_id").alias("id_b"))
     pairs = (
@@ -474,16 +486,21 @@ def simhash_near_dup_pairs_md5(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    max_bucket: int = 200,
+    cache: bool = True,
 ) -> DataFrame:
     """ORACLE-GRADE SimHash (the md5 twin of ``simhash_near_dup_pairs``,
     same role as ``minhash_lsh_pairs_md5``): token hash = first 16 hex
     digits of md5(token), bit j = bit (j mod 4) of hex digit (j div 4);
     signature = 64-char '0'/'1' string (vote sums, bit set iff vote > 0);
     candidates from ``max_hamming + 1`` contiguous 64/(h+1)-char band
-    equality (pigeonhole recall); verification = exact character hamming.
-    Every step is bit-identical in DuckDB (md5 hex, substr, string_agg),
-    so the full pipeline is SQL-replayable. Strings are ~8x the bytes of
-    the 64-bit scale path — verification-grade only.
+    equality (pigeonhole recall) with the same ``max_bucket`` degenerate-
+    bucket guard as the production twin (replayed in the oracle SQL);
+    verification = exact character hamming. Every step is bit-identical in
+    DuckDB (md5 hex, substr, string_agg), so the full pipeline is
+    SQL-replayable. Strings are ~8x the bytes of the 64-bit scale path —
+    verification-grade only. ``cache`` persists the 64-column vote
+    aggregation referenced from four plan branches.
     -> (id_a, id_b, hamming) with id_a < id_b."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -508,6 +525,8 @@ def simhash_near_dup_pairs_md5(
         *[F.when(F.col(f"_v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(64)]
     )
     base = votes.select("_id", sig.alias("_sig"))
+    if cache:
+        base = base.persist()
     bands = base.select(
         "_id",
         F.explode(
@@ -522,6 +541,9 @@ def simhash_near_dup_pairs_md5(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.bkey")
+    sizes = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
+    bad = sizes.filter(F.col("bn") > max_bucket).select("band", "bkey")
+    bands = bands.join(F.broadcast(bad), ["band", "bkey"], "left_anti")
     a = bands.select("band", "bkey", F.col("_id").alias("id_a"))
     b = bands.select("band", "bkey", F.col("_id").alias("id_b"))
     pairs = (

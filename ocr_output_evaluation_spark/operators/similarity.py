@@ -403,32 +403,49 @@ def route_to_cells(df: DataFrame, vec_col: str, cents: list[list[float]]) -> Dat
     same trap that cost minhash/hyperplane 2.4-8x before their rewrites
     (parity with the expression form is pytest-pinned; the fixture has no
     cosine ties, and both forms take the first argmax)."""
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField("_cell", T.IntegerType(), True)])
+    if not cents:
+        # an all-NULL/empty corpus samples zero centroids: nothing can route
+        # anywhere — every row gets a NULL cell (the expression form's
+        # graceful degradation), no crash (review r2-b)
+        return df.withColumn("_cell", F.lit(None).cast("int"))
+    if len({len(c) for c in cents}) != 1:
+        raise ValueError(
+            f"route_to_cells: centroids must share one dimension, got "
+            f"{sorted({len(c) for c in cents})} — filter the corpus to one "
+            "embedding dim (corpus_dim) before sampling centroids"
+        )
     cmat = np.asarray(cents, dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
     cnorm[cnorm == 0.0] = np.nan
     cunit = cmat / cnorm[:, None]
     dim = cmat.shape[1]
-    out_schema = T.StructType(list(df.schema.fields) + [T.StructField("_cell", T.IntegerType(), True)])
 
     def route(batches):
+        # batched like brute_force_top_k_np: collect valid rows, ONE stack +
+        # ONE matmul per Arrow batch, scatter back — a per-row loop of tiny
+        # BLAS calls gives most of the win back at low dims (review r2-b)
         for pdf in batches:
-            cells = []
-            for v in pdf[vec_col]:
-                if v is None or len(v) != dim:
-                    cells.append(None)
-                    continue
-                vec = np.asarray(v, dtype=np.float64)
-                n = np.linalg.norm(vec)
-                if n == 0.0:
-                    cells.append(None)
-                    continue
-                sims = cunit @ (vec / n)
-                if np.all(np.isnan(sims)):
-                    cells.append(None)
-                    continue
-                cells.append(int(np.nanargmax(sims)))
+            vecs = list(pdf[vec_col])
+            good = [
+                i for i, v in enumerate(vecs) if v is not None and len(v) == dim
+            ]
+            cells = np.full(len(vecs), -1, dtype=np.int64)
+            if good:
+                mat = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in good])
+                norms = np.linalg.norm(mat, axis=1)
+                ok = norms > 0.0
+                sims = (mat[ok] / norms[ok][:, None]) @ cunit.T
+                all_nan = np.all(np.isnan(sims), axis=1)
+                best = np.full(sims.shape[0], -1, dtype=np.int64)
+                if sims.size:
+                    safe = ~all_nan
+                    if safe.any():
+                        best[safe] = np.nanargmax(sims[safe], axis=1)
+                cells[np.asarray(good, dtype=np.int64)[ok]] = best
             pdf = pdf.copy()
-            pdf["_cell"] = pd.Series(cells, dtype="Int32", index=pdf.index)
+            out = pd.Series(cells, index=pdf.index).astype("Int32")
+            pdf["_cell"] = out.mask(out < 0)
             yield pdf
 
     return df.mapInPandas(route, schema=out_schema)

@@ -1197,9 +1197,16 @@ bandkeys AS (
          md5(string_agg(h, '|' ORDER BY seed)) AS bkey
   FROM mh GROUP BY doc_id, seed // 4
 ),
+-- degenerate-bucket guard, replayed: buckets over 200 rows are dropped
+good AS (
+  SELECT bk.* FROM bandkeys bk
+  JOIN (SELECT band, bkey, count(*) AS bn FROM bandkeys GROUP BY 1, 2) s
+    ON s.band = bk.band AND s.bkey = bk.bkey
+  WHERE s.bn <= 200
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bkey = b.bkey
+  FROM good a JOIN good b ON a.band = b.band AND a.bkey = b.bkey
   WHERE a.doc_id < b.doc_id
 ),
 agree AS (
@@ -1252,9 +1259,16 @@ bands AS (
   SELECT doc_id, b.b, substr(s, CAST(b.b * 16 AS INT) + 1, 16) AS bkey
   FROM sig, (SELECT UNNEST(range(0, 4)) AS b) b
 ),
+-- degenerate-bucket guard, replayed: buckets over 200 rows are dropped
+good AS (
+  SELECT bk.* FROM bands bk
+  JOIN (SELECT b, bkey, count(*) AS bn FROM bands GROUP BY 1, 2) s
+    ON s.b = bk.b AND s.bkey = bk.bkey
+  WHERE s.bn <= 200
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-  FROM bands a JOIN bands c ON a.b = c.b AND a.bkey = c.bkey
+  FROM good a JOIN good c ON a.b = c.b AND a.bkey = c.bkey
   WHERE a.doc_id < c.doc_id
 ),
 ham AS (

@@ -93,7 +93,11 @@ def write_table_any(
     from pyspark.sql import functions as F
 
     if bucket_col and bucket_col in df.columns:
-        pcol = f"{bucket_col}_bucket"
+        # underscore prefix = engine-internal layout column: Iceberg's
+        # bucket transform is HIDDEN partitioning, so the parquet twin's
+        # partition column must not leak into the logical schema either —
+        # read_table_any strips _bucket_* on read (review r2-b)
+        pcol = f"_bucket_{bucket_col}"
         df = df.withColumn(
             pcol, F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
         )
@@ -109,10 +113,15 @@ def write_table_any(
 def read_table_any(spark: SparkSession, target: str) -> DataFrame:
     """spark.read.table for catalog names, parquet for paths — the single
     call sites in plans/* stay format-agnostic. Path detection matches
-    io.read_table (path separator or .parquet suffix)."""
+    io.read_table (path separator or .parquet suffix). ``_bucket_*``
+    columns (write_table_any's parquet stand-in for Iceberg's hidden bucket
+    partitioning) are stripped so both branches expose the SAME logical
+    schema; partition pruning on them still applies before the projection."""
     if iceberg_available(spark) and not _is_path(target):  # pragma: no cover
         return spark.read.table(target)
-    return spark.read.parquet(target)
+    df = spark.read.parquet(target)
+    internal = [c for c in df.columns if c.startswith("_bucket_")]
+    return df.drop(*internal) if internal else df
 
 
 def snapshot_id(spark: SparkSession, target: str) -> str:

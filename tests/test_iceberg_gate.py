@@ -34,9 +34,10 @@ def test_parquet_fallback_roundtrip_hash_buckets(spark, tmp_path):
     assert write_table_any(spark, df, target, bucket_col="url", n_buckets=4) == "parquet"
     import os
 
-    dirs = [d for d in os.listdir(target) if d.startswith("url_bucket=")]
+    dirs = [d for d in os.listdir(target) if d.startswith("_bucket_url=")]
     assert 1 <= len(dirs) <= 4
     back = read_table_any(spark, target)
-    assert back.count() == 40 and "url_bucket" in back.columns
-    assert back.select("url_bucket").distinct().count() <= 4
+    # schema parity with the Iceberg branch (hidden partitioning): the
+    # internal layout column is stripped on read
+    assert back.count() == 40 and set(back.columns) == {"id", "url"}
     assert snapshot_id(spark, target) == target  # path-as-lineage fallback
