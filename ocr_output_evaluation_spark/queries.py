@@ -1638,6 +1638,25 @@ def media_features_report(spark, sf):
     )
 
 
+def media_frame_sample_report(spark, sf):
+    """The row-EXPANDING multimodal op (mapInPandas as a UDTF: one video in,
+    k frame rows out — multimodal/media.py sample_frames) summarized per
+    video-size class. Rows-only: fixture media + mapInPandas. Frame-slice
+    exactness is pytest-golden (tests/test_multimodal.py)."""
+    from .multimodal import media_df, sample_frames
+
+    m = media_df(spark, 200, partitions=4)
+    frames = sample_frames(m, every_k=2)
+    return (
+        frames.groupBy("width", "height")
+        .agg(
+            F.countDistinct("media_id").alias("n_videos"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).alias("frame_bytes"),
+        )
+    )
+
+
 def train_lm(spark, sf):
     """LM training in-engine: per-lang char-trigram add-one-smoothed log
     probabilities derived from the corpus (replaces the reference's
@@ -2013,6 +2032,7 @@ QUERIES = {
     "train_lm": train_lm,
     "perplexity_report": perplexity_report,
     "media_features_report": media_features_report,
+    "media_frame_sample_report": media_frame_sample_report,
     "streaming_extraction_report": streaming_extraction_report,
 }
 
