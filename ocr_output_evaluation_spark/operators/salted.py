@@ -67,8 +67,24 @@ def salted_group_stats(
     ``keys``, salted on xxhash64(salt_col) % n_salts.
 
     Output: keys..., n, sum, mean, min, max, var_samp, std (ddof=1).
-    Exactly equal (up to float addition order) to a direct groupBy —
-    verified against the oracle in tests."""
+
+    Variance merges CENTRAL moments (Chan/Welford partials), not raw
+    sum-of-squares: each salted partial carries (pn, pmean, pM2) where
+    pM2 = Σ(v − pmean)² comes from Spark's own numerically-stable
+    var_pop accumulator, and phase 2 merges them as
+
+        M2 = Σ pM2_i + Σ pn_i · (pmean_i − mean)²
+
+    The raw form ((Σv² − n·mean²)/(n−1)) cancels catastrophically when
+    |mean| ≫ stddev — at 100 TB magnitudes (e.g. epoch-microsecond
+    values) Σv² carries ~16 significant digits of offset and none of
+    spread (VERDICT r2 item 3; precision parity test pins a +1e12 offset).
+    The cross-partial term needs the grand mean before the final fold, so
+    it is computed by a window over the (tiny: keys × n_salts rows)
+    partial frame; the window and the final groupBy share the same hash
+    partitioning, so no extra exchange is introduced."""
+    from pyspark.sql import Window
+
     from ..functions.valid import valid
 
     v = valid(value_col)
@@ -79,21 +95,30 @@ def salted_group_stats(
         .agg(
             F.count("_v").alias("pn"),
             F.sum("_v").alias("ps"),
-            F.sum(F.col("_v") * F.col("_v")).alias("pss"),
+            F.avg("_v").alias("pmean"),
+            # central second moment of the partial; var_pop is 0.0 at pn=1
+            # and NULL at pn=0 (all-invalid group)
+            (F.var_pop("_v") * F.count("_v")).alias("pm2"),
             F.min("_v").alias("pmin"),
             F.max("_v").alias("pmax"),
         )
     )
+    w = Window.partitionBy(*keys)
+    gn = F.sum("pn").over(w)
+    # ANSI mode: guard the all-invalid-key case (gn = 0) or the job aborts
+    gmean = F.when(gn > 0, F.sum("ps").over(w) / gn)
+    d = F.col("pmean") - F.col("_gmean")
+    merged = partial.withColumn("_gmean", gmean)
     n = F.sum("pn")
-    s = F.sum("ps")
-    ss = F.sum("pss")
-    mean = s / n
-    # sample variance from merged moments: (ss - n*mean^2) / (n-1)
-    var = F.when(n > 1, (ss - n * mean * mean) / (n - F.lit(1)))
-    return partial.groupBy(*keys).agg(
+    var = F.when(
+        n > 1,
+        F.sum(F.coalesce(F.col("pm2"), F.lit(0.0)) + F.coalesce(F.col("pn") * d * d, F.lit(0.0)))
+        / (n - F.lit(1)),
+    )
+    return merged.groupBy(*keys).agg(
         n.alias("n"),
-        s.alias("sum"),
-        (F.sum("ps") / F.sum("pn")).alias("mean"),
+        F.sum("ps").alias("sum"),
+        F.min("_gmean").alias("mean"),
         F.min("pmin").alias("min"),
         F.max("pmax").alias("max"),
         var.alias("var_samp"),

@@ -306,11 +306,19 @@ def hyperplane_signatures_multi(
     ``hyperplane_signature`` expression runs n_planes interpreted
     F.aggregate folds per row per band (the interpreted-HOF trap that cost
     minhash 8x before its explode->agg rewrite; VERDICT r1 item 5). Bit
-    parity with the expression form is exact: the plane component is the
-    same xxhash64(seed, plane, dim) expression over the same INT dim index
-    (posexplode's pos ≡ sequence(0, size-1) elements), and each doc's
-    exploded rows stay inside one input partition, so the float projection
-    sums accumulate in array order on both paths.
+    parity with the expression form holds at test scale (pytest-pinned):
+    the plane component is the same xxhash64(seed, plane, dim) expression
+    over the same INT dim index (posexplode's pos ≡ sequence(0, size-1)
+    elements), and with in-memory hash aggregation each doc's exploded rows
+    accumulate in array order inside one partition. It is NOT contractual
+    at cluster scale: under memory pressure HashAggregateExec falls back to
+    sort-based aggregation and may merge several partials per doc in a
+    different float-addition order, so a projection sitting at ±1 ulp of
+    zero could flip a bit vs the expression form (ADVICE r2). Every
+    consumer (banding, bucketed probes) already treats signatures as
+    approximate — a flipped borderline bit costs one candidate, never
+    correctness — which is also why this family is rows-only at the oracle
+    gate (dedup.py embedding_near_dup_pairs docstring).
 
     Rows with NULL/empty vectors produce no exploded rows and DROP OUT
     (the expression form gives them sig 0 / NULL); they carry no searchable
@@ -351,6 +359,45 @@ def query_bucket(spark, query: list[float], n_planes: int = 12, seed: int = 42) 
     return df.select(hyperplane_signature(F.col("v"), n_planes, seed).alias("b")).collect()[0].b
 
 
+def _lsh_candidates(
+    spark,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Rows of ``df`` whose hyperplane signature lands in the query's LSH
+    bucket (plus single-bit-flip neighbor buckets when multiprobe > 0).
+
+    Signatures come from the codegen ``hyperplane_signatures`` frame (one
+    posexplode + one hash aggregation) semi-joined back on the id — NOT the
+    per-row ``hyperplane_signature`` expression, which ran n_planes
+    interpreted F.aggregate folds over every corpus row (this was the last
+    full-corpus-scan caller of the interpreted form; VERDICT r2 item 2 —
+    the same rewrite measured 2.4-8x on the other signature paths). The
+    semi-join is left unhinted: the filtered id side is usually a tiny
+    bucket sample and AQE converts it to a broadcast join at runtime, but
+    a forced broadcast would be wrong at corpus scale (a multiprobe bucket
+    set over 10^12 docs can still hold billions of ids). NULL/empty
+    vectors drop out of the signature frame instead of all hashing to
+    bucket 0; they could never carry a non-NULL cosine anyway (parity
+    pytest-pinned vs the expression form)."""
+    qb = query_bucket(spark, query, n_planes, seed)
+    buckets = {qb}
+    if multiprobe > 0:
+        for j in range(n_planes):
+            buckets.add(qb ^ (1 << j))
+    cand_ids = (
+        hyperplane_signatures(df, vec_col, id_col, n_planes=n_planes, seed=seed)
+        .filter(F.col("_sig").isin(list(buckets)))
+        .select(F.col("_id").alias(id_col))
+    )
+    return df.join(cand_ids, id_col, "left_semi")
+
+
 def lsh_top_k(
     spark,
     df: DataFrame,
@@ -362,15 +409,12 @@ def lsh_top_k(
     seed: int = 42,
     multiprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k: restrict to the query's LSH bucket (plus single-bit-flip
-    neighbor buckets when multiprobe > 0), then exact cosine top-k."""
-    qb = query_bucket(spark, query, n_planes, seed)
-    buckets = {qb}
-    if multiprobe > 0:
-        for j in range(n_planes):
-            buckets.add(qb ^ (1 << j))
-    sig = hyperplane_signature(F.col(vec_col), n_planes, seed)
-    cand = df.withColumn("_b", sig).filter(F.col("_b").isin(list(buckets)))
+    """ANN top-k: restrict to the query's LSH bucket via ``_lsh_candidates``
+    (codegen signature path), then exact cosine top-k."""
+    cand = _lsh_candidates(
+        spark, df, vec_col, id_col, query, n_planes=n_planes, seed=seed,
+        multiprobe=multiprobe,
+    )
     return brute_force_top_k(cand, vec_col, id_col, query, k)
 
 

@@ -344,6 +344,93 @@ def svg_compare_panels(
     return "\n".join(parts)
 
 
+def svg_scatter_trend(
+    points: list[tuple[float, float, str]],
+    slope: float,
+    intercept: float,
+    r: float,
+    title: str,
+    x_label: str = "x",
+    y_label: str = "y",
+    width: int = 720,
+    height: int = 400,
+) -> str:
+    """Scatter with a least-squares trend line — the reference's
+    conf-vs-perplexity scatter (/root/reference/analyze_buckets.py:190-214,
+    visualize.py:232-330). The DATA side stays distributed: ``points`` is a
+    deterministic small sample (hash-order-limit, the R1 pattern) while
+    slope/intercept/r come from the full-data closed-form aggregates
+    (corr_trend — oracle-checked), exactly like the reference fits
+    np.polyfit on all rows and plots a subset. ``points``: (x, y, label);
+    single hue, trend carried by dash + annotation, never color alone."""
+    ml, mr, mt, mb = 64, 16, 44, 48
+    pw, ph = width - ml - mr, height - mt - mb
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points]
+    xlo, xhi = (min(xs), max(xs)) if xs else (0.0, 1.0)
+    ylo, yhi = (min(ys), max(ys)) if ys else (0.0, 1.0)
+    xspan = (xhi - xlo) or 1.0
+    yspan = (yhi - ylo) or 1.0
+
+    def sx(v: float) -> float:
+        return ml + (v - xlo) / xspan * pw
+
+    def sy(v: float) -> float:
+        return mt + ph - (v - ylo) / yspan * ph
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {width} {height}" '
+        f'role="img" aria-label="{_esc(title)}">',
+        _style(),
+        f'<rect class="surface" width="{width}" height="{height}"/>',
+        f'<text class="ink" x="{ml}" y="22" font-size="14" font-weight="600">{_esc(title)}</text>',
+    ]
+    for t in range(5):
+        yv = ylo + yspan * t / 4
+        y = sy(yv)
+        parts.append(
+            f'<line class="grid" x1="{ml}" y1="{y:.1f}" x2="{width - mr}" y2="{y:.1f}" stroke-width="1"/>'
+        )
+        parts.append(
+            f'<text class="ink2" x="{ml - 6}" y="{y + 4:.1f}" font-size="11" text-anchor="end">{yv:g}</text>'
+        )
+    for frac in (0.0, 0.5, 1.0):
+        xv = xlo + xspan * frac
+        parts.append(
+            f'<text class="ink2" x="{sx(xv):.1f}" y="{height - mb + 16}" font-size="11" '
+            f'text-anchor="middle">{xv:g}</text>'
+        )
+    for x, y, label in points:
+        parts.append(
+            f'<circle class="series" cx="{sx(x):.2f}" cy="{sy(y):.2f}" r="3.5" '
+            f'fill-opacity="0.55"><title>{_esc(label)}: ({x:g}, {y:g})</title></circle>'
+        )
+    # trend segment clipped to the visible x-range (dash pattern + the r/fit
+    # annotation carry the meaning, matching the vline convention)
+    y0, y1 = intercept + slope * xlo, intercept + slope * xhi
+    parts.append(
+        f'<line class="vline" x1="{sx(xlo):.1f}" y1="{sy(y0):.1f}" '
+        f'x2="{sx(xhi):.1f}" y2="{sy(y1):.1f}" stroke-width="1.5" '
+        f'stroke-dasharray="6 4"><title>trend: y = {intercept:.4g} + {slope:.4g}·x'
+        f"</title></line>"
+    )
+    parts.append(
+        f'<text class="ink2" x="{width - mr}" y="{mt - 8}" font-size="11" '
+        f'text-anchor="end">r = {r:.3f} &#183; y = {intercept:.4g} + {slope:.4g}&#183;x '
+        f"&#183; n = {len(points)} plotted</text>"
+    )
+    parts.append(
+        f'<text class="ink2" x="{ml + pw / 2:.0f}" y="{height - 8}" font-size="11" '
+        f'text-anchor="middle">{_esc(x_label)}</text>'
+    )
+    parts.append(
+        f'<text class="ink2" x="14" y="{mt + ph / 2:.0f}" font-size="11" text-anchor="middle" '
+        f'transform="rotate(-90 14 {mt + ph / 2:.0f})">{_esc(y_label)}</text>'
+    )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
 def generate_all_plots(spark, sf_dir: str, out_dir: str) -> dict:
     """The generate_all_plots analog (visualize.py:420+): run the (already
     oracle-checked) report queries and write the standard artifact set —
@@ -397,8 +484,39 @@ def generate_all_plots(spark, sf_dir: str, out_dir: str) -> dict:
         x_label="n_chars",
     )
 
+    # scatter-with-trend (analyze_buckets.py:190-214 analog): trend/r from
+    # the full-data closed-form aggregates (corr_trend, oracle-checked);
+    # plotted points are a deterministic hash-order sample (R1 pattern —
+    # no df.sample, no RNG, stable across runs and cluster sizes)
+    from pyspark.sql import functions as F
+
+    tr = queries.corr_trend(spark, sf_dir).collect()[0]
+    pts = (
+        read_table(spark, os.path.join(sf_dir, "lineitem.parquet"))
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            F.xxhash64("l_orderkey", "l_linenumber", F.lit(42)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(250)
+        .collect()
+    )
+    scatter = svg_scatter_trend(
+        [
+            (float(r.l_quantity), float(r.l_extendedprice), f"order {r.l_orderkey}/{r.l_linenumber}")
+            for r in pts
+        ],
+        slope=float(tr.slope),
+        intercept=float(tr.intercept),
+        r=float(tr.pearson_r),
+        title="l_quantity vs l_extendedprice — 250-point hash sample, full-data trend",
+        x_label="l_quantity",
+        y_label="l_extendedprice",
+    )
+
     for name, svg in (
         ("histogram", hist), ("heatmap", heat), ("langs", bars), ("compare", compare),
+        ("scatter", scatter),
     ):
         p = os.path.join(out_dir, f"{name}.svg")
         with open(p, "w") as f:

@@ -1973,25 +1973,37 @@ GROUP BY p_type
 """
 
 
+# Registry order IS the driver contract: the correctness driver records only the
+# FIRST 50 entries each round.  Policy (VERDICT r2 item 1):
+#   - slots 0-9: the 10 queries without an r2 driver row (streaming first — it
+#     missed the window in both prior rounds);
+#   - slots 10-49: the remaining previously-recorded entries;
+#   - tail (50+): two-round-green stalwarts rotated out this round (q1/q3/q5/q6,
+#     top_docs, corr_trend, samples, unions, events_hourly) — they alternate back
+#     next round so every entry gets a driver row at least every other round.
+# NEVER insert a new query mid-dict: append after slot 9 and demote a
+# multi-round-green stalwart to the tail instead.
 QUERIES = {
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q6_forecast_revenue": q6_forecast_revenue,
+    # -- slots 0-9: no driver row in r2 (streaming: none in r1 OR r2) --
+    "streaming_extraction_report": streaming_extraction_report,
+    "customers_without_orders": customers_without_orders,
+    "dup_clusters": dup_clusters,
+    "training_export_summary": training_export_summary,
+    "parts_above_type_avg": parts_above_type_avg,
+    "extraction_report": extraction_report,
+    "train_lm": train_lm,
+    "perplexity_report": perplexity_report,
+    "media_features_report": media_features_report,
+    "media_frame_sample_report": media_frame_sample_report,
+    # -- slots 10-49: recorded green in r2, kept inside the window --
     "group_moment_stats": group_moment_stats,
     "threshold_buckets": threshold_buckets,
     "validity_classes": validity_classes,
     "top_langs_per_source": top_langs_per_source,
     "value_histogram": value_histogram,
     "value_counts_lang": value_counts_lang,
-    "top_docs_by_len": top_docs_by_len,
-    "corr_trend": corr_trend,
     "event_dow_matrix": event_dow_matrix,
     "quality_buckets": quality_buckets,
-    "per_group_sample": per_group_sample,
-    "deterministic_sample_50": deterministic_sample_50,
-    "union_distinct_keys": union_distinct_keys,
-    "events_hourly": events_hourly,
     "events_json_props": events_json_props,
     "running_spend": running_spend,
     "user_sessions": user_sessions,
@@ -2024,16 +2036,17 @@ QUERIES = {
     "ann_index_topk": ann_index_topk,
     "embedding_near_dup_report": embedding_near_dup_report,
     "embedding_pair_topk": embedding_pair_topk,
-    "customers_without_orders": customers_without_orders,
-    "dup_clusters": dup_clusters,
-    "training_export_summary": training_export_summary,
-    "parts_above_type_avg": parts_above_type_avg,
-    "extraction_report": extraction_report,
-    "train_lm": train_lm,
-    "perplexity_report": perplexity_report,
-    "media_features_report": media_features_report,
-    "media_frame_sample_report": media_frame_sample_report,
-    "streaming_extraction_report": streaming_extraction_report,
+    # -- tail: two-round-green stalwarts rotated out of the window this round --
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "top_docs_by_len": top_docs_by_len,
+    "corr_trend": corr_trend,
+    "per_group_sample": per_group_sample,
+    "deterministic_sample_50": deterministic_sample_50,
+    "union_distinct_keys": union_distinct_keys,
+    "events_hourly": events_hourly,
 }
 
 ORACLES = {

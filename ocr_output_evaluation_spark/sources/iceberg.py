@@ -82,6 +82,14 @@ def write_table_any(
     already-bucketed INT column should be passed through a plain writer
     (io.write_parquet partition_by), not re-hashed here.
     Returns which branch ran ('iceberg' | 'parquet')."""
+    if bucket_col and bucket_col not in df.columns:
+        # fail loudly and identically in BOTH branches: the Iceberg branch
+        # would raise at analysis, but the parquet branch used to silently
+        # write an unpartitioned table on a typo'd column name (ADVICE r2)
+        raise ValueError(
+            f"write_table_any: bucket_col {bucket_col!r} not in dataframe "
+            f"columns {df.columns}"
+        )
     if iceberg_available(spark) and not _is_path(target):  # pragma: no cover
         from pyspark.sql.functions import bucket, col
 
@@ -92,7 +100,7 @@ def write_table_any(
         return "iceberg"
     from pyspark.sql import functions as F
 
-    if bucket_col and bucket_col in df.columns:
+    if bucket_col:
         # underscore prefix = engine-internal layout column: Iceberg's
         # bucket transform is HIDDEN partitioning, so the parquet twin's
         # partition column must not leak into the logical schema either —

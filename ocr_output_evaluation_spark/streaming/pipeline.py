@@ -29,12 +29,16 @@ from ..extract.udf import domain_of, extract_udf
 from ..schema import WEB_PAGES
 
 
-def read_web_pages_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_web_pages_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream over a web_pages parquet directory. Streaming scans
-    require an explicit schema (no inference) — ours is fixed anyway."""
+    require an explicit schema (no inference) — ours is fixed anyway.
+    ``max_files_per_trigger`` bounds micro-batch size (and is what the
+    kill/resume drill uses to force multiple batches over a small fixture)."""
     return (
         spark.readStream.schema(WEB_PAGES)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
 
@@ -45,12 +49,13 @@ def stream_extraction(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int = 8,
 ):
     """Incremental extraction: stream-in pages → prune columns → extract →
     append extracted rows to parquet. The checkpoint dir carries source
     offsets, so a restart resumes exactly after the last committed batch —
     the streaming twin of the batch manifest (sources/manifest.py)."""
-    pages = read_web_pages_stream(spark, source_dir)
+    pages = read_web_pages_stream(spark, source_dir, max_files_per_trigger)
     extracted = (
         pages.select("url", "warc_ts", "lang", "html")
         .withColumn("x", extract_udf(F.col("html")))

@@ -88,11 +88,16 @@ def test_resize_images_golden(spark, media):
         row = make_media_row(i)
         meta = decode_meta(row["payload"])
         r = out[i]
-        if meta["error"] is not None or meta["format"] not in ("fimg", "png"):
+        if meta["error"] is not None or meta["format"] not in ("fimg", "png", "jpeg"):
             assert r.error is not None and r.payload is None
             continue
         if meta["format"] == "png":
             _, arr = decode_png(row["payload"])
+            h, w, c = arr.shape
+        elif meta["format"] == "jpeg":
+            from ocr_output_evaluation_spark.multimodal.jpeg import decode_jpeg as _dj
+
+            _, arr = _dj(bytes(row["payload"]))
             h, w, c = arr.shape
         else:
             arr, w, h, c = _raster(row["payload"])
@@ -214,13 +219,14 @@ def test_wav_roundtrip():
 def test_fixture_contains_real_codecs_and_features_cover_them(spark, media):
     metas = [decode_meta(make_media_row(i)["payload"]) for i in range(N)]
     fmts = {m["format"] for m in metas if m["error"] is None}
-    assert {"png", "wav", "fimg", "faud", "fvid"} <= fmts
+    assert {"png", "jpeg", "wav", "fimg", "faud", "fvid"} <= fmts
     # the Spark feature pass scores real-codec rows, not just containers
     feats = {r.media_id: r for r in image_features(media).collect()}
     png_ids = [i for i, m in enumerate(metas) if m["format"] == "png" and m["error"] is None]
+    jpg_ids = [i for i, m in enumerate(metas) if m["format"] == "jpeg" and m["error"] is None]
     wav_ids = [i for i, m in enumerate(metas) if m["format"] == "wav" and m["error"] is None]
-    assert png_ids and wav_ids
-    for i in png_ids + wav_ids:
+    assert png_ids and jpg_ids and wav_ids
+    for i in png_ids + jpg_ids + wav_ids:
         assert feats[i].error is None and feats[i].byte_mean is not None
 
 
@@ -314,3 +320,137 @@ def test_wav_roundtrip_fuzz(pcm, sr):
     meta, body = decode_wav(encode_wav(pcm, sr))
     assert meta["sample_rate"] == sr and meta["n_samples"] == len(pcm)
     assert body.tobytes() == pcm
+
+
+def test_png_many_idat_chunks_linear_and_capped():
+    """ADVICE r2: IDAT is list-collected + joined once (O(n), not O(n²) bytes
+    concat), so a many-chunk stream decodes fine up to the chunk-count cap
+    and is rejected in-band past it."""
+    import zlib as _z
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    one = encode_png(arr)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    # re-chunk the single IDAT into 1-byte chunks (legal per spec)
+    (ilen,) = struct.unpack(">I", one[16 + 13 + 4 : 16 + 13 + 8])
+    ihdr = one[16 : 16 + 13]
+    idat = one[16 + 13 + 4 + 8 : 16 + 13 + 4 + 8 + ilen]
+    rechunked = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + b"".join(chunk(b"IDAT", idat[i : i + 1]) for i in range(len(idat)))
+        + chunk(b"IEND", b"")
+    )
+    meta, back = decode_png(rechunked)
+    assert np.array_equal(back, arr)
+
+    # past the cap: rejected in-band, never a CPU-amplification loop
+    flood = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat[:1]) * 70_000
+        + chunk(b"IEND", b"")
+    )
+    m = decode_meta(flood)
+    assert m["error"] is not None and "too many chunks" in m["error"]
+
+
+def test_write_table_any_rejects_missing_bucket_col(spark, tmp_path):
+    """ADVICE r2: a typo'd bucket column must fail loudly in the parquet
+    branch (the Iceberg branch would fail at analysis) instead of silently
+    writing an unpartitioned table."""
+    from ocr_output_evaluation_spark.sources.iceberg import write_table_any
+
+    df = spark.range(5).selectExpr("cast(id as string) AS url", "id AS v")
+    with pytest.raises(ValueError, match="bucket_col 'ur1'"):
+        write_table_any(spark, df, str(tmp_path / "t"), bucket_col="ur1")
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (multimodal/jpeg.py — VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+from ocr_output_evaluation_spark.multimodal.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
+
+def _smooth(h, w, c, seed=5):
+    """JPEG-friendly fixture: low-frequency gradient + mild noise."""
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    base = np.stack([(xx * 0.5 + yy * 0.5)] * c, axis=-1)
+    return np.clip(base + rng.normal(0, 4, size=(h, w, c)), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_tolerance_all_layouts():
+    """Lossy round-trip pin: gray + RGB, 4:4:4 + 4:2:0, odd (non-block)
+    dimensions. The DCT quantization at quality 90 bounds per-pixel error
+    far under visible levels; the assert bounds are ~2x the measured worst
+    case so a codec regression (wrong zigzag, bad dequant, swapped chroma)
+    fails loudly while float rounding noise never does."""
+    for h, w, c in [(24, 31, 3), (16, 16, 1), (9, 13, 3), (8, 8, 3)]:
+        arr = _smooth(h, w, c)
+        for sub in (False, True):
+            b = encode_jpeg(arr, quality=90, subsample=sub)
+            meta, back = decode_jpeg(b)
+            assert (meta["width"], meta["height"], meta["n_channels"]) == (w, h, c)
+            d = np.abs(back.astype(int) - arr.astype(int))
+            assert d.max() <= 40 and d.mean() <= 8.0, (h, w, c, sub, d.max(), d.mean())
+
+
+def test_jpeg_solid_color_decodes_near_exact():
+    """A solid block is pure DC — quantization barely touches it, so decode
+    must land within ±2 of the source everywhere (catches DC-predictor and
+    level-shift bugs exactly)."""
+    for color in ((128, 128, 128), (200, 40, 90)):
+        arr = np.tile(np.array(color, dtype=np.uint8), (17, 19, 1))
+        meta, back = decode_jpeg(encode_jpeg(arr, quality=95))
+        assert np.abs(back.astype(int) - arr.astype(int)).max() <= 2
+    gray = np.full((12, 12, 1), 77, dtype=np.uint8)
+    _, back = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert np.abs(back.astype(int) - 77).max() <= 2
+
+
+def test_jpeg_rejects_progressive_and_malformed_in_band():
+    good = encode_jpeg(_smooth(10, 10, 3))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be rejected
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert "decode-error" in decode_meta(prog)["error"]
+    # truncation inside entropy data stays in-band
+    assert decode_meta(good[: len(good) - 10])["error"] is not None
+    # decode_meta integration: a good jpeg yields typed meta
+    m = decode_meta(good)
+    assert m["error"] is None and m["format"] == "jpeg" and (m["width"], m["height"]) == (10, 10)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_meta_total_on_corrupted_jpeg(payload):
+    """SOI-prefixed garbage exercises the marker walker / huffman / scan
+    error paths; all must stay in-band (D3)."""
+    meta = decode_meta(b"\xff\xd8\xff" + payload)
+    assert meta["error"] is None or isinstance(meta["error"], str)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.sampled_from([1, 3]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_roundtrip_fuzz(w, h, c, sub, seed):
+    """Every (size, channels, sampling) combination decodes to the declared
+    shape with bounded error — including 1xN strips and sub-block images."""
+    arr = _smooth(h, w, c, seed=seed)
+    meta, back = decode_jpeg(encode_jpeg(arr, quality=92, subsample=sub))
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (w, h, c)
+    assert back.shape == (h, w, c)
+    d = np.abs(back.astype(int) - arr.astype(int))
+    assert d.mean() <= 10.0

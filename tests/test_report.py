@@ -65,15 +65,38 @@ def test_svg_compare_panels_shared_scale():
     # shared y scale: sys-b's 4-count bar must be shorter than sys-a's 10-count
 
 
+def test_svg_scatter_trend_marks_and_fit_line():
+    from ocr_output_evaluation_spark.plans.report import svg_scatter_trend
+
+    pts = [(0.0, 1.0, "a"), (1.0, 3.0, "b"), (2.0, 5.0, "c"), (3.0, 7.0, "d")]
+    svg = svg_scatter_trend(pts, slope=2.0, intercept=1.0, r=1.0, title="s")
+    root = ET.fromstring(svg)
+    circles = [e for e in root.iter(f"{SVG}circle") if e.get("class") == "series"]
+    assert len(circles) == 4
+    titles = [t.text for t in root.iter(f"{SVG}title")]
+    assert "b: (1, 3)" in titles
+    # the dashed trend segment must pass through the perfectly-linear points:
+    # its endpoints equal the scaled positions of (x_lo, y_lo) and (x_hi, y_hi)
+    trend = [e for e in root.iter(f"{SVG}line") if e.get("stroke-dasharray")]
+    assert len(trend) == 1
+    t = trend[0]
+    assert float(t.get("x1")) == float(circles[0].get("cx"))
+    assert float(t.get("y1")) == float(circles[0].get("cy"))
+    assert float(t.get("x2")) == float(circles[-1].get("cx"))
+    assert float(t.get("y2")) == float(circles[-1].get("cy"))
+    assert "r = 1.000" in svg
+    assert svg == svg_scatter_trend(pts, slope=2.0, intercept=1.0, r=1.0, title="s")
+
+
 def test_generate_all_plots_artifact_set(spark, sf_dir, tmp_path):
     out = generate_all_plots(spark, sf_dir, str(tmp_path / "report"))
-    names = ("histogram", "heatmap", "langs", "compare")
+    names = ("histogram", "heatmap", "langs", "compare", "scatter")
     assert set(out) == {*names, "index"}
     for name in names:
         assert os.path.exists(out[name])
         ET.parse(out[name])  # well-formed
     idx = open(out["index"]).read()
-    assert idx.count("<figure>") == 4
+    assert idx.count("<figure>") == 5
     # deterministic across renders on the same input
     out2 = generate_all_plots(spark, sf_dir, str(tmp_path / "report2"))
     for name in names:

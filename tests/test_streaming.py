@@ -220,3 +220,52 @@ def test_stream_static_enrichment_join(spark, source_dir, tmp_path):
     # langs absent from the dim (fr/es/bo fixtures) survive with NULL script
     missing = set(by_lang) - {"en", "de", "zh"}
     assert missing and all(by_lang[m] == {None} for m in missing)
+
+
+def test_stream_kill_midway_then_resume_exactly_once(spark, tmp_path):
+    """VERDICT r2 item 7: the offset-exact resume drill at the kill level —
+    stop the query mid-run (after the first committed micro-batch of
+    several), restart from the same checkpoint, and assert the final output
+    equals the batch extractor's golden exactly: no dupes, no gaps, and the
+    resumed run reads ONLY the rows the killed run had not committed."""
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    n = 96
+    web_pages_df(spark, n, 8).write.mode("append").parquet(src)  # 8 files
+
+    # one file per micro-batch -> up to 8 batches; stop at the first commit
+    q = stream_extraction(spark, src, out, ckpt, max_files_per_trigger=1)
+    deadline = time.time() + 180
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+
+    # the parquet file-sink's _spark_metadata log exposes only COMMITTED
+    # batches to batch reads — the partial output must be duplicate-free
+    # and a subset of the corpus (an in-flight batch leaves no visible rows)
+    try:
+        part = spark.read.parquet(out).collect()
+    except Exception:
+        part = []  # stop landed before the first commit — still a valid drill
+    assert len({r.url for r in part}) == len(part) <= n
+
+    q2 = stream_extraction(spark, src, out, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+
+    want = {
+        row.url: extract_document(row.html).text_sha256
+        for _, row in web_pages_pdf(n).iterrows()
+    }
+    got = {r.url: r.text_sha256 for r in rows}
+    assert len(rows) == n, f"dupes or gaps after resume: {len(rows)} != {n}"
+    assert got == want, "resumed output not byte-identical to batch golden"
+
+    # offset-exactness at the input level: the resume read exactly the
+    # complement of what the killed run committed
+    resumed_in = sum(int(p["numInputRows"]) for p in q2.recentProgress)
+    assert resumed_in == n - len(part), (resumed_in, len(part))
