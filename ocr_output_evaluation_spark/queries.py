@@ -1789,7 +1789,11 @@ def embedding_pair_topk(spark, sf):
     from .operators.similarity import pairwise_top_k_np
 
     e = t(spark, sf, "embeddings")
-    out = pairwise_top_k_np(e, "embedding", "vec_id", k=25, n_blocks=4)
+    # n_blocks auto-scales with corpus size (block_target rows per block) —
+    # the fixed n_blocks=4 this replaced measured 612x wall time for 10x
+    # rows in the round-3 sf1 spot check (one straggler task doing all
+    # (n/4)^2 pair work); output is exact top-k, invariant to blocking
+    out = pairwise_top_k_np(e, "embedding", "vec_id", k=25)
     return out.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))
 
 

@@ -152,11 +152,12 @@ def test_route_to_cells_np_matches_expression_form(spark, sf_dir):
 
 def test_lsh_top_k_oneshot_parity_and_codegen_signature_path(spark, sf_dir):
     """VERDICT r2 item 2: the one-shot lsh_top_k must (a) return exactly what
-    the pre-r3 per-row-expression formulation returned, and (b) compute
-    candidate signatures on the codegen explode→agg path — the candidate
-    plan must contain NO interpreted higher-order aggregate over the corpus
-    (lowercase `aggregate(` is the HOF expression; HashAggregate nodes
-    capitalize differently)."""
+    the pre-r3 per-row-expression formulation returned, and (b) have the
+    zero-shuffle candidate shape — NO interpreted higher-order aggregate
+    over the corpus (lowercase `aggregate(` is the HOF expression;
+    HashAggregate nodes capitalize differently) and NO exchange at all
+    before the top-k (the bucket filter is a single Arrow mapInPandas
+    scan; a full-corpus probe must not shuffle the corpus)."""
     from ocr_output_evaluation_spark.operators.similarity import (
         _lsh_candidates,
         brute_force_top_k,
@@ -192,7 +193,8 @@ def test_lsh_top_k_oneshot_parity_and_codegen_signature_path(spark, sf_dir):
         cand.explain("formatted")
     plan = buf.getvalue()
     assert "aggregate(" not in plan, plan          # no interpreted HOF fold
-    assert "posexplode" in plan or "Generate" in plan  # codegen sig frame
+    assert "Exchange" not in plan, plan            # zero-shuffle corpus scan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan  # numpy sig path
 
 
 def test_ann_probes_contained_in_exact_topk_with_recall_floor(spark, tmp_path):

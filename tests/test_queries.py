@@ -226,6 +226,22 @@ def test_pairwise_top_k_single_block_and_k_larger_than_pairs(spark):
     assert (got[0].id_a, got[0].id_b) == (1, 2)  # most similar first
 
 
+def test_pairwise_top_k_exact_tiebreak_at_argpartition_cut(spark):
+    """r3: local top-k is argpartition + survivor-only lexsort. Identical
+    vectors make EVERY pairwise cosine tie at 1.0, so with k < n_pairs the
+    partition cut lands inside one tie plateau — the result must be ordered
+    purely by (id_a, id_b) with no pair skipped (ties at the cut must
+    survive into the lexsort before truncation)."""
+    from ocr_output_evaluation_spark.operators.similarity import pairwise_top_k_np
+
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(8)]  # C(8,2)=28 pairs, all cos=1
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = pairwise_top_k_np(df, "v", "id", k=10, n_blocks=2).collect()
+    exp = sorted((a, b) for a in range(8) for b in range(a + 1, 8))[:10]
+    assert [(r.id_a, r.id_b) for r in got] == exp
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in got)
+
+
 def test_embedding_near_dup_pairs_recall_on_planted_clusters(spark):
     """Hyperplane-bucketed near-dup: planted duplicate clusters (cosine ~1)
     must all surface; orthogonal decoys must not. Truth set computed by the

@@ -1,0 +1,188 @@
+"""sf1.0 spot check (VERDICT r2 item 8): run the three shuffle-heaviest
+queries at 1x and 10x of the sf0.1 row counts and report the wall-time and
+output-size scaling factors — the sf0.1 suite cannot expose accidentally-
+quadratic candidate growth; a 10x input can.
+
+Tables are synthesized deterministically (seeded hashes, no RNG state, no
+external data) with the same schemas and the same *relative* structure as
+/root/testdata sf0.1:
+
+- documents: ~300-char texts over a fixed vocab; every 25th doc spawns two
+  near-dup variants (one word substituted / one appended), so near-dup
+  CLUSTERS scale linearly with n and healthy MinHash-LSH pair counts must
+  scale ~10x for 10x docs — ~100x would mean quadratic candidate growth.
+- events: 66 events/user average (user count scales with n, per-user
+  session structure scale-invariant), 30-day window, 5 event types.
+- embeddings: 64-dim unit-ish vectors in 20 loose direction families +
+  planted tight pairs, so exact all-pairs top-25 has stable structure.
+
+Usage: python tools/scale_spot.py            # both scales + JSON line
+       SPARK_GRAFT_SPOT_MULT=10 ...          # override the hi multiplier
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = dict(documents=5_000, events=100_000, embeddings=2_000)
+_SEED = "ooe-scale-spot-v1"
+
+_VOCAB = [
+    hashlib.sha256(f"{_SEED}:w{i}".encode()).hexdigest()[: 4 + i % 6]
+    for i in range(500)
+]
+
+
+def _h(i: int, tag: str, k: int = 0) -> int:
+    return int.from_bytes(
+        hashlib.sha256(f"{_SEED}:{tag}:{i}:{k}".encode()).digest()[:8], "big"
+    )
+
+
+def _doc_text(i: int) -> str:
+    n_tok = 40 + _h(i, "ntok") % 21
+    return " ".join(_VOCAB[_h(i, "tok", k) % len(_VOCAB)] for k in range(n_tok))
+
+
+def doc_row(i: int) -> tuple:
+    if i % 25 in (1, 2):
+        # near-dup variant of the cluster base (i - i%25): one word swapped
+        # (variant 1) or appended (variant 2) -> jaccard ~0.95, above the
+        # 0.35 LSH threshold; clusters are size-3 at every scale
+        base = i - (i % 25)
+        toks = _doc_text(base).split()
+        if i % 25 == 1:
+            toks[_h(i, "swap") % len(toks)] = _VOCAB[_h(i, "repl") % len(_VOCAB)]
+        else:
+            toks.append(_VOCAB[_h(i, "app") % len(_VOCAB)])
+        text = " ".join(toks)
+    else:
+        text = _doc_text(i)
+    lang = ("en", "de", "fr", "zh", "bo")[_h(i, "lang") % 5]
+    source = f"src{_h(i, 'src') % 20}"
+    return (i, text, lang, source, len(text))
+
+
+def event_row(i: int, n_users: int) -> tuple:
+    us = _h(i, "eu") % n_users
+    # event time: per-user activity bursts -> realistic session structure
+    day = _h(i, "day") % 30
+    burst = _h(i, "burst") % 4
+    sec = _h(i, "sec") % 7200  # within a 2h burst window
+    ts = pd.Timestamp("2024-03-01") + pd.Timedelta(
+        days=day, hours=6 * burst, seconds=sec
+    )
+    etype = ("view", "click", "purchase", "search", "scroll")[_h(i, "et") % 5]
+    value = (_h(i, "val") % 500_000) / 1000.0
+    props = '{"p":' + str(_h(i, "pp") % 100) + "}"
+    return (i, ts, us, etype, value, props)
+
+
+def emb_row(i: int) -> tuple:
+    fam = _h(i, "fam") % 20
+    rs = np.random.Generator(np.random.PCG64(_h(i, "vecseed")))
+    base_rs = np.random.Generator(np.random.PCG64(_h(fam, "famseed")))
+    v = base_rs.normal(0, 1, 64) + rs.normal(0, 0.6, 64)
+    if i % 40 == 1:  # planted tight pair with i-1
+        prev = emb_vec(i - 1)
+        v = prev + rs.normal(0, 0.01, 64)
+    return (i, [float(x) for x in v.astype(np.float32)], fam)
+
+
+def emb_vec(i: int) -> np.ndarray:
+    fam = _h(i, "fam") % 20
+    rs = np.random.Generator(np.random.PCG64(_h(i, "vecseed")))
+    base_rs = np.random.Generator(np.random.PCG64(_h(fam, "famseed")))
+    return base_rs.normal(0, 1, 64) + rs.normal(0, 0.6, 64)
+
+
+def ensure_tables(spark, mult: int) -> str:
+    out_dir = os.path.join(REPO, ".bench", f"spot_x{mult}")
+    if os.path.exists(os.path.join(out_dir, "embeddings.parquet", "_SUCCESS")):
+        return out_dir
+    n_docs, n_events, n_embs = (BASE[k] * mult for k in ("documents", "events", "embeddings"))
+    n_users = max(n_events // 66, 1)
+
+    def gen(rows_fn, cols, schema):
+        def g(batches):
+            for pdf in batches:
+                yield pd.DataFrame([rows_fn(int(i)) for i in pdf["id"]], columns=cols)
+        return g, schema
+
+    parts = max(8, 4 * mult)
+    g, sch = gen(doc_row, ["doc_id", "text", "lang", "source", "n_chars"],
+                 "doc_id long, text string, lang string, source string, n_chars long")
+    spark.range(0, n_docs, 1, parts).mapInPandas(g, sch).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet"))
+    g, sch = gen(lambda i: event_row(i, n_users),
+                 ["event_id", "ts", "user_id", "event_type", "value", "props"],
+                 "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    spark.range(0, n_events, 1, parts).mapInPandas(g, sch).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet"))
+    g, sch = gen(emb_row, ["vec_id", "embedding", "label"],
+                 "vec_id long, embedding array<float>, label int")
+    spark.range(0, n_embs, 1, parts).mapInPandas(g, sch).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet"))
+    return out_dir
+
+
+def main() -> None:
+    from ocr_output_evaluation_spark.queries import (
+        embedding_pair_topk,
+        minhash_pairs,
+        user_sessions,
+    )
+    from ocr_output_evaluation_spark.session import get_spark
+
+    mult_hi = int(os.environ.get("SPARK_GRAFT_SPOT_MULT", "10"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("scale-spot", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qfns = {
+        "minhash_pairs": minhash_pairs,
+        "user_sessions": user_sessions,
+        "embedding_pair_topk": embedding_pair_topk,
+    }
+    report: dict = {"metric": "sf1_spot_check", "unit": "sec", "base_rows": BASE,
+                    "mult_hi": mult_hi, "cpus": cpus}
+    results: dict[int, dict] = {}
+    for mult in (1, mult_hi):
+        d = ensure_tables(spark, mult)
+        res = {}
+        for name, fn in qfns.items():
+            # noop sink for timing (CLAUDE.md: .count() lets Catalyst prune
+            # output expressions under measurement); rows counted untimed
+            times = []
+            for _ in range(2):  # warm-then-best-of-2
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                times.append(time.time() - t0)
+            rows = fn(spark, d).count()
+            res[name] = {"rows": rows, "sec": round(min(times), 3),
+                         "all_runs_sec": [round(t, 3) for t in times]}
+        results[mult] = res
+    for name in qfns:
+        lo, hi = results[1][name], results[mult_hi][name]
+        report[name] = {
+            "x1_rows": lo["rows"], f"x{mult_hi}_rows": hi["rows"],
+            "rows_scale_factor": round(hi["rows"] / max(lo["rows"], 1), 2),
+            "x1_sec": lo["sec"], f"x{mult_hi}_sec": hi["sec"],
+            "time_scale_factor": round(hi["sec"] / max(lo["sec"], 1e-9), 2),
+            "x1_runs": lo["all_runs_sec"], f"x{mult_hi}_runs": hi["all_runs_sec"],
+        }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
