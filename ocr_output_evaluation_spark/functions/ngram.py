@@ -41,3 +41,31 @@ def normalize_for_scoring(c: Column | str) -> Column:
     c = _col(c)
     kept = F.regexp_replace(F.lower(c), r"[^\p{L} ]+", " ")
     return F.trim(F.regexp_replace(kept, r"\s+", " "))
+
+
+def word_tokens(c: Column | str) -> Column:
+    """ARRAY<STRING> of whitespace tokens of the normalized text (see
+    normalize_for_scoring); empty array for empty/NULL-ish input (split('')
+    would yield [''])."""
+    t = normalize_for_scoring(c)
+    return F.when(F.length(t) > 0, F.split(t, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_ngrams(c: Column | str, n: int) -> Column:
+    """ARRAY<STRING> of space-joined overlapping word n-grams of the
+    normalized text — the training-data decontamination / repetition-metric
+    unit (the "13-gram overlap" family of published contamination checks,
+    scaled down by parameter). Empty array when the text has < n tokens.
+    Same codegen shape as char_ngrams: sequence → transform(slice), one
+    array per row, no Python."""
+    toks = word_tokens(c)
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(0), cnt - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

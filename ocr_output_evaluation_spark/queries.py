@@ -1977,6 +1977,329 @@ GROUP BY p_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data ops (r3): benchmark decontamination + repetition quality
+# ---------------------------------------------------------------------------
+def contamination_report(spark, sf):
+    """Benchmark decontamination (operators/decontaminate.py): every 97th
+    document plays the held-out evaluation benchmark; each document is
+    scored by the fraction of its distinct word 4-grams that appear in the
+    benchmark's n-gram set (the published "13-gram overlap" contamination
+    check, scaled to fixture-length texts). Per-lang report: documents
+    scored, documents flagged at >=0.5 overlap (benchmark members score
+    1.0 by construction — the check proving the plumbing), mean overlap.
+    Keys are md5 prefixes so DuckDB replays the identical pipeline; a
+    production run swaps to xxhash64 (the minhash_pairs_md5 twin pattern).
+    Plan shape: benchmark keys broadcast (eval sets are tiny vs corpus),
+    in-row array_distinct dedup (no global distinct exchange), one per-doc
+    partial-agg shuffle — corpus never shuffles for membership."""
+    from .operators.decontaminate import contamination_scores
+
+    d = t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    sc = contamination_scores(d, bench, "text", "doc_id", n=4)
+    return (
+        d.select("doc_id", "lang")
+        .join(sc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_grams") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_scored"),
+            F.sum(F.when(F.col("overlap") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            _r(F.avg("overlap")).alias("avg_overlap"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_CONTAMINATION_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+grams AS (  -- DISTINCT gram STRINGS per doc == Spark's in-row array_distinct
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gs
+  FROM toks, UNNEST(range(1, len(w) - 2)) AS u(i)
+  WHERE len(w) >= 4
+),
+keyed AS (SELECT doc_id, substr(md5(gs), 1, 16) AS g FROM grams),
+bench AS (SELECT DISTINCT g FROM keyed WHERE doc_id % 97 = 0),
+scored AS (
+  SELECT k.doc_id,
+         count(*)  AS n_grams,
+         count(b.g) AS n_hits
+  FROM keyed k LEFT JOIN bench b USING (g)
+  GROUP BY k.doc_id
+)
+SELECT n.lang,
+       count(*) AS n_docs,
+       CAST(count(s.doc_id) AS BIGINT) AS n_scored,
+       CAST(coalesce(sum(CASE WHEN s.n_hits * 1.0 / s.n_grams >= 0.5
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged,
+       round(avg(s.n_hits * 1.0 / s.n_grams), 6) AS avg_overlap
+FROM norm n LEFT JOIN scored s USING (doc_id)
+GROUP BY n.lang
+ORDER BY n.lang
+"""
+
+
+def repetition_report(spark, sf):
+    """Gopher-style repetition quality signals, per lang: mean duplicate-
+    word fraction (1 - distinct/total tokens — in-row expressions, no
+    shuffle), mean top-2-gram fraction (most frequent word 2-gram's share
+    of all 2-gram occurrences), mean duplicated-3-gram fraction (share of
+    3-gram occurrences whose gram occurs more than once in the doc), and
+    the count of docs whose top-2-gram share exceeds 0.05. The n-gram
+    metrics are explode -> count per (doc, gram) -> per-doc fold — every
+    gram of a doc sits in one input row, so the (doc, gram) counts finish
+    map-side and the exchanges carry per-doc-gram then per-doc rows only.
+    Published rationale: repeated lines/n-grams are the strongest cheap
+    signal of boilerplate and degenerate text in web corpora."""
+    from .functions.ngram import word_ngrams, word_tokens
+
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(word_tokens(F.col("text"))).alias("n_tok"),
+        F.size(F.array_distinct(word_tokens(F.col("text")))).alias("n_dtok"),
+    ).withColumn(
+        "dup_word_frac",
+        F.when(
+            F.col("n_tok") > 0,
+            (F.col("n_tok") - F.col("n_dtok")) / F.col("n_tok"),
+        ),
+    )
+
+    def gram_counts(n):
+        return (
+            d.select(
+                "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("_g")
+            )
+            .groupBy("doc_id", "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    top2 = (
+        gram_counts(2)
+        .groupBy("doc_id")
+        .agg(
+            F.when(
+                F.sum("_c") > 0, F.max("_c") / F.sum("_c")
+            ).alias("top_2gram_frac")
+        )
+    )
+    dup3 = (
+        gram_counts(3)
+        .groupBy("doc_id")
+        .agg(
+            F.when(
+                F.sum("_c") > 0,
+                F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+                / F.sum("_c"),
+            ).alias("dup_3gram_frac")
+        )
+    )
+    return (
+        toks.join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r(F.avg("dup_word_frac")).alias("avg_dup_word_frac"),
+            _r(F.avg("top_2gram_frac")).alias("avg_top_2gram_frac"),
+            _r(F.avg("dup_3gram_frac")).alias("avg_dup_3gram_frac"),
+            F.sum(F.when(F.col("top_2gram_frac") > 0.05, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_REPETITION_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(t) > 0 THEN string_split(t, ' ')
+              ELSE [] END AS w
+  FROM norm
+),
+wordstats AS (
+  SELECT doc_id, lang, len(w) AS n_tok, len(list_distinct(w)) AS n_dtok,
+         CASE WHEN len(w) > 0
+              THEN (len(w) - len(list_distinct(w))) * 1.0 / len(w) END AS dup_word_frac
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS gs
+  FROM toks, UNNEST(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT doc_id, gs, count(*) AS c FROM g2 GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id,
+         CASE WHEN sum(c) > 0 THEN max(c) * 1.0 / sum(c) END AS top_2gram_frac
+  FROM c2 GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gs
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 3
+),
+c3 AS (SELECT doc_id, gs, count(*) AS c FROM g3 GROUP BY 1, 2),
+dup3 AS (
+  SELECT doc_id,
+         CASE WHEN sum(c) > 0
+              THEN sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c)
+         END AS dup_3gram_frac
+  FROM c3 GROUP BY doc_id
+)
+SELECT ws.lang,
+       count(*) AS n_docs,
+       round(avg(ws.dup_word_frac), 6)  AS avg_dup_word_frac,
+       round(avg(t2.top_2gram_frac), 6) AS avg_top_2gram_frac,
+       round(avg(d3.dup_3gram_frac), 6) AS avg_dup_3gram_frac,
+       CAST(coalesce(sum(CASE WHEN t2.top_2gram_frac > 0.05 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_repetitive
+FROM wordstats ws
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN dup3 d3 USING (doc_id)
+GROUP BY ws.lang
+ORDER BY ws.lang
+"""
+
+
+def pii_scrub_report(spark, sf):
+    """PII redaction pass (functions/pii.py): emails / IPv4s / phone numbers
+    replaced by typed placeholders, counted per lang. The synthetic corpus
+    carries no real PII, so the query PLANTS deterministic PII derived from
+    doc_id (every 7th doc an email, 11th a phone, 13th an IP) before
+    scrubbing — the same derivation is replayed in the oracle, so the scrub
+    chain itself (patterns, overlap-safe EMAIL -> IP -> PHONE order,
+    chars-removed accounting) is what the gate checks. All codegen regexp
+    expressions; at 100 TB this runs at scan speed with zero shuffle before
+    the per-lang fold."""
+    from .functions.pii import pii_counts, scrub_pii
+
+    d = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" mail user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                (F.lit(1000) + did % 9000).cast("string"),
+                F.lit("-"),
+                (F.lit(1000) + did % 8999).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    n_email, n_ip, n_phone = pii_counts(aug)
+    rows = d.select(
+        "lang",
+        n_email.alias("_ne"),
+        n_ip.alias("_ni"),
+        n_phone.alias("_np"),
+        (F.length(aug) - F.length(scrub_pii(aug))).alias("_removed"),
+    )
+    return (
+        rows.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("_ne") + F.col("_ni") + F.col("_np") > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_with_pii"),
+            F.sum("_ne").cast("long").alias("n_emails"),
+            F.sum("_ni").cast("long").alias("n_ips"),
+            F.sum("_np").cast("long").alias("n_phones"),
+            _r(F.avg("_removed")).alias("avg_chars_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_PII_SCRUB_REPORT = r"""
+WITH aug AS (
+  SELECT lang,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                      || '-' || CAST(1000 + doc_id % 8999 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+),
+-- same overlap-safe chain as functions/pii.py: EMAIL -> IP -> PHONE
+s1 AS (
+  SELECT lang, t,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT lang, t, ne,
+         len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS ni,
+         regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT lang, t, ne, ni,
+         len(regexp_extract_all(t2, '\+?[0-9][0-9 ().-]{7,}[0-9]')) AS np,
+         regexp_replace(t2, '\+?[0-9][0-9 ().-]{7,}[0-9]', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum(ne) AS BIGINT) AS n_emails,
+       CAST(sum(ni) AS BIGINT) AS n_ips,
+       CAST(sum(np) AS BIGINT) AS n_phones,
+       round(avg(length(t) - length(t3)), 6) AS avg_chars_removed
+FROM s3
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Policy (VERDICT r2 item 1):
 #   - slots 0-9: the 10 queries without an r2 driver row (streaming first — it
@@ -2028,9 +2351,11 @@ QUERIES = {
     "sql_quality_matrix": sql_quality_matrix,
     "fingerprint_stats": fingerprint_stats,
     "enrich_union_stats": enrich_union_stats,
-    "conf_scale_normalize": conf_scale_normalize,
-    "order_gaps_lag": order_gaps_lag,
-    "rollup_nation_totals": rollup_nation_totals,
+    # r3 additions take these two slots; the two-round-green entries they
+    # displace (conf_scale_normalize, order_gaps_lag) rotate to the tail
+    "contamination_report": contamination_report,
+    "repetition_report": repetition_report,
+    "pii_scrub_report": pii_scrub_report,
     "cube_status_priority": cube_status_priority,
     "order_value_quartiles": order_value_quartiles,
     "supplier_name_concat": supplier_name_concat,
@@ -2051,9 +2376,15 @@ QUERIES = {
     "deterministic_sample_50": deterministic_sample_50,
     "union_distinct_keys": union_distinct_keys,
     "events_hourly": events_hourly,
+    "conf_scale_normalize": conf_scale_normalize,
+    "order_gaps_lag": order_gaps_lag,
+    "rollup_nation_totals": rollup_nation_totals,
 }
 
 ORACLES = {
+    "contamination_report": ORACLE_CONTAMINATION_REPORT,
+    "repetition_report": ORACLE_REPETITION_REPORT,
+    "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,
