@@ -2300,6 +2300,287 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data ops (r3, wave 2): line dedup, domain caps, corpus mixing
+# ---------------------------------------------------------------------------
+def line_dedup_report(spark, sf):
+    """Line-level dedup (operators/linededup.py — the CCNet/RefinedWeb
+    boilerplate-removal pass): lines repeating >= 5 times corpus-wide are
+    dropped from every document. The synthetic corpus has no newlines, so
+    lines are derived deterministically (3-token windows over the
+    normalized text) and the oracle replays the same derivation. Per-lang
+    report: docs, total lines, lines removed, mean retained char fraction,
+    docs fully emptied. Plan shape: one map-side-combined line-count
+    aggregation; the banned set is the small repetition tail and joins the
+    corpus as a broadcast anti-join — the corpus never shuffles for
+    membership (same 100 TB shape as contamination_report)."""
+    from .operators.linededup import banned_lines, doc_lines
+
+    d = t(spark, sf, "documents")
+    lines = doc_lines(d, "text", "doc_id", line_len=3)
+    banned = banned_lines(lines, min_count=5)
+    kept = lines.join(F.broadcast(banned), "_line", "left_anti")
+    tot = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nl"), F.sum(F.length("_line")).alias("_tc")
+    )
+    kst = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nk"))
+    kch = kept.groupBy("doc_id").agg(F.sum(F.length("_line")).alias("_kc"))
+    per_doc = (
+        d.select("doc_id", "lang")
+        .join(tot, "doc_id", "left")
+        .join(kst, "doc_id", "left")
+        .join(kch, "doc_id", "left")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("_nl"), F.lit(0)).cast("long").alias("total_lines"),
+            (F.coalesce(F.sum("_nl"), F.lit(0)) - F.coalesce(F.sum("_nk"), F.lit(0)))
+            .cast("long")
+            .alias("lines_removed"),
+            _r(
+                F.avg(
+                    F.when(
+                        F.col("_tc") > 0,
+                        F.coalesce(F.col("_kc"), F.lit(0)) / F.col("_tc"),
+                    )
+                )
+            ).alias("avg_retained_frac"),
+            F.sum(
+                F.when(
+                    (F.col("_nl") > 0) & (F.coalesce(F.col("_nk"), F.lit(0)) == 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs_emptied"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LINE_DEDUP_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+lines AS (
+  SELECT doc_id,
+         array_to_string(w[CAST(i * 3 + 1 AS INT):CAST(i * 3 + 3 AS INT)], ' ') AS line
+  FROM toks, UNNEST(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS u(i)
+),
+banned AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 5),
+kept AS (
+  SELECT l.doc_id, l.line
+  FROM lines l LEFT JOIN banned b USING (line)
+  WHERE b.line IS NULL
+),
+tot AS (
+  SELECT doc_id, count(*) AS nl, sum(length(line)) AS tc FROM lines GROUP BY doc_id
+),
+kst AS (
+  SELECT doc_id, count(*) AS nk, sum(length(line)) AS kc FROM kept GROUP BY doc_id
+)
+SELECT n.lang,
+       count(*) AS n_docs,
+       CAST(coalesce(sum(t.nl), 0) AS BIGINT) AS total_lines,
+       CAST(coalesce(sum(t.nl), 0) - coalesce(sum(k.nk), 0) AS BIGINT) AS lines_removed,
+       round(avg(CASE WHEN t.tc > 0 THEN coalesce(k.kc, 0) * 1.0 / t.tc END), 6) AS avg_retained_frac,
+       CAST(coalesce(sum(CASE WHEN t.nl > 0 AND coalesce(k.nk, 0) = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_emptied
+FROM norm n
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN kst k USING (doc_id)
+GROUP BY n.lang
+ORDER BY n.lang
+"""
+
+
+def domain_cap_report(spark, sf):
+    """Per-domain document caps (functions/url.py): the crawl-pipeline rule
+    "at most N documents per registered domain" (defense against
+    single-site dominance), plus the URL-function surface — host /
+    registered-domain extraction, path depth, tracking-parameter
+    stripping. URLs are planted deterministically from (source, doc_id)
+    since the corpus has none; the oracle replays the derivation. Cap = 3
+    per domain in md5(doc_id) hash order (doc_id tiebreak). Per-source
+    report: docs, distinct domains, kept/dropped under the cap, mean path
+    depth, tracking-URL count. Plan shape: URL parsing is codegen
+    scan-speed; the cap is one row_number window partitioned by domain —
+    domains are many and bounded-size, so no skewed partition at scale."""
+    from .functions.url import (
+        strip_url_params,
+        url_path_depth,
+        url_registered_domain,
+    )
+
+    d = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        (did % 40).cast("string"),
+        F.element_at(
+            F.array(F.lit(".com"), F.lit(".org"), F.lit(".net")),
+            (did % 3 + 1).cast("int"),
+        ),
+        F.lit("/"),
+        F.col("lang"),
+        F.when(did % 4 == 0, F.lit("/sub")).otherwise(F.lit("")),
+        F.lit("/p"),
+        did.cast("string"),
+        F.when(did % 5 == 0, F.lit("?utm_source=x&ref=1")).otherwise(F.lit("")),
+    )
+    rows = d.select("doc_id", "source", url.alias("_url")).select(
+        "doc_id",
+        "source",
+        url_registered_domain(F.col("_url")).alias("_dom"),
+        url_path_depth(F.col("_url")).alias("_depth"),
+        (F.length("_url") - F.length(strip_url_params(F.col("_url")))).alias("_qlen"),
+    )
+    w = W.partitionBy("_dom").orderBy(F.md5(did.cast("string")), "doc_id")
+    rows = rows.withColumn("_rn", F.row_number().over(w))
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_dom").cast("long").alias("n_domains"),
+            F.sum(F.when(F.col("_rn") <= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_rn") > 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            _r(F.avg("_depth")).alias("avg_path_depth"),
+            F.sum(F.when(F.col("_qlen") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_tracking_urls"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOMAIN_CAP_REPORT = r"""
+WITH u AS (
+  SELECT doc_id, source,
+         'https://www.' || source || CAST(doc_id % 40 AS VARCHAR)
+         || CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+         || '/' || lang
+         || CASE WHEN doc_id % 4 = 0 THEN '/sub' ELSE '' END
+         || '/p' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&ref=1' ELSE '' END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, url,
+         regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1),
+                        '([^.]+\.[^.]+)$', 1) AS dom,
+         regexp_replace(regexp_replace(
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+             '/+', '/', 'g'), '/$', '') AS np,
+         length(url) - length(regexp_replace(url, '[?#].*$', '')) AS qlen
+  FROM u
+),
+r AS (
+  SELECT source,
+         length(np) - length(replace(np, '/', '')) AS depth, qlen,
+         dom,
+         row_number() OVER (PARTITION BY dom
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM p
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT dom) AS BIGINT) AS n_domains,
+       CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round(avg(depth), 6) AS avg_path_depth,
+       CAST(sum(CASE WHEN qlen > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tracking_urls
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+def mixing_report(spark, sf):
+    """Corpus mixing (operators/mixing.py): deterministic source-weighted
+    downsampling to a target mixture — odd-numbered sources weighted 1.5,
+    even 0.5, target corpus 60% of the input; each source's keep quota is
+    its weight share of the target, capped at its size, filled in
+    md5(doc_id) hash order (the exact-quota oracle twin; the windowless
+    hash-threshold production form is documented in the module). Per-source
+    report: docs, weight, quota, kept, kept fraction."""
+    from .operators.mixing import apply_mixture, source_quotas
+
+    d = t(spark, sf, "documents")
+    wexpr = F.when(
+        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("int") % 2 == 1,
+        F.lit(1.5),
+    ).otherwise(F.lit(0.5))
+    quotas = source_quotas(d, "source", wexpr, target_frac=0.6)
+    kept = apply_mixture(d, "source", "doc_id", quotas)
+    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("_k"))
+    return (
+        quotas.join(kc, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            _r(F.col("weight")).alias("weight"),
+            F.col("quota"),
+            F.coalesce(F.col("_k"), F.lit(0)).cast("long").alias("n_kept"),
+            _r(
+                F.when(
+                    F.col("n_docs") > 0,
+                    F.coalesce(F.col("_k"), F.lit(0)) / F.col("n_docs"),
+                )
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MIXING_REPORT = r"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs,
+         CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 1
+              THEN 1.5 ELSE 0.5 END AS weight
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_docs) AS total, sum(weight) AS sum_w FROM counts),
+q AS (
+  SELECT c.source, c.n_docs, c.weight,
+         least(c.n_docs,
+               CAST(floor(c.weight / t.sum_w * floor(t.total * 0.6)) AS BIGINT)) AS quota
+  FROM counts c, tot t
+),
+ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+),
+k AS (
+  SELECT r.source, count(*) AS n_kept
+  FROM ranked r JOIN q USING (source)
+  WHERE r.rn <= q.quota
+  GROUP BY r.source
+)
+SELECT q.source,
+       CAST(q.n_docs AS BIGINT) AS n_docs,
+       round(q.weight, 6) AS weight,
+       q.quota,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       round(CASE WHEN q.n_docs > 0
+                  THEN coalesce(k.n_kept, 0) * 1.0 / q.n_docs END, 6) AS kept_frac
+FROM q LEFT JOIN k USING (source)
+ORDER BY q.source
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Policy (VERDICT r2 item 1):
 #   - slots 0-9: the 10 queries without an r2 driver row (streaming first — it
@@ -2323,9 +2604,6 @@ QUERIES = {
     "media_features_report": media_features_report,
     "media_frame_sample_report": media_frame_sample_report,
     # -- slots 10-49: recorded green in r2, kept inside the window --
-    "group_moment_stats": group_moment_stats,
-    "threshold_buckets": threshold_buckets,
-    "validity_classes": validity_classes,
     "top_langs_per_source": top_langs_per_source,
     "value_histogram": value_histogram,
     "value_counts_lang": value_counts_lang,
@@ -2356,6 +2634,11 @@ QUERIES = {
     "contamination_report": contamination_report,
     "repetition_report": repetition_report,
     "pii_scrub_report": pii_scrub_report,
+    # r3 wave-2 additions; the two-round-green entries they displace
+    # (group_moment_stats, threshold_buckets, validity_classes) rotate to the tail
+    "line_dedup_report": line_dedup_report,
+    "domain_cap_report": domain_cap_report,
+    "mixing_report": mixing_report,
     "cube_status_priority": cube_status_priority,
     "order_value_quartiles": order_value_quartiles,
     "supplier_name_concat": supplier_name_concat,
@@ -2379,12 +2662,18 @@ QUERIES = {
     "conf_scale_normalize": conf_scale_normalize,
     "order_gaps_lag": order_gaps_lag,
     "rollup_nation_totals": rollup_nation_totals,
+    "group_moment_stats": group_moment_stats,
+    "threshold_buckets": threshold_buckets,
+    "validity_classes": validity_classes,
 }
 
 ORACLES = {
     "contamination_report": ORACLE_CONTAMINATION_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
+    "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
+    "domain_cap_report": ORACLE_DOMAIN_CAP_REPORT,
+    "mixing_report": ORACLE_MIXING_REPORT,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,

@@ -1,0 +1,140 @@
+"""Line-level dedup, URL functions, corpus mixing (r3 wave-2 training-data
+ops). The report queries are DuckDB-oracle-checked end-to-end by the driver;
+these tests pin operator semantics on planted fixtures plus the broadcast
+plan shape."""
+
+from pyspark.sql import functions as F
+
+
+def test_drop_duplicate_lines_planted(spark):
+    from ocr_output_evaluation_spark.operators.linededup import (
+        drop_duplicate_lines,
+    )
+
+    # line_len=2, min_count=3: "aa bb" appears in docs 1,2,3 -> banned;
+    # every other line is unique.
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),
+            (2, "aa bb ee ff"),
+            (3, "aa bb gg"),
+            (4, "hh ii jj kk"),
+            (5, ""),  # no tokens -> NULL text_dedup
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_dedup, r.n_lines, r.n_kept)
+        for r in drop_duplicate_lines(
+            docs, "text", "doc_id", min_count=3, line_len=2
+        ).collect()
+    }
+    assert got[1] == ("cc dd", 2, 1)
+    assert got[2] == ("ee ff", 2, 1)
+    assert got[3] == ("gg", 2, 1)  # trailing partial line survives
+    assert got[4] == ("hh ii jj kk", 2, 2)
+    assert got[5] == (None, 0, 0)
+
+
+def test_drop_duplicate_lines_preserves_order(spark):
+    """Reassembly must restore original line order even though collect_list
+    order is undefined — the sort_array(struct(pos, line)) pin."""
+    from ocr_output_evaluation_spark.operators.linededup import (
+        drop_duplicate_lines,
+    )
+
+    # 40 distinct 2-token lines (letters only — normalize_for_scoring strips digits)
+    def tok(i):
+        return chr(97 + i // 26) + chr(97 + i % 26)
+
+    text = " ".join(f"{tok(2 * i)} {tok(2 * i + 1)}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).repartition(8)
+    [r] = drop_duplicate_lines(
+        docs, "text", "doc_id", min_count=2, line_len=2
+    ).collect()
+    assert r.text_dedup == text and r.n_kept == 40
+
+
+def test_line_dedup_banned_set_broadcasts(spark, sf_dir):
+    """Plan pin for the 100 TB shape: banned-line removal is a broadcast
+    anti-join — the corpus never shuffles for membership."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ocr_output_evaluation_spark.queries import line_dedup_report
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        line_dedup_report(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_url_functions(spark):
+    from ocr_output_evaluation_spark.functions.url import (
+        strip_url_params,
+        url_host,
+        url_path_depth,
+        url_registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("https://www.a.example.com/x/y/z?utm=1#frag",),
+            ("http://example.org",),
+            ("https://single/",),
+            ("not a url",),
+            ("https://h.io//a///b/",),  # duplicate + trailing slashes
+        ],
+        "u string",
+    )
+    rows = df.select(
+        url_host("u").alias("h"),
+        url_registered_domain("u").alias("d"),
+        url_path_depth("u").alias("p"),
+        strip_url_params("u").alias("s"),
+    ).collect()
+    assert rows[0].h == "www.a.example.com" and rows[0].d == "example.com"
+    assert rows[0].p == 3 and rows[0].s == "https://www.a.example.com/x/y/z"
+    assert rows[1].h == "example.org" and rows[1].d == "example.org"
+    assert rows[1].p == 0
+    assert rows[2].h == "single" and rows[2].d == "single" and rows[2].p == 0
+    assert rows[3].h == "" and rows[3].d == "" and rows[3].p == 0
+    assert rows[4].p == 2  # //a///b/ normalizes to /a/b
+
+
+def test_mixture_quotas_and_selection(spark):
+    from ocr_output_evaluation_spark.operators.mixing import (
+        apply_mixture,
+        source_quotas,
+    )
+
+    # 100 docs: 80 from 'big' (weight 1), 20 from 'small' (weight 3);
+    # target 50% of 100 = 50, shares 1/4 vs 3/4 -> quotas 12 and
+    # min(20, 37) = 20.
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    wexpr = F.when(F.col("source") == "small", F.lit(3.0)).otherwise(F.lit(1.0))
+    q = {
+        r.source: (r.n_docs, r.quota)
+        for r in source_quotas(df, "source", wexpr, 0.5).collect()
+    }
+    assert q == {"big": (80, 12), "small": (20, 20)}
+
+    kept = apply_mixture(df, "source", "doc_id", source_quotas(df, "source", wexpr, 0.5))
+    by_src = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src == {"big": 12, "small": 20}
+    # determinism: same call twice -> identical doc_id sets
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id
+        for r in apply_mixture(
+            df, "source", "doc_id", source_quotas(df, "source", wexpr, 0.5)
+        ).collect()
+    )
+    assert a == b
