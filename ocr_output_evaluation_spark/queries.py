@@ -2581,6 +2581,53 @@ ORDER BY q.source
 """
 
 
+def bpe_merge_report(spark, sf):
+    """BPE merge-pair mining (operators/bpe.py): the 20 adjacent character
+    pairs a byte-pair-encoding trainer would merge first — occurrences
+    weighted by corpus word frequency (all positions counted, overlaps
+    included, as in the common reference implementations), with the
+    distinct-word support count. Total order (count desc, pair asc) makes
+    the LIMIT deterministic. Plan shape: word counts collapse map-side;
+    the pair explode runs over the DISTINCT-word frame, so the expensive
+    stage scales with vocabulary, not corpus; the ranking is a
+    TakeOrderedAndProject top-k."""
+    from .operators.bpe import merge_pair_counts, word_frequencies
+
+    d = t(spark, sf, "documents")
+    words = word_frequencies(d, "text")
+    return (
+        merge_pair_counts(words)
+        .orderBy(F.col("total_count").desc(), "pair")
+        .limit(20)
+    )
+
+
+ORACLE_BPE_MERGE_REPORT = r"""
+WITH norm AS (
+  SELECT coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+words AS (
+  SELECT tok AS word, count(*) AS wc
+  FROM (SELECT string_split(t, ' ') AS w FROM norm WHERE length(t) > 0),
+       UNNEST(w) AS u(tok)
+  GROUP BY tok
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, word, wc
+  FROM words, UNNEST(range(1, length(word))) AS r(i)
+)
+SELECT pair,
+       CAST(sum(wc) AS BIGINT) AS total_count,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM pairs
+GROUP BY pair
+ORDER BY total_count DESC, pair
+LIMIT 20
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Policy (VERDICT r2 item 1):
 #   - slots 0-9: the 10 queries without an r2 driver row (streaming first — it
@@ -2604,7 +2651,6 @@ QUERIES = {
     "media_features_report": media_features_report,
     "media_frame_sample_report": media_frame_sample_report,
     # -- slots 10-49: recorded green in r2, kept inside the window --
-    "top_langs_per_source": top_langs_per_source,
     "value_histogram": value_histogram,
     "value_counts_lang": value_counts_lang,
     "event_dow_matrix": event_dow_matrix,
@@ -2639,6 +2685,7 @@ QUERIES = {
     "line_dedup_report": line_dedup_report,
     "domain_cap_report": domain_cap_report,
     "mixing_report": mixing_report,
+    "bpe_merge_report": bpe_merge_report,
     "cube_status_priority": cube_status_priority,
     "order_value_quartiles": order_value_quartiles,
     "supplier_name_concat": supplier_name_concat,
@@ -2665,6 +2712,7 @@ QUERIES = {
     "group_moment_stats": group_moment_stats,
     "threshold_buckets": threshold_buckets,
     "validity_classes": validity_classes,
+    "top_langs_per_source": top_langs_per_source,
 }
 
 ORACLES = {
@@ -2674,6 +2722,7 @@ ORACLES = {
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
     "domain_cap_report": ORACLE_DOMAIN_CAP_REPORT,
     "mixing_report": ORACLE_MIXING_REPORT,
+    "bpe_merge_report": ORACLE_BPE_MERGE_REPORT,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,

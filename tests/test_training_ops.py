@@ -138,3 +138,21 @@ def test_mixture_quotas_and_selection(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_bpe_merge_pair_counts_planted(spark):
+    """merge_pair_counts on a hand-computed fixture: weighting by word
+    frequency, overlap positions counted, <2-char words contribute nothing."""
+    from ocr_output_evaluation_spark.operators.bpe import merge_pair_counts
+
+    words = spark.createDataFrame(
+        [("abab", 3), ("ba", 2), ("a", 5)], "word string, wcount long"
+    )
+    got = {
+        r.pair: (r.total_count, r.n_words)
+        for r in merge_pair_counts(words).collect()
+    }
+    # "abab": pairs ab(2x), ba(1x) each weighted 3; "ba": ba weighted 2
+    assert got["ab"] == (6, 1)
+    assert got["ba"] == (5, 2)
+    assert "a" not in got and len(got) == 2
