@@ -2628,6 +2628,166 @@ LIMIT 20
 """
 
 
+def packing_report(spark, sf):
+    """Sequence packing (operators/packing.py): documents concatenated in
+    per-shard hash order and chunked into 128-token training sequences
+    (whitespace token counts — the oracle-established twin); per-shard
+    packing-efficiency report — documents, tokens, sequences produced,
+    mean docs per sequence, boundary-straddling docs, fill fraction.
+    Shards (doc_id % 8 here; pmod(xxhash64) in production) keep the
+    running-total window parallel — no global cumsum serialization; the
+    per-shard sort is the dataloader-worker unit of work."""
+    from .operators.packing import pack_sequences, packing_stats
+
+    d = t(spark, sf, "documents")
+    packed = pack_sequences(
+        d, "doc_id", whitespace_token_count(F.col("text")), seq_len=128, n_shards=8
+    )
+    return packing_stats(packed, 128).orderBy("shard")
+
+
+ORACLE_PACKING_REPORT = r"""
+WITH tk AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens
+  FROM documents
+),
+c AS (
+  SELECT shard, tokens,
+         sum(tokens) OVER (PARTITION BY shard
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tk
+),
+p AS (
+  SELECT shard, tokens,
+         tokens > 0 AND floor((cum - tokens) * 1.0 / 128) != floor((cum - 1) * 1.0 / 128) AS straddle
+  FROM c
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(tokens) * 1.0 / 128) AS BIGINT) AS n_seqs,
+       round(CASE WHEN sum(tokens) > 0
+                  THEN count(*) * 1.0 / ceil(sum(tokens) * 1.0 / 128) END, 6) AS avg_docs_per_seq,
+       CAST(sum(CASE WHEN straddle THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+       round(CASE WHEN sum(tokens) > 0
+                  THEN sum(tokens) * 1.0 / (ceil(sum(tokens) * 1.0 / 128) * 128) END, 6) AS fill_frac
+FROM p
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+def classifier_report(spark, sf):
+    """In-engine quality/lang classifier (operators/classifier.py):
+    logistic regression predicting lang=='en' from three codegen features
+    (en-stopword ratio, punctuation ratio, capped length), trained by 3
+    unrolled full-batch gradient steps (lr 0.5, zero init) where each step
+    is one map-side-combined aggregation producing 4 scalars — nothing
+    collected to the driver. Gradients are rounded to 9 dp before each
+    update so DuckDB's sequential replay reaches bit-identical weights and
+    the ENTIRE training loop is oracle-checked. Per-lang report: docs,
+    mean predicted probability, accuracy against the label, and the
+    trained weights."""
+    from .functions.text import punct_ratio, stopword_ratio
+    from .operators.classifier import logreg_score, logreg_train
+
+    d = t(spark, sf, "documents")
+    feats = d.select(
+        "lang",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        stopword_ratio(F.col("text"), "en").alias("x1"),
+        punct_ratio(F.col("text")).alias("x2"),
+        F.least(F.length("text").cast("double") / F.lit(500.0), F.lit(1.0)).alias(
+            "x3"
+        ),
+    ).cache()  # the k gradient passes rescan columns, not regex features
+    w = logreg_train(feats, ["x1", "x2", "x3"], "y", lr=0.5, steps=3)
+    scored = logreg_score(feats, w, ["x1", "x2", "x3"])
+    correct = (
+        (F.col("_p") >= 0.5) == (F.col("y") == 1.0)
+    ).cast("double")
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r(F.avg("_p")).alias("mean_p"),
+            _r(F.avg(correct)).alias("accuracy"),
+            F.round(F.first("b"), 6).alias("w_bias"),
+            F.round(F.first("w1"), 6).alias("w_stop"),
+            F.round(F.first("w2"), 6).alias("w_punct"),
+            F.round(F.first("w3"), 6).alias("w_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# the 3 gradient steps unrolled as chained CTEs — weights must land
+# bit-identical to Spark's (see operators/classifier.py: 9 dp gradient
+# rounding absorbs float-addition-order differences between engines)
+ORACLE_CLASSIFIER_REPORT = rf"""
+WITH f AS (
+  SELECT lang,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         CASE WHEN length(trim(text)) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(lower(text), '\b({_SW_EN})\b')) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\s+')) END AS x1,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[\p{{P}}]')) * 1.0 / length(text)
+              ELSE 0.0 END AS x2,
+         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS x3
+  FROM documents
+),
+g1 AS (
+  SELECT round(avg(1.0/(1.0+exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3))) - y), 9) AS gb,
+         round(avg((1.0/(1.0+exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3))) - y) * x1), 9) AS g1,
+         round(avg((1.0/(1.0+exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3))) - y) * x2), 9) AS g2,
+         round(avg((1.0/(1.0+exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3))) - y) * x3), 9) AS g3
+  FROM f
+),
+w1 AS (
+  SELECT 0.0 - 0.5*gb AS b, 0.0 - 0.5*g1 AS w1, 0.0 - 0.5*g2 AS w2, 0.0 - 0.5*g3 AS w3
+  FROM g1
+),
+g2 AS (
+  SELECT round(avg(1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y), 9) AS gb,
+         round(avg((1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x1), 9) AS g1,
+         round(avg((1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x2), 9) AS g2,
+         round(avg((1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x3), 9) AS g3
+  FROM f, w1 w
+),
+w2 AS (
+  SELECT w.b - 0.5*g.gb AS b, w.w1 - 0.5*g.g1 AS w1, w.w2 - 0.5*g.g2 AS w2, w.w3 - 0.5*g.g3 AS w3
+  FROM w1 w, g2 g
+),
+g3 AS (
+  SELECT round(avg(1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y), 9) AS gb,
+         round(avg((1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x1), 9) AS g1,
+         round(avg((1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x2), 9) AS g2,
+         round(avg((1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))) - y) * x3), 9) AS g3
+  FROM f, w2 w
+),
+w3 AS (
+  SELECT w.b - 0.5*g.gb AS b, w.w1 - 0.5*g.g1 AS w1, w.w2 - 0.5*g.g2 AS w2, w.w3 - 0.5*g.g3 AS w3
+  FROM w2 w, g3 g
+)
+SELECT f.lang,
+       count(*) AS n_docs,
+       round(avg(1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3)))), 6) AS mean_p,
+       round(avg(CASE WHEN (1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))) >= 0.5) = (y = 1.0)
+                      THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+       round(any_value(w.b), 6)  AS w_bias,
+       round(any_value(w.w1), 6) AS w_stop,
+       round(any_value(w.w2), 6) AS w_punct,
+       round(any_value(w.w3), 6) AS w_len
+FROM f, w3 w
+GROUP BY f.lang
+ORDER BY f.lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Policy (VERDICT r2 item 1):
 #   - slots 0-9: the 10 queries without an r2 driver row (streaming first — it
@@ -2651,9 +2811,7 @@ QUERIES = {
     "media_features_report": media_features_report,
     "media_frame_sample_report": media_frame_sample_report,
     # -- slots 10-49: recorded green in r2, kept inside the window --
-    "value_histogram": value_histogram,
     "value_counts_lang": value_counts_lang,
-    "event_dow_matrix": event_dow_matrix,
     "quality_buckets": quality_buckets,
     "events_json_props": events_json_props,
     "running_spend": running_spend,
@@ -2686,6 +2844,8 @@ QUERIES = {
     "domain_cap_report": domain_cap_report,
     "mixing_report": mixing_report,
     "bpe_merge_report": bpe_merge_report,
+    "packing_report": packing_report,
+    "classifier_report": classifier_report,
     "cube_status_priority": cube_status_priority,
     "order_value_quartiles": order_value_quartiles,
     "supplier_name_concat": supplier_name_concat,
@@ -2713,6 +2873,8 @@ QUERIES = {
     "threshold_buckets": threshold_buckets,
     "validity_classes": validity_classes,
     "top_langs_per_source": top_langs_per_source,
+    "value_histogram": value_histogram,
+    "event_dow_matrix": event_dow_matrix,
 }
 
 ORACLES = {
@@ -2723,6 +2885,8 @@ ORACLES = {
     "domain_cap_report": ORACLE_DOMAIN_CAP_REPORT,
     "mixing_report": ORACLE_MIXING_REPORT,
     "bpe_merge_report": ORACLE_BPE_MERGE_REPORT,
+    "packing_report": ORACLE_PACKING_REPORT,
+    "classifier_report": ORACLE_CLASSIFIER_REPORT,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,

@@ -156,3 +156,82 @@ def test_bpe_merge_pair_counts_planted(spark):
     assert got["ab"] == (6, 1)
     assert got["ba"] == (5, 2)
     assert "a" not in got and len(got) == 2
+
+
+def test_pack_sequences_planted(spark):
+    """pack_sequences on one shard with hand-replayed md5 order: sequence
+    index = floor(exclusive-cumsum / L), straddle flags at boundaries,
+    zero-token docs occupy nothing."""
+    import hashlib
+
+    from ocr_output_evaluation_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    toks = {1: 6, 2: 7, 3: 0, 4: 10, 5: 3}
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" * 1 for _ in range(n)) if n else "") for i, n in toks.items()],
+        "doc_id long, text string",
+    )
+    from ocr_output_evaluation_spark.functions.text import whitespace_token_count
+
+    packed = pack_sequences(
+        docs, "doc_id", whitespace_token_count(F.col("text")), 10, 1
+    )
+    got = {r.doc_id: (r._tokens, r._seq, r._straddle) for r in packed.collect()}
+
+    order = sorted(toks, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cum = 0
+    for i in order:
+        excl = cum
+        cum += toks[i]
+        seq = excl // 10
+        straddle = toks[i] > 0 and excl // 10 != (cum - 1) // 10
+        assert got[i] == (toks[i], seq, straddle), (i, got[i], (toks[i], seq, straddle))
+
+    [s] = packing_stats(packed, 10).collect()
+    assert s.n_docs == 5 and s.total_tokens == 26 and s.n_seqs == 3
+    assert abs(s.fill_frac - 26 / 30) < 1e-6  # fill_frac is rounded to 6dp
+
+
+def test_logreg_train_matches_numpy(spark):
+    """logreg_train's unrolled GD (9 dp gradient rounding) must match a
+    sequential numpy replay exactly, and the learned boundary must separate
+    a planted separable fixture."""
+    import numpy as np
+
+    from ocr_output_evaluation_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+
+    rng = [(i, 1.0 if i % 2 == 0 else 0.0) for i in range(200)]
+    rows = [
+        # centered separable feature: y=1 at x ~ +0.3, y=0 at x ~ -0.3
+        # (deterministic jitter) — separable by sign with zero bias, which
+        # a few full-batch steps CAN reach (the bias moves slowly on a
+        # balanced fixture)
+        (i, y, 0.3 + (i % 7 - 3) * 0.01 if y else -0.3 + (i % 7 - 3) * 0.01)
+        for i, y in rng
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, y double, x1 double")
+    w = logreg_train(df, ["x1"], "y", lr=1.0, steps=4).collect()[0]
+
+    xs = np.array([r[2] for r in rows])
+    ys = np.array([r[1] for r in rows])
+    b = w1 = 0.0
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(b + w1 * xs)))
+        gb = round(float(np.mean(p - ys)), 9)
+        g1 = round(float(np.mean((p - ys) * xs)), 9)
+        b, w1 = b - 1.0 * gb, w1 - 1.0 * g1
+    assert abs(w.b - b) < 1e-12 and abs(w.w1 - w1) < 1e-12
+
+    scored = logreg_score(
+        df, logreg_train(df, ["x1"], "y", lr=1.0, steps=4), ["x1"]
+    )
+    acc = scored.selectExpr(
+        "avg(CASE WHEN (_p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) a"
+    ).collect()[0].a
+    assert acc == 1.0  # separable fixture -> the boundary must separate it
