@@ -54,6 +54,22 @@ def _r(c, n=6):
     return F.round(c, n)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Hash-spread a small or unsplittable scan across all cores BEFORE
+    CPU-heavy per-row expansion (n-gram transforms, explodes). A single
+    parquet row group is one task however many cores exist — measured 20 s
+    single-core vs ~2 s spread at sf0.1 for the n-gram reports. The
+    explicit partition count pins the exchange against AQE coalescing
+    (which would fold a KB-sized text shuffle back to one task); hash on
+    doc_id keeps the spread deterministic. At cluster scale real inputs
+    arrive in thousands of row groups and this exchange is skipped by
+    construction — it guards exactly the small-file/single-row-group case.
+    Results are partitioning-independent (all consumers aggregate)."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational core (scan → filter → join → agg → sort/limit)
 # ---------------------------------------------------------------------------
@@ -1995,7 +2011,7 @@ def contamination_report(spark, sf):
     partial-agg shuffle — corpus never shuffles for membership."""
     from .operators.decontaminate import contamination_scores
 
-    d = t(spark, sf, "documents")
+    d = _spread(t(spark, sf, "documents"))
     bench = d.filter(F.col("doc_id") % 97 == 0)
     sc = contamination_scores(d, bench, "text", "doc_id", n=4)
     return (
@@ -2067,7 +2083,7 @@ def repetition_report(spark, sf):
     signal of boilerplate and degenerate text in web corpora."""
     from .functions.ngram import word_ngrams, word_tokens
 
-    d = t(spark, sf, "documents")
+    d = _spread(t(spark, sf, "documents"))
     toks = d.select(
         "doc_id",
         "lang",
@@ -2316,7 +2332,7 @@ def line_dedup_report(spark, sf):
     membership (same 100 TB shape as contamination_report)."""
     from .operators.linededup import banned_lines, doc_lines
 
-    d = t(spark, sf, "documents")
+    d = _spread(t(spark, sf, "documents"))
     lines = doc_lines(d, "text", "doc_id", line_len=3)
     banned = banned_lines(lines, min_count=5)
     kept = lines.join(F.broadcast(banned), "_line", "left_anti")
