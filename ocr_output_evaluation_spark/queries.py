@@ -2804,6 +2804,176 @@ ORDER BY f.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data ops (r3 wave 3): splits, token budgets, quantile gates
+# ---------------------------------------------------------------------------
+def split_report(spark, sf):
+    """Deterministic train/val/test splitting (operators/splits.py): the
+    RNG-free 80/10/10 hash split every corpus build runs before export —
+    assignment is a pure md5 function of the doc key, so re-runs and
+    incremental appends are stable, and keying on a GROUP column instead
+    pins whole dedup-clusters/domains to one split (leakage defense;
+    group-atomicity is pytest-pinned). Report grain (split, lang): doc
+    count, whitespace-token sum, and each split's share of its language.
+    Plan shape: the split column is one codegen expression on the scan —
+    zero shuffle, zero UDF; the only exchange is the report's own
+    partial-agg, and the share window runs over the tiny aggregated
+    frame (n_splits x n_langs rows), never the corpus."""
+    from .operators.splits import assign_split
+
+    d = t(spark, sf, "documents")
+    s = assign_split(d, F.col("doc_id"))
+    agg = s.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(whitespace_token_count(F.col("text"))).alias("ws_tokens"),
+    )
+    wl = W.partitionBy("lang")
+    return (
+        agg.withColumn(
+            "lang_share", _r(F.col("n_docs") / F.sum("n_docs").over(wl))
+        )
+        .orderBy("split", "lang")
+    )
+
+
+ORACLE_SPLIT_REPORT = r"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN (('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100) < 80 THEN 'train'
+              WHEN (('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100) < 90 THEN 'val'
+              WHEN (('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100) < 100 THEN 'test'
+         END AS split,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 6) AS lang_share
+FROM s GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+def token_budget_report(spark, sf):
+    """Per-lang token-budget sampling (operators/budget.py): take docs in
+    md5 hash order until 2000 whitespace tokens per language are filled
+    (the "X tokens per language" corpus-sizing rule). Two-phase prefix
+    sum: bucket = md5-prefix, per-(lang,bucket) totals (tiny frame),
+    exclusive bucket prefix + intra-bucket running sum — identical keep
+    set to the naive per-lang global window the oracle replays, but the
+    widest window partition is 1/256th of a language, not all of it.
+    Report per lang: docs seen/kept, kept tokens, budget utilization."""
+    from .operators.budget import token_budget_take
+
+    budget = 2000
+    d = t(spark, sf, "documents")
+    marked = token_budget_take(
+        d, whitespace_token_count(F.col("text")), "doc_id", budget
+    )
+    kept = F.col("kept").cast("int")
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum(kept * F.col("_tokens")).cast("long").alias("kept_tokens"),
+            _r(F.sum(kept * F.col("_tokens")) / F.lit(budget)).alias(
+                "budget_used"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKEN_BUDGET_REPORT = r"""
+WITH tk AS (
+  SELECT lang, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws
+  FROM documents
+),
+cum AS (
+  SELECT lang, ws,
+         sum(ws) OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS UNBOUNDED PRECEDING) AS c
+  FROM tk
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN c <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN c <= 2000 THEN ws ELSE 0 END) AS BIGINT) AS kept_tokens,
+       round(sum(CASE WHEN c <= 2000 THEN ws ELSE 0 END) / 2000.0, 6) AS budget_used
+FROM cum GROUP BY lang
+ORDER BY lang
+"""
+
+
+def quantile_gate_report(spark, sf):
+    """Exact per-lang quantile quality gate (operators/quantile.py): keep
+    the top 30% of each language by the 6dp-rounded quality score,
+    computed WITHOUT a per-lang global sort — per-(lang,score) histogram
+    partial-agg, descending cumulative over the bounded score domain,
+    tie-inclusive threshold broadcast back. Bit-equal to the naive
+    percent-rank definition the oracle replays (this engine bans
+    percentile_approx on oracle paths). Report per lang: kept count,
+    threshold, min/avg kept score."""
+    from .operators.quantile import quantile_gate
+
+    d = t(spark, sf, "documents")
+    g = quantile_gate(d, quality_score(F.col("text"), "en"), 0.3)
+    return (
+        g.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            _r(F.max("threshold")).alias("threshold"),
+            _r(F.min("score")).alias("min_kept_score"),
+            _r(F.avg("score")).alias("avg_kept_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_QUANTILE_GATE_REPORT = rf"""
+WITH q AS (
+  SELECT lang,
+    round(
+      least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+      + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+          THEN len(regexp_extract_all(text, '[\p{{P}}]')) * 1.0 / length(text)
+          ELSE 0.0 END) * 4.0) * 0.2
+      + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+          THEN len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) * 1.0 / length(text)
+          ELSE 0.0 END) * 20.0) * 0.2
+      + least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+          ELSE len(regexp_extract_all(lower(text), '\b({_SW_EN})\b')) * 1.0
+               / len(regexp_split_to_array(trim(text), '\s+')) END) * 4.0, 1.0) * 0.3
+    , 6) AS score
+  FROM documents
+),
+hist AS (SELECT lang, score, count(*) AS n FROM q GROUP BY lang, score),
+c AS (
+  SELECT lang, score,
+         sum(n) OVER (PARTITION BY lang ORDER BY score DESC
+                      ROWS UNBOUNDED PRECEDING) AS ge,
+         sum(n) OVER (PARTITION BY lang) AS tot
+  FROM hist
+),
+thr AS (
+  SELECT lang, max(score) AS threshold
+  FROM c WHERE ge >= CAST(ceil(0.3 * tot) AS BIGINT) GROUP BY lang
+)
+SELECT q.lang, count(*) AS n_kept,
+       round(max(t.threshold), 6) AS threshold,
+       round(min(q.score), 6)     AS min_kept_score,
+       round(avg(q.score), 6)     AS avg_kept_score
+FROM q JOIN thr t USING (lang)
+WHERE q.score >= t.threshold
+GROUP BY q.lang
+ORDER BY q.lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Policy (VERDICT r2 item 1):
 #   - slots 0-9: the 10 queries without an r2 driver row (streaming first — it
@@ -2862,16 +3032,23 @@ QUERIES = {
     "bpe_merge_report": bpe_merge_report,
     "packing_report": packing_report,
     "classifier_report": classifier_report,
+    # r3 wave-3 additions; the rows-only ANN probes they displace
+    # (ivf_ann_topk, ann_index_topk, embedding_near_dup_report) rotate to
+    # the tail — each is pytest-pinned (containment + recall floor), so a
+    # rows-only driver row adds the least evidence of any entry.
+    "split_report": split_report,
+    "token_budget_report": token_budget_report,
+    "quantile_gate_report": quantile_gate_report,
     "cube_status_priority": cube_status_priority,
     "order_value_quartiles": order_value_quartiles,
     "supplier_name_concat": supplier_name_concat,
     "band_filter_fallback": band_filter_fallback,
     "challenging_docs": challenging_docs,
+    "embedding_pair_topk": embedding_pair_topk,
+    # -- tail: two-round-green stalwarts rotated out of the window this round --
     "ivf_ann_topk": ivf_ann_topk,
     "ann_index_topk": ann_index_topk,
     "embedding_near_dup_report": embedding_near_dup_report,
-    "embedding_pair_topk": embedding_pair_topk,
-    # -- tail: two-round-green stalwarts rotated out of the window this round --
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2903,6 +3080,9 @@ ORACLES = {
     "bpe_merge_report": ORACLE_BPE_MERGE_REPORT,
     "packing_report": ORACLE_PACKING_REPORT,
     "classifier_report": ORACLE_CLASSIFIER_REPORT,
+    "split_report": ORACLE_SPLIT_REPORT,
+    "token_budget_report": ORACLE_TOKEN_BUDGET_REPORT,
+    "quantile_gate_report": ORACLE_QUANTILE_GATE_REPORT,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,
