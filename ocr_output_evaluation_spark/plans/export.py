@@ -1,7 +1,8 @@
 """Training-data export: the composed pipeline a 100 TB pre-training corpus
 build actually runs over the extracted table —
 
-    quality gate → exact dedup → near-dup cluster collapse → partitioned write
+    quality gate → exact dedup → near-dup cluster collapse →
+    cluster-atomic train/val/test split → partitioned write
 
 Reference analog: the reference stops at per-volume quality stats and a
 sampled manifest (/root/reference/select_challenging_images.py:72
@@ -42,6 +43,7 @@ from pyspark.sql.column import Column
 from ..functions.text import quality_score
 from ..operators.components import connected_components
 from ..operators.dedup import minhash_lsh_pairs
+from ..operators.splits import DEFAULT_FRACTIONS, assign_split
 
 
 def doc_key_expr(url_col: str) -> Column:
@@ -68,6 +70,8 @@ def training_export_plan(
     bands: int = 8,
     shingle_n: int = 5,
     key_expr: Column | None = None,
+    split_fractions: tuple[tuple[str, int], ...] = DEFAULT_FRACTIONS,
+    split_salt: str = "export-split-v1",
 ) -> dict:
     """Build the export lineage over an extracted-documents frame.
 
@@ -131,7 +135,21 @@ def training_export_plan(
     reps = components.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias("doc_key")
     )
-    kept = uniq.join(reps, "doc_key", "left_semi")
+    # Representatives satisfy component == doc_key by construction (hash-min
+    # propagation converges to the min key, and only id == component rows
+    # survive the reps filter), so the cluster id is attached for free — no
+    # second join against the full components frame.
+    kept = uniq.join(reps, "doc_key", "left_semi").withColumn(
+        "component", F.col("doc_key")
+    )
+    # Leakage-safe split assignment, keyed on the CLUSTER id: every member
+    # of a near-dup cluster maps to the same split, so a later "expand the
+    # cluster back in" (or a dup-aware eval set) cannot straddle train/test.
+    # Deterministic md5 expression — re-runs and incremental appends are
+    # stable, and no shuffle is added (one codegen column on kept).
+    kept = assign_split(
+        kept, F.col("component"), fractions=split_fractions, salt=split_salt
+    )
     return {
         "clean": clean,
         "uniq": uniq,
@@ -166,8 +184,12 @@ def run_training_export(
     )
     kept = stages["kept"]
     writer = kept.write.mode("overwrite")
-    if partition_col and partition_col in kept.columns:
-        writer = writer.partitionBy(partition_col)
+    # Layout: split is the outer partition (training readers consume one
+    # split at a time), the resume bucket nests inside it.
+    pcols = ["split"] + (
+        [partition_col] if partition_col and partition_col in kept.columns else []
+    )
+    writer = writer.partitionBy(*pcols)
     writer.parquet(f"{out_dir}/training_docs")
 
     out = spark.read.parquet(f"{out_dir}/training_docs")
@@ -177,6 +199,10 @@ def run_training_export(
         "exact_unique_rows": stages["uniq"].count(),
         "near_dup_pairs": stages["pairs"].count(),
         "kept_rows": out.count(),
+        "split_rows": {
+            r.split: r.n
+            for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        },
         "out_dir": out_dir,
     }
     for frame in stages["_persisted"]:

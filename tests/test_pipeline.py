@@ -322,3 +322,66 @@ def test_doc_key_collision_resistance(spark):
     assert len({r.k for r in probe}) == 8
     for r in probe:
         assert int(r.k) == int(r.h1) * 2**62 + int(r.h2)
+
+
+def test_training_export_split_is_cluster_atomic_and_partitioned(spark, tmp_path):
+    """The export's split column: keyed on the cluster id (== the kept
+    representative's doc_key), deterministic across runs, assignment
+    matching assign_split's md5 rule exactly, and the output laid out
+    partitioned by split (outer) then bucket."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.operators.splits import assign_split
+    from ocr_output_evaluation_spark.plans.export import run_training_export
+
+    # 30 fully distinct docs (disjoint shingle sets, as in the collision
+    # test): every doc is its own cluster representative.
+    rows = [
+        (
+            f"http://s{i}.example/p",
+            "the and with for that this from "  # stopwords for the quality gate
+            + " ".join(f"tok{i}x{j}" for j in range(50)),
+            i % 2,
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, bucket int")
+    src = str(tmp_path / "extracted")
+    df.write.partitionBy("bucket").parquet(src)
+
+    summary = run_training_export(
+        spark, src, str(tmp_path / "out"), min_quality=0.2, jaccard_threshold=0.9
+    )
+    assert summary["kept_rows"] == 30
+    assert sum(summary["split_rows"].values()) == 30
+    assert set(summary["split_rows"]) <= {"train", "val", "test"}
+
+    out = spark.read.parquet(str(tmp_path / "out" / "training_docs"))
+    # assignment == assign_split(component) with the export salt, re-derived
+    want = {
+        r.component: r.s
+        for r in assign_split(
+            out.select("component"), F.col("component"),
+            salt="export-split-v1", out_col="s",
+        ).collect()
+    }
+    got = {r.component: r.split for r in out.select("component", "split").collect()}
+    assert got == want
+    # representatives carry component == doc_key
+    assert out.filter(F.col("component") != F.col("doc_key")).count() == 0
+    # physical layout: split is the outer partition directory, bucket nested
+    base = str(tmp_path / "out" / "training_docs")
+    split_dirs = {d for d in os.listdir(base) if d.startswith("split=")}
+    assert split_dirs and all(
+        any(x.startswith("bucket=") for x in os.listdir(os.path.join(base, d)))
+        for d in split_dirs
+    )
+    # determinism: a second run lands every doc in the same split
+    summary2 = run_training_export(
+        spark, src, str(tmp_path / "out2"), min_quality=0.2, jaccard_threshold=0.9
+    )
+    out2 = spark.read.parquet(str(tmp_path / "out2" / "training_docs"))
+    got2 = {r.component: r.split for r in out2.select("component", "split").collect()}
+    assert got2 == got and summary2["split_rows"] == summary["split_rows"]
