@@ -71,6 +71,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="text column of the input (the extract job emits "
                          "`extracted_text`; raw web_pages tables use `text`)")
     xp.add_argument("--url-col", default="url")
+    xp.add_argument("--splits", default="train:80,val:10,test:10",
+                    help="name:percent list; percents must sum to 100 "
+                         "(cluster-atomic, RNG-free hash assignment)")
+    xp.add_argument("--split-salt", default="export-split-v1",
+                    help="decorrelates independent re-splits of one corpus")
     _add_common(xp)
 
     sq = sub.add_parser("sql", help="SQL over a table directory (one-shot or REPL)")
@@ -144,6 +149,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "export":
         from .plans.export import run_training_export
 
+        fractions = tuple(
+            (name, int(pct))
+            for name, pct in (s.split(":") for s in args.splits.split(","))
+        )
         res = run_training_export(
             spark,
             args.extracted,
@@ -152,6 +161,8 @@ def main(argv: list[str] | None = None) -> int:
             url_col=args.url_col,
             min_quality=args.min_quality,
             jaccard_threshold=args.jaccard_threshold,
+            split_fractions=fractions,
+            split_salt=args.split_salt,
         )
     elif args.cmd == "sql":
         from .sources.io import register_tables_dir, sql_repl

@@ -169,6 +169,8 @@ def run_training_export(
     min_quality: float = 0.35,
     jaccard_threshold: float = 0.7,
     partition_col: str | None = "bucket",
+    split_fractions: tuple[tuple[str, int], ...] = DEFAULT_FRACTIONS,
+    split_salt: str = "export-split-v1",
 ) -> dict:
     """Job wrapper: read the extracted table, run the export plan, write the
     kept set partitioned by the resume bucket, report per-stage counts.
@@ -181,6 +183,8 @@ def run_training_export(
         url_col=url_col,
         min_quality=min_quality,
         jaccard_threshold=jaccard_threshold,
+        split_fractions=split_fractions,
+        split_salt=split_salt,
     )
     kept = stages["kept"]
     writer = kept.write.mode("overwrite")
