@@ -140,6 +140,8 @@ def main() -> None:
     from ocr_output_evaluation_spark.queries import (
         embedding_pair_topk,
         minhash_pairs,
+        quantile_gate_report,
+        token_budget_report,
         user_sessions,
     )
     from ocr_output_evaluation_spark.session import get_spark
@@ -153,6 +155,13 @@ def main() -> None:
         "minhash_pairs": minhash_pairs,
         "user_sessions": user_sessions,
         "embedding_pair_topk": embedding_pair_topk,
+        # r3 wave-3 sampling ops: both must scale ~linearly — the budget
+        # take-while is windows over (lang, 256-bucket) partitions, the
+        # quantile gate is a histogram agg + broadcast filter; a
+        # super-linear factor here would mean a window partition grew with
+        # the corpus (the per-lang trap both were designed to avoid)
+        "token_budget_report": token_budget_report,
+        "quantile_gate_report": quantile_gate_report,
     }
     report: dict = {"metric": "sf1_spot_check", "unit": "sec", "base_rows": BASE,
                     "mult_hi": mult_hi, "cpus": cpus}
