@@ -57,6 +57,14 @@ def token_budget_take(
     take-while — a row that would overflow the budget is dropped, as is
     everything after it in hash order). Adds columns ``_tokens`` (long)
     and ``kept`` (boolean); callers filter or aggregate.
+
+    Contract notes: rows with a NULL ``group_col`` drop out at the prefix
+    join (both engines agree — the oracle's USING join does the same);
+    triage NULL groups upstream if they must be budgeted. The broadcast of
+    the prefix frame assumes BOUNDED group cardinality (langs, sources:
+    n_groups x 256 rows); for a high-cardinality group key (e.g. domain)
+    swap the broadcast hint for a plain shuffle join — the two-phase
+    structure is unchanged.
     """
     key = F.col(key) if isinstance(key, str) else key
     budget = F.lit(budget) if isinstance(budget, int) else budget

@@ -82,7 +82,12 @@ def quantile_gate(
     score_col: str = "score",
 ) -> DataFrame:
     """Rows of ``df`` whose score clears the per-group exact quantile
-    threshold, with ``score_col`` and ``threshold`` attached."""
+    threshold, with ``score_col`` and ``threshold`` attached.
+
+    Rows with a NULL ``group_col`` drop out at the threshold join (the
+    oracle's USING join agrees); triage NULL groups upstream if they must
+    be gated. The broadcast assumes bounded group cardinality — one
+    threshold row per group."""
     scored = df.withColumn(score_col, score)
     thr = group_quantile_thresholds(scored, F.col(score_col), keep_frac, group_col)
     return scored.join(F.broadcast(thr.drop("n_group")), group_col).filter(
