@@ -183,7 +183,11 @@ class _BitReader:
                 raise ValueError("marker inside entropy data")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # Mask to the live window: without this, acc grows one Python-bigint
+        # byte per scan byte and every shift becomes O(scan) — quadratic
+        # total, a CPU-amplification hole on large untrusted payloads (the
+        # same class as the PNG IDAT O(n^2) concat fixed in r2).
+        self.acc = (((self.acc << 8) | b) & 0xFFFF)
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -233,7 +237,19 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(b: bytes) -> tuple[dict, np.ndarray]:
     """Baseline JPEG -> (meta fields, raster (h, w, c) uint8). Raises
     ValueError on non-baseline/malformed input — callers (media.py _decode)
-    keep errors in-band."""
+    keep errors in-band. The wrapper normalizes the internal failure modes
+    a truncated/garbled entropy stream can hit (IndexError past the buffer
+    end, struct.error on short segments, an unexpected RSTn with no DRI)
+    to the documented ValueError contract."""
+    try:
+        return _decode_jpeg_inner(b)
+    except ValueError:
+        raise
+    except (_RestartMarker, IndexError, struct.error) as e:
+        raise ValueError(f"malformed jpeg ({type(e).__name__})") from e
+
+
+def _decode_jpeg_inner(b: bytes) -> tuple[dict, np.ndarray]:
     if b[:3] != b"\xff\xd8\xff":
         raise ValueError("not a jpeg")
     if len(b) > 64 * 1024 * 1024:

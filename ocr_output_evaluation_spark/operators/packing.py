@@ -67,7 +67,6 @@ def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
     per_shard = packed.groupBy("_shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_tokens").cast("long").alias("total_tokens"),
-        F.countDistinct("_seq").cast("long").alias("n_seqs_touched"),
         F.sum(F.when(F.col("_straddle"), 1).otherwise(0))
         .cast("long")
         .alias("n_straddle"),

@@ -24,8 +24,8 @@ domain need only the VALUE HISTOGRAM:
      the corpus to the histogram (map-side combine does most of it);
   2. descending cumulative counts over the histogram frame (window over
      the bounded per-group value set, never the corpus);
-  3. threshold = the smallest score whose >=-score population still fits
-     the target fraction (tie-inclusive: every row AT the threshold
+  3. threshold = the LARGEST score whose >=-score population still
+     reaches the target count (tie-inclusive: every row AT the threshold
      keeps, so re-runs are stable and the kept fraction is >= q);
   4. broadcast the (group, threshold) frame back and filter.
 
@@ -45,9 +45,9 @@ def group_quantile_thresholds(
     keep_frac: float,
     group_col: str = "lang",
 ) -> DataFrame:
-    """(group, threshold, n_group) — the smallest score value per group
+    """(group, threshold, n_group) — the largest score value per group
     such that rows with ``score >= threshold`` number >= ceil(keep_frac *
-    n_group). ``score`` must already be rounded to fixed precision (the
+    n_group) (any smaller score also qualifies, so max picks the true cut). ``score`` must already be rounded to fixed precision (the
     bounded-domain contract; pass e.g. ``F.round(expr, 6)``)."""
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")

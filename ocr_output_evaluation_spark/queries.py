@@ -2339,13 +2339,13 @@ def line_dedup_report(spark, sf):
     tot = lines.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("_nl"), F.sum(F.length("_line")).alias("_tc")
     )
-    kst = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nk"))
-    kch = kept.groupBy("doc_id").agg(F.sum(F.length("_line")).alias("_kc"))
+    kst = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nk"), F.sum(F.length("_line")).alias("_kc")
+    )
     per_doc = (
         d.select("doc_id", "lang")
         .join(tot, "doc_id", "left")
         .join(kst, "doc_id", "left")
-        .join(kch, "doc_id", "left")
     )
     return (
         per_doc.groupBy("lang")
@@ -2701,8 +2701,11 @@ def classifier_report(spark, sf):
     logistic regression predicting lang=='en' from three codegen features
     (en-stopword ratio, punctuation ratio, capped length), trained by 3
     unrolled full-batch gradient steps (lr 0.5, zero init) where each step
-    is one map-side-combined aggregation producing 4 scalars — nothing
-    collected to the driver. Gradients are rounded to 9 dp before each
+    is one map-side-combined aggregation producing 4 scalars; only the
+    final 1-row weight vector is collected (a scalar probe), so the
+    feature cache can be released before the lazy report is returned
+    instead of leaking cached blocks into the session per invocation.
+    Gradients are rounded to 9 dp before each
     update so DuckDB's sequential replay reaches bit-identical weights and
     the ENTIRE training loop is oracle-checked. Per-lang report: docs,
     mean predicted probability, accuracy against the label, and the
@@ -2720,7 +2723,15 @@ def classifier_report(spark, sf):
             "x3"
         ),
     ).cache()  # the k gradient passes rescan columns, not regex features
-    w = logreg_train(feats, ["x1", "x2", "x3"], "y", lr=0.5, steps=3)
+    try:
+        # first() forces the k gradient passes against the cache; the
+        # trained weights are 4 scalars, re-embedded as exact literals.
+        wrow = logreg_train(feats, ["x1", "x2", "x3"], "y", lr=0.5, steps=3).first()
+    finally:
+        feats.unpersist()
+    w = spark.range(1).select(
+        *[F.lit(float(wrow[c])).alias(c) for c in ("b", "w1", "w2", "w3")]
+    )
     scored = logreg_score(feats, w, ["x1", "x2", "x3"])
     correct = (
         (F.col("_p") >= 0.5) == (F.col("y") == 1.0)

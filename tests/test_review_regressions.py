@@ -4,6 +4,8 @@ original failure input and pins the fixed behavior.
 
 from __future__ import annotations
 
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from ocr_output_evaluation_spark.extract import extract_document
@@ -146,3 +148,60 @@ def test_exact_duplicates_ignores_null_text(spark):
     groups = exact_duplicates(df, "text", "id").collect()
     # one real dup cluster; the three NULL rows must NOT form a phantom one
     assert len(groups) == 1 and groups[0].n_dups == 2
+
+
+# --- round-3 self-review findings (jpeg DoS/contract, classifier cache) ------
+
+
+def test_jpeg_bitreader_acc_stays_bounded():
+    """r3 review: acc was never masked, growing one bigint byte per scan
+    byte — every subsequent shift became O(scan), quadratic overall (the
+    CPU-amplification class the PNG IDAT fix closed in r2)."""
+    from ocr_output_evaluation_spark.multimodal.jpeg import _BitReader
+
+    br = _BitReader(bytes([0b10101010]) * 20_000, 0)
+    for _ in range(8 * 20_000):
+        br.read_bit()
+        assert br.acc.bit_length() <= 16
+
+
+def _scan_start(b: bytes) -> int:
+    """Offset of the first entropy byte (after the SOS segment)."""
+    import struct as _s
+
+    p = b.find(b"\xff\xda")
+    assert p > 0
+    (seglen,) = _s.unpack(">H", b[p + 2 : p + 4])
+    return p + 2 + seglen
+
+
+def test_jpeg_truncated_entropy_raises_valueerror_not_indexerror():
+    from ocr_output_evaluation_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((16, 16, 3), 77, dtype=np.uint8), quality=90)
+    truncated = good[: _scan_start(good) + 1]
+    with pytest.raises(ValueError):
+        decode_jpeg(truncated)
+
+
+def test_jpeg_stray_restart_marker_raises_valueerror():
+    """RSTn with no DRI segment used to escape as the internal
+    _RestartMarker exception, violating the ValueError contract."""
+    from ocr_output_evaluation_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((16, 16, 3), 77, dtype=np.uint8), quality=90)
+    p = _scan_start(good)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:p] + b"\xff\xd0" + good[p:])
+
+
+def test_classifier_report_releases_feature_cache(spark, sf_dir):
+    from ocr_output_evaluation_spark.queries import classifier_report
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = classifier_report(spark, sf_dir)
+    assert jsc.getPersistentRDDs().size() <= before  # training done, cache freed
+    rows = out.collect()
+    assert len(rows) >= 1
+    assert jsc.getPersistentRDDs().size() <= before
