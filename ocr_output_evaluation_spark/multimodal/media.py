@@ -22,11 +22,17 @@ Codec surface (VERDICT r1 item 9 — at least one REAL codec locally):
   orthonormal IDCT, 4:4:4/4:2:2/4:2:0 upsampling, JFIF YCbCr→RGB;
   progressive/arithmetic variants are rejected in-band. Lossy by spec, so
   its pytest pin is tolerance-based where PNG's is exact.
+- **MP4 — real ISO BMFF container codec, stdlib+numpy** (mp4.py): full box
+  walk with largesize/bomb guards, stsd/stts/stsz/stsc/stco sample-table
+  resolution, byte-exact pixel decode for uncompressed ``raw `` (8-bit
+  gray, depth 40) tracks + a spec-valid encoder twin; compressed codecs
+  (avc1/hev1/…) parse to full container metadata with the pixel-decode
+  refusal in-band.
 - deterministic FAKE containers (``FIMG``/``FAUD``/``FVID`` headers + raw
   payload) remain as the schema-stress fixtures — header validation, shape
   math, raster/frame slicing are real code over them.
 - ``_decode_real(...)`` — the branch a production build would take for
-  the remaining codecs (MP4/video containers); it raises
+  codecs beyond the four above (H.264 pixel data, etc.); it raises
   NotImplementedError behind a try-import (cv2 genuinely absent here) so
   the pipeline stays honest about codecs this container cannot decode.
 
@@ -48,6 +54,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+from .mp4 import is_mp4
 
 MAGIC_IMG, MAGIC_AUD, MAGIC_VID = b"FIMG", b"FAUD", b"FVID"
 
@@ -254,15 +262,16 @@ def _is_wav(b: bytes) -> bool:
 
 
 def _decode_real(payload: bytes) -> dict:
-    """Branch for codecs this container genuinely lacks (MP4/real video).
-    Gated behind try-imports so a deployment that ships cv2 gets the real
-    path without code changes; PNG, JPEG and WAV never reach here — they
+    """Branch for codecs this container genuinely lacks (compressed video
+    pixel data and anything beyond PNG/JPEG/WAV/MP4). Gated behind
+    try-imports so a deployment that ships cv2 gets the real path without
+    code changes; PNG, JPEG, WAV and MP4 containers never reach here — they
     have native stdlib(+numpy) decoders above."""
     try:  # pragma: no cover - not installed here
         import cv2  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "codecs beyond PNG/JPEG/WAV (cv2 video formats) are not "
+            "codecs beyond PNG/JPEG/WAV/MP4 (cv2 video formats) are not "
             "available in this environment"
         )
     raise NotImplementedError("real-codec decode not implemented")
@@ -332,6 +341,11 @@ def _decode(payload: bytes | None) -> tuple[dict, np.ndarray | None]:
 
             meta, body = decode_jpeg(b)
             out.update(meta)
+        elif is_mp4(b):
+            from .mp4 import decode_mp4
+
+            meta, body = decode_mp4(b)
+            out.update(meta)
         else:
             _decode_real(b)
     except NotImplementedError as e:
@@ -355,6 +369,10 @@ def decode_body(b: bytes, meta: dict) -> np.ndarray:
         return decode_jpeg(b)[1].reshape(-1)
     if fmt == "wav":
         return decode_wav(b)[1]
+    if fmt == "mp4":
+        from .mp4 import decode_mp4
+
+        return decode_mp4(b)[1].reshape(-1)
     raise ValueError(f"no body decoder for format {fmt!r}")
 
 
@@ -410,7 +428,14 @@ def make_media_row(i: int) -> dict:
             payload = MAGIC_AUD + struct.pack(">II", sr, n) + pcm
     else:
         w, h, nf = 8 + i % 8, 8 + i % 8, 2 + i % 6
-        payload = MAGIC_VID + struct.pack(">HHH", w, h, nf) + _hbytes(i, "fr", w * h * nf)
+        raster = _hbytes(i, "fr", w * h * nf)
+        if i % 2 == 1:  # every other video row is a REAL mp4 (multi-chunk stsc)
+            from .mp4 import encode_mp4
+
+            frames = np.frombuffer(raster, dtype=np.uint8).reshape(nf, h, w)
+            payload = encode_mp4(frames, chunk_size=2)
+        else:
+            payload = MAGIC_VID + struct.pack(">HHH", w, h, nf) + raster
     return {"media_id": i, "kind": kind, "payload": payload, "lang": lang}
 
 
@@ -514,23 +539,28 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, payload_col: str = "pay
 
 
 def sample_frames(df: DataFrame, every_k: int = 2, payload_col: str = "payload") -> DataFrame:
-    """Frame sampling for FVID payloads: emit every k-th frame as its own row
-    (mapInPandas with row expansion — the UDTF-shaped member of the family).
-    Non-video rows produce no output rows."""
+    """Frame sampling for video payloads — FVID containers AND real MP4s
+    (uncompressed ``raw `` tracks, multimodal/mp4.py): emit every k-th frame
+    as its own row (mapInPandas with row expansion — the UDTF-shaped member
+    of the family). Non-video / undecodable rows produce no output rows."""
 
     def run(batches):
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
-                meta = decode_meta(p if p is None else bytes(p))
-                if meta["error"] is not None or meta["format"] != "fvid":
+                meta, body = _decode(p if p is None else bytes(p))
+                if meta["error"] is not None or meta["format"] not in ("fvid", "mp4"):
                     continue
-                b = bytes(p)
                 w, h, nf = meta["width"], meta["height"], meta["n_frames"]
-                fsize = w * h
-                for idx in range(0, nf, every_k):
-                    frame = b[10 + idx * fsize : 10 + (idx + 1) * fsize]
-                    rows.append((int(mid), idx, frame, w, h))
+                if meta["format"] == "mp4":
+                    for idx in range(0, nf, every_k):  # body: (nf, h, w) uint8
+                        rows.append((int(mid), idx, body[idx].tobytes(), w, h))
+                else:
+                    b = bytes(p)
+                    fsize = w * h
+                    for idx in range(0, nf, every_k):
+                        frame = b[10 + idx * fsize : 10 + (idx + 1) * fsize]
+                        rows.append((int(mid), idx, frame, w, h))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame", "width", "height"])
 
     return df.select("media_id", payload_col).mapInPandas(run, schema=MEDIA_FRAMES)

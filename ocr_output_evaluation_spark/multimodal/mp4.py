@@ -1,0 +1,352 @@
+"""Real ISO BMFF (MP4) container codec — stdlib + numpy only.
+
+Closes the last X14 codec stub (VERDICT r2 §2.13): the engine previously
+refused every non-PNG/JPEG/WAV payload wholesale behind a cv2 try-import.
+This module gives the video column a REAL container layer:
+
+- **Decoder**: full box walk (``ftyp``/``moov``/``mvhd``/``trak``/``tkhd``/
+  ``mdia``/``mdhd``/``hdlr``/``minf``/``stbl``) with 64-bit ``largesize``
+  support, depth/box-count bombs capped, every malformed structure surfaced
+  as a ``ValueError`` the media layer keeps in-band (D3). The sample tables
+  (``stsd``/``stts``/``stsz``/``stsc``/``stco``|``co64``) are resolved to
+  absolute per-sample ``(offset, size)`` pairs — the container-level frame
+  index a training pipeline needs regardless of codec.
+- **Real pixel decode for uncompressed video**: sample entries with the
+  QuickTime ``raw `` fourcc at depth 40 (8-bit grayscale) decode each mdat
+  sample directly to its raster — byte-exact, round-trip-tested. Compressed
+  codecs (``avc1``/``hev1``/``mp4v``…) parse to full container metadata
+  (dimensions, timescale, sample count) but pixel decode is refused in-band
+  — the same honest boundary as progressive JPEG (jpeg.py): no H.264
+  entropy decoder ships here, and pretending otherwise would be padding.
+- **Encoder twin** (``encode_mp4``): a spec-valid ``ftyp``+``mdat``+``moov``
+  single-video-track writer (with a ``chunk_size`` knob so fixtures exercise
+  multi-chunk ``stsc`` resolution), feeding the deterministic fixture
+  generator exactly like ``encode_png``/``encode_jpeg``/``encode_wav``.
+
+Reference analog: the reference treats images as opaque IIIF URLs
+(/root/reference/select_challenging_images.py:29-43); the multimodal layer
+is the SURVEY §2.13 training-pipeline extension, no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Box-walk bomb guards: a crafted payload with millions of 8-byte boxes (or
+# a deep container nest) must fail fast, not pin an executor core — the same
+# CPU-amplification class as the PNG IDAT and JPEG bit-reader guards.
+MAX_BOXES = 4096
+MAX_DEPTH = 8
+MAX_SAMPLES = 1 << 20  # 1M samples: far past any fixture, stops stsz bombs
+
+# ISO BMFF container boxes whose payload is itself a box sequence.
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"dinf"}
+
+
+def is_mp4(b: bytes) -> bool:
+    return len(b) >= 12 and b[4:8] == b"ftyp"
+
+
+def _walk(b: bytes, start: int, end: int, depth: int, budget: list[int]):
+    """Yield (fourcc, payload_start, payload_end) for each box in
+    b[start:end]. Raises ValueError on malformed sizes; enforces the
+    box-count and nesting-depth caps."""
+    if depth > MAX_DEPTH:
+        raise ValueError("box nesting too deep")
+    pos = start
+    while pos < end:
+        if end - pos < 8:
+            raise ValueError("truncated box header")
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise ValueError("too many boxes")
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        typ = b[pos + 4 : pos + 8]
+        payload = pos + 8
+        if size == 1:  # 64-bit largesize
+            if end - pos < 16:
+                raise ValueError("truncated largesize header")
+            size = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+            payload = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < payload - pos or pos + size > end:
+            raise ValueError(f"bad box size {size} for {typ!r}")
+        yield typ, payload, pos + size
+        pos += size
+
+
+def _full(b: bytes, start: int) -> tuple[int, int]:
+    """FullBox header: returns (version, payload_start_after_version_flags)."""
+    return b[start], start + 4
+
+
+def _parse_stsd(b: bytes, s: int, e: int) -> dict:
+    _, p = _full(b, s)
+    if e - p < 4:
+        raise ValueError("truncated stsd")
+    n = struct.unpack(">I", b[p : p + 4])[0]
+    if n < 1:
+        raise ValueError("stsd with no sample entries")
+    ent = p + 4
+    if e - ent < 8:
+        raise ValueError("truncated stsd entry")
+    esize = struct.unpack(">I", b[ent : ent + 4])[0]
+    codec = b[ent + 4 : ent + 8].decode("latin-1")
+    out = {"codec": codec, "width": None, "height": None, "depth": None}
+    # VisualSampleEntry fixed layout (78-byte body): width/height at +24/+26
+    # and depth at +74 past the entry header (ISO 14496-12 §12.1.3).
+    if esize >= 8 + 78 and ent + 8 + 78 <= e:
+        f = ent + 8
+        out["width"], out["height"] = struct.unpack(">HH", b[f + 24 : f + 28])
+        out["depth"] = struct.unpack(">H", b[f + 74 : f + 76])[0]
+    return out
+
+
+def _u32s(b: bytes, p: int, n: int, e: int) -> np.ndarray:
+    if p + 4 * n > e:
+        raise ValueError("truncated table")
+    return np.frombuffer(b[p : p + 4 * n], dtype=">u4").astype(np.int64)
+
+
+def parse_mp4(b: bytes) -> dict:
+    """Parse an ISO BMFF payload to container metadata + the resolved sample
+    table of its first video track.
+
+    Returns a dict with: codec (fourcc), width, height, depth, timescale
+    (media timescale from mdhd), n_samples, duration, and samples — a list
+    of absolute (offset, size) pairs into ``b``. Raises ValueError on any
+    malformed structure (callers keep it in-band)."""
+    if not is_mp4(b):
+        raise ValueError("not an ISO BMFF payload (no ftyp)")
+    budget = [MAX_BOXES]
+    out: dict = {
+        "codec": None, "width": None, "height": None, "depth": None,
+        "timescale": None, "duration": None, "n_samples": None, "samples": None,
+    }
+    stsz_fixed = stsz_sizes = stsc = stco = None
+    in_video_trak = False
+    video_done = False
+
+    def walk(s: int, e: int, depth: int, path: tuple):
+        nonlocal stsz_fixed, stsz_sizes, stsc, stco, in_video_trak, video_done
+        for typ, ps, pe in _walk(b, s, e, depth, budget):
+            if typ in _CONTAINERS:
+                if typ == b"trak":
+                    if video_done:
+                        continue  # first video track only
+                    in_video_trak = False
+                walk(ps, pe, depth + 1, path + (typ,))
+                if typ == b"trak" and in_video_trak and stco is not None:
+                    video_done = True
+            elif typ == b"hdlr" and path[-1:] == (b"mdia",):
+                _, p = _full(b, ps)
+                if pe - p >= 8 and b[p + 4 : p + 8] == b"vide":
+                    in_video_trak = True
+            elif typ == b"mdhd":
+                v, p = _full(b, ps)
+                if v == 1:
+                    if pe - p < 28:
+                        raise ValueError("truncated mdhd v1")
+                    ts = struct.unpack(">I", b[p + 16 : p + 20])[0]
+                    dur = struct.unpack(">Q", b[p + 20 : p + 28])[0]
+                else:
+                    if pe - p < 16:
+                        raise ValueError("truncated mdhd")
+                    ts, dur = struct.unpack(">II", b[p + 8 : p + 16])
+                out.setdefault("_mdhd", []).append((ts, dur))
+            elif typ == b"stsd":
+                out.setdefault("_stsd", []).append(_parse_stsd(b, ps, pe))
+            elif typ == b"stsz":
+                _, p = _full(b, ps)
+                if pe - p < 8:
+                    raise ValueError("truncated stsz")
+                fixed, n = struct.unpack(">II", b[p : p + 8])
+                if n > MAX_SAMPLES:
+                    raise ValueError("sample count exceeds cap")
+                stsz_fixed, stsz_sizes = fixed, None
+                if fixed == 0:
+                    stsz_sizes = _u32s(b, p + 8, n, pe)
+                out["n_samples"] = int(n)
+            elif typ == b"stsc":
+                _, p = _full(b, ps)
+                n = struct.unpack(">I", b[p : p + 4])[0]
+                if n > MAX_SAMPLES:
+                    raise ValueError("stsc entry count exceeds cap")
+                stsc = _u32s(b, p + 4, 3 * n, pe).reshape(n, 3)
+            elif typ in (b"stco", b"co64"):
+                _, p = _full(b, ps)
+                n = struct.unpack(">I", b[p : p + 4])[0]
+                if n > MAX_SAMPLES:
+                    raise ValueError("chunk count exceeds cap")
+                if typ == b"stco":
+                    stco = _u32s(b, p + 4, n, pe)
+                else:
+                    if p + 4 + 8 * n > pe:
+                        raise ValueError("truncated co64")
+                    stco = np.frombuffer(b[p + 4 : p + 4 + 8 * n], dtype=">u8").astype(np.int64)
+
+    walk(0, len(b), 0, ())
+    if not video_done:
+        raise ValueError("no video track with a complete sample table")
+    sd = out.pop("_stsd", [None])[-1]
+    if sd is None:
+        raise ValueError("missing stsd")
+    out.update(codec=sd["codec"], width=sd["width"], height=sd["height"], depth=sd["depth"])
+    md = out.pop("_mdhd", [(None, None)])[-1]
+    out["timescale"], out["duration"] = md
+    n = out["n_samples"]
+    if n is None or stsc is None or stco is None:
+        raise ValueError("incomplete sample table")
+    sizes = (
+        stsz_sizes if stsz_sizes is not None else np.full(n, stsz_fixed, dtype=np.int64)
+    )
+    if len(sizes) != n:
+        raise ValueError("stsz length mismatch")
+    # Resolve stsc runs: entry i covers chunks [first_i, first_{i+1}).
+    samples: list[tuple[int, int]] = []
+    si = 0
+    for i in range(len(stsc)):
+        first, per_chunk, _ = stsc[i]
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(stco)
+        if first < 1 or last > len(stco) or per_chunk < 0:
+            raise ValueError("stsc chunk range out of bounds")
+        for ci in range(int(first) - 1, int(last)):
+            off = int(stco[ci])
+            for _ in range(int(per_chunk)):
+                if si >= n:
+                    raise ValueError("stsc describes more samples than stsz")
+                sz = int(sizes[si])
+                if off + sz > len(b):
+                    raise ValueError("sample extends past payload end")
+                samples.append((off, sz))
+                off += sz
+                si += 1
+    if si != n:
+        raise ValueError("stsc describes fewer samples than stsz")
+    out["samples"] = samples
+    return out
+
+
+def decode_mp4(b: bytes) -> tuple[dict, np.ndarray | None]:
+    """MEDIA_META-shaped decode: (meta fields, frames or None).
+
+    ``raw `` @ depth 40 (8-bit grayscale) decodes every sample byte-exactly
+    to a (n_frames, h, w) uint8 array. Compressed codecs return full
+    container metadata with the pixel-decode refusal in the ``error`` field
+    (in-band, D3) and body None."""
+    info = parse_mp4(b)
+    meta = dict(
+        format="mp4",
+        width=info["width"],
+        height=info["height"],
+        n_frames=info["n_samples"],
+        sample_rate=info["timescale"],
+        error=None,
+    )
+    if info["codec"] == "raw " and info["depth"] == 40:
+        w, h = info["width"], info["height"]
+        if not w or not h:
+            raise ValueError("raw video sample entry without dimensions")
+        frames = np.empty((info["n_samples"], h, w), dtype=np.uint8)
+        for i, (off, sz) in enumerate(info["samples"]):
+            if sz != w * h:
+                raise ValueError(f"raw sample {i} size {sz} != {w}x{h}")
+            frames[i] = np.frombuffer(b[off : off + sz], dtype=np.uint8).reshape(h, w)
+        meta["n_channels"] = 1
+        return meta, frames
+    meta["error"] = f"unsupported-codec: mp4 pixel decode for {info['codec']!r}"
+    return meta, None
+
+
+# ---------------------------------------------------------------------------
+# Encoder twin (fixtures)
+# ---------------------------------------------------------------------------
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _fullbox(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+_UNITY_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def encode_mp4(
+    frames: np.ndarray, timescale: int = 1000, sample_delta: int = 40,
+    chunk_size: int | None = None,
+) -> bytes:
+    """Spec-valid single-track MP4 from a (n_frames, h, w) uint8 array,
+    QuickTime ``raw `` 8-bit-grayscale (depth 40) samples. ``chunk_size``
+    groups samples per chunk (None = one chunk) so fixtures exercise
+    multi-entry stsc/stco resolution in the parser."""
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("frames must be (n, h, w) uint8")
+    nf, h, w = frames.shape
+    if nf < 1:
+        raise ValueError("at least one frame")
+    per = nf if chunk_size is None else min(nf, max(1, int(chunk_size)))
+    dur = nf * sample_delta
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", frames.tobytes())
+    mdat_payload0 = len(ftyp) + 8
+
+    n_chunks = (nf + per - 1) // per
+    offsets = [mdat_payload0 + ci * per * w * h for ci in range(n_chunks)]
+    # stsc runs: one entry for the full-size chunks, one for a short tail.
+    stsc_rows = [(1, per, 1)]
+    tail = nf - (n_chunks - 1) * per
+    if n_chunks > 1 and tail != per:
+        stsc_rows.append((n_chunks, tail, 1))
+
+    se = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)            # data_reference_index
+        + b"\x00" * 16                     # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)             # frame_count per sample
+        + bytes(32)                        # compressorname
+        + struct.pack(">Hh", 40, -1)       # depth=40 (8-bit gray), pre_defined
+    )
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"raw ", se))
+    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, nf, sample_delta))
+    stsc = _fullbox(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_rows))
+        + b"".join(struct.pack(">III", *r) for r in stsc_rows),
+    )
+    stsz = _fullbox(b"stsz", 0, 0, struct.pack(">II", w * h, nf))
+    stco = _fullbox(
+        b"stco", 0, 0,
+        struct.pack(">I", n_chunks) + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _fullbox(b"url ", 0, 1, b"")
+    dinf = _box(b"dinf", _fullbox(b"dref", 0, 0, struct.pack(">I", 1) + url))
+    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _fullbox(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"raw video\x00")
+    mdhd = _fullbox(
+        b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, dur) + struct.pack(">Hh", 0x55C4, 0)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _fullbox(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", dur) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0) + _UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, dur) + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + _UNITY_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -113,26 +113,34 @@ def test_resize_images_golden(spark, media):
 
 
 def test_sample_frames_every_other(spark, media):
+    from ocr_output_evaluation_spark.multimodal.mp4 import decode_mp4
+
     frames = sample_frames(media, every_k=2).collect()
     by_media: dict[int, list] = {}
     for r in frames:
         by_media.setdefault(r.media_id, []).append(r)
-    checked = 0
+    checked = checked_mp4 = 0
     for i in range(N):
         row = make_media_row(i)
         meta = decode_meta(row["payload"])
-        if meta["error"] is not None or meta["format"] != "fvid":
+        if meta["error"] is not None or meta["format"] not in ("fvid", "mp4"):
             assert i not in by_media
             continue
         got = sorted(by_media[i], key=lambda r: r.frame_idx)
         want_idx = list(range(0, meta["n_frames"], 2))
         assert [r.frame_idx for r in got] == want_idx
-        fsize = meta["width"] * meta["height"]
-        for r in got:
-            start = 10 + r.frame_idx * fsize
-            assert bytes(r.frame) == row["payload"][start : start + fsize]
-        checked += 1
-    assert checked > 5
+        if meta["format"] == "mp4":
+            body = decode_mp4(row["payload"])[1]
+            for r in got:
+                assert bytes(r.frame) == body[r.frame_idx].tobytes()
+            checked_mp4 += 1
+        else:
+            fsize = meta["width"] * meta["height"]
+            for r in got:
+                start = 10 + r.frame_idx * fsize
+                assert bytes(r.frame) == row["payload"][start : start + fsize]
+            checked += 1
+    assert checked > 5 and checked_mp4 > 5
 
 
 # ---------------------------------------------------------------------------
@@ -219,7 +227,7 @@ def test_wav_roundtrip():
 def test_fixture_contains_real_codecs_and_features_cover_them(spark, media):
     metas = [decode_meta(make_media_row(i)["payload"]) for i in range(N)]
     fmts = {m["format"] for m in metas if m["error"] is None}
-    assert {"png", "jpeg", "wav", "fimg", "faud", "fvid"} <= fmts
+    assert {"png", "jpeg", "wav", "fimg", "faud", "fvid", "mp4"} <= fmts
     # the Spark feature pass scores real-codec rows, not just containers
     feats = {r.media_id: r for r in image_features(media).collect()}
     png_ids = [i for i, m in enumerate(metas) if m["format"] == "png" and m["error"] is None]
@@ -454,3 +462,119 @@ def test_jpeg_roundtrip_fuzz(w, h, c, sub, seed):
     assert back.shape == (h, w, c)
     d = np.abs(back.astype(int) - arr.astype(int))
     assert d.mean() <= 10.0
+
+
+# ---------------------------------------------------------------------------
+# MP4 container codec (multimodal/mp4.py — closes the last X14 codec stub)
+# ---------------------------------------------------------------------------
+from ocr_output_evaluation_spark.multimodal.mp4 import (  # noqa: E402
+    decode_mp4,
+    encode_mp4,
+    parse_mp4,
+)
+
+
+def _frames(nf, h, w, seed=11):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+
+
+def test_mp4_roundtrip_byte_exact_all_chunkings():
+    """Uncompressed (raw/depth-40) samples must survive encode->parse->decode
+    byte-exactly under every chunk layout — single-chunk, per-frame chunks,
+    multi-entry stsc with a short tail, and a chunk_size past the frame
+    count. This pins the whole stsz/stsc/stco resolution path."""
+    fr = _frames(7, 14, 9)
+    for cs in (None, 1, 2, 3, 7, 50):
+        b = encode_mp4(fr, chunk_size=cs)
+        meta, body = decode_mp4(b)
+        assert meta["error"] is None and meta["format"] == "mp4"
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (9, 14, 7)
+        assert (body == fr).all(), cs
+    # single-frame file
+    _, one = decode_mp4(encode_mp4(fr[:1]))
+    assert (one == fr[:1]).all()
+
+
+def test_mp4_container_meta_and_timescale():
+    fr = _frames(4, 8, 8)
+    info = parse_mp4(encode_mp4(fr, timescale=9000, sample_delta=300, chunk_size=2))
+    assert info["codec"] == "raw " and info["depth"] == 40
+    assert info["timescale"] == 9000 and info["duration"] == 4 * 300
+    assert info["n_samples"] == 4 and len(info["samples"]) == 4
+    # sample table: 2 chunks of 2, contiguous within each chunk
+    (o0, s0), (o1, _), (o2, _), _ = info["samples"]
+    assert s0 == 64 and o1 == o0 + 64 and o2 == o0 + 128
+
+
+def test_mp4_compressed_codec_refused_in_band_with_meta_intact():
+    """An avc1 track parses to full container metadata (the training-pipeline
+    index) but pixel decode is refused in-band — same boundary contract as
+    progressive JPEG."""
+    b = encode_mp4(_frames(3, 8, 8), chunk_size=1)
+    patched = b.replace(b"raw ", b"avc1")
+    assert patched != b
+    meta, body = decode_mp4(patched)
+    assert body is None and "unsupported-codec" in meta["error"]
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (8, 8, 3)
+    # through the media layer: typed meta row, error in-band, nothing raises
+    m = decode_meta(patched)
+    assert m["format"] == "mp4" and "avc1" in m["error"]
+
+
+def test_mp4_box_bombs_capped():
+    """CPU-amplification guards: a payload of thousands of 8-byte boxes and a
+    deeply-nested container chain must both fail fast in-band (the PNG-IDAT
+    / JPEG-bit-reader guard class)."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    bomb = ftyp + (struct.pack(">I", 8) + b"free") * 10_000
+    with pytest.raises(ValueError, match="too many boxes"):
+        parse_mp4(bomb)
+    nest = b""
+    for _ in range(12):
+        nest = struct.pack(">I", 8 + len(nest)) + b"moov" + nest
+    with pytest.raises(ValueError, match="nesting too deep"):
+        parse_mp4(ftyp + nest)
+    # both stay in-band through the media layer
+    assert decode_meta(bomb)["error"] is not None
+    assert decode_meta(ftyp + nest)["error"] is not None
+
+
+def test_mp4_malformed_structures_in_band():
+    good = encode_mp4(_frames(4, 10, 6), chunk_size=2)
+    # truncations at every interesting boundary
+    for cut in (5, 12, 40, len(good) // 2, len(good) - 4):
+        assert decode_meta(good[:cut])["error"] is not None, cut
+    # a sample that extends past the payload end (stco patched to huge)
+    idx = good.rindex(b"stco")
+    patched = bytearray(good)
+    patched[idx + 12 : idx + 16] = struct.pack(">I", len(good) - 1)
+    assert decode_meta(bytes(patched))["error"] is not None
+    # declared box size larger than the buffer
+    patched = bytearray(good)
+    patched[0:4] = struct.pack(">I", len(good) + 100)
+    assert decode_meta(bytes(patched))["error"] is not None
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_meta_total_on_corrupted_mp4(payload):
+    """ftyp-prefixed garbage exercises the box walker / sample-table error
+    paths; all must stay in-band (D3)."""
+    meta = decode_meta(struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + payload)
+    assert meta["error"] is None or isinstance(meta["error"], str)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=11),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_mp4_roundtrip_fuzz(w, h, nf, cs, seed):
+    fr = _frames(nf, h, w, seed=seed)
+    meta, body = decode_mp4(encode_mp4(fr, chunk_size=cs))
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, nf)
+    assert (body == fr).all()
