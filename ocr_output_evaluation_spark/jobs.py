@@ -22,6 +22,12 @@ Subcommands:
     report    render the SVG report artifact set (plans/report.py — the
               visualize.py generate_all_plots analog)
     fixtures  materialize the deterministic synthetic dataset (for dry runs)
+
+Imports in this module are ABSOLUTE (``from ocr_output_evaluation_spark...``),
+never relative: spark-submit runs this file as a top-level ``__main__`` script
+with no parent package, so relative imports crash at the submit boundary; the
+package itself resolves from the ``--py-files`` zip. Pinned end-to-end by
+tests/test_spark_submit.py (real subprocess, scrubbed PYTHONPATH).
 """
 
 from __future__ import annotations
@@ -115,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
-    from .session import get_spark
+    from ocr_output_evaluation_spark.session import get_spark
 
     spark = get_spark(
         app_name=f"ooe-spark-{args.cmd}",
@@ -124,7 +130,7 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.cmd == "extract":
-        from .plans.pipeline import run_extraction
+        from ocr_output_evaluation_spark.plans.pipeline import run_extraction
 
         res = run_extraction(
             spark,
@@ -135,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
             max_buckets=args.max_buckets,
         )
     elif args.cmd == "quality":
-        from .plans.pipeline import run_quality_pipeline
+        from ocr_output_evaluation_spark.plans.pipeline import run_quality_pipeline
 
         res = run_quality_pipeline(
             spark,
@@ -147,7 +153,7 @@ def main(argv: list[str] | None = None) -> int:
             group_keys=tuple((k,) for k in args.group_keys.split(",") if k),
         )
     elif args.cmd == "export":
-        from .plans.export import run_training_export
+        from ocr_output_evaluation_spark.plans.export import run_training_export
 
         fractions = tuple(
             (name, int(pct))
@@ -165,7 +171,7 @@ def main(argv: list[str] | None = None) -> int:
             split_salt=args.split_salt,
         )
     elif args.cmd == "sql":
-        from .sources.io import register_tables_dir, sql_repl
+        from ocr_output_evaluation_spark.sources.io import register_tables_dir, sql_repl
 
         names = register_tables_dir(spark, args.tables)
         if args.query:
@@ -175,11 +181,11 @@ def main(argv: list[str] | None = None) -> int:
             sql_repl(spark, names, limit=args.limit)
             res = {"tables": names}
     elif args.cmd == "report":
-        from .plans.report import generate_all_plots
+        from ocr_output_evaluation_spark.plans.report import generate_all_plots
 
         res = generate_all_plots(spark, args.sf_dir, args.out)
     elif args.cmd == "ann-index":
-        from .operators.ann_index import build_ivf_index, build_lsh_index
+        from ocr_output_evaluation_spark.operators.ann_index import build_ivf_index, build_lsh_index
 
         # no emb.count() here: that would be a full extra corpus scan just
         # for a cosmetic stat — the build itself is the one corpus pass
@@ -199,7 +205,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             res["built"].append("ivf")
     else:
-        from .fixtures.generate import write_fixture_set
+        from ocr_output_evaluation_spark.fixtures.generate import write_fixture_set
 
         write_fixture_set(spark, args.out, args.n_pages, args.partitions)
         res = {"out": args.out, "n_pages": args.n_pages}
