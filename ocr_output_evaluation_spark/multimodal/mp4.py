@@ -137,7 +137,14 @@ def parse_mp4(b: bytes) -> dict:
                 if typ == b"trak":
                     if video_done:
                         continue  # first video track only
+                    # Reset per-track state: tables left behind by an earlier
+                    # non-video track (e.g. audio-first files) must never be
+                    # borrowed by an incomplete video track.
                     in_video_trak = False
+                    stsz_fixed = stsz_sizes = stsc = stco = None
+                    out["n_samples"] = None
+                    out.pop("_stsd", None)
+                    out.pop("_mdhd", None)
                 walk(ps, pe, depth + 1, path + (typ,))
                 if typ == b"trak" and in_video_trak and stco is not None:
                     video_done = True

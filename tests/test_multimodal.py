@@ -578,3 +578,57 @@ def test_mp4_roundtrip_fuzz(w, h, nf, cs, seed):
     meta, body = decode_mp4(encode_mp4(fr, chunk_size=cs))
     assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, nf)
     assert (body == fr).all()
+
+
+def _audio_first(b: bytes, break_video_stco: bool = False) -> bytes:
+    """Box surgery: splice a minimal 'soun' trak (with junk-but-wellformed
+    sample tables) BEFORE the video trak inside moov; optionally neuter the
+    video trak's stco (fourcc -> 'free') to simulate an incomplete video
+    track following a complete audio track."""
+    from ocr_output_evaluation_spark.multimodal.mp4 import _box, _fullbox
+
+    pos, boxes = 0, []
+    while pos < len(b):
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        boxes.append((b[pos + 4 : pos + 8], pos, size))
+        pos += size
+    mtyp, mpos, msize = boxes[-1]
+    assert mtyp == b"moov"
+    payload = b[mpos + 8 : mpos + msize]
+    s0 = struct.unpack(">I", payload[:4])[0]
+    mvhd, vtrak = payload[:s0], payload[s0:]
+    if break_video_stco:
+        i = vtrak.index(b"stco")
+        vtrak = vtrak[:i] + b"free" + vtrak[i + 4 :]
+    stbl = _box(
+        b"stbl",
+        _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"mp4a", b"\x00" * 28))
+        + _fullbox(b"stts", 0, 0, struct.pack(">III", 1, 2, 1024))
+        + _fullbox(b"stsz", 0, 0, struct.pack(">III", 0, 2, 4) + struct.pack(">I", 4))
+        + _fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 2, 1))
+        + _fullbox(b"stco", 0, 0, struct.pack(">III", 2, 40, 48)),
+    )
+    hdlr = _fullbox(b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"a\x00")
+    mdhd = _fullbox(
+        b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 44100, 2048) + struct.pack(">Hh", 0x55C4, 0)
+    )
+    atrak = _box(b"trak", _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+    return b[:mpos] + _box(b"moov", mvhd + atrak + vtrak)
+
+
+def test_mp4_audio_track_before_video_track():
+    """Multi-track ordering: a complete non-video track preceding the video
+    track must neither pollute the video track's metadata (timescale/codec
+    come from the VIDEO mdhd/stsd) nor be silently borrowed by an incomplete
+    video track (which must stay an in-band error, not a wrong decode)."""
+    fr = _frames(5, 12, 7)
+    good = _audio_first(encode_mp4(fr, timescale=1000, chunk_size=2))
+    info = parse_mp4(good)
+    assert info["codec"] == "raw " and info["timescale"] == 1000
+    meta, body = decode_mp4(good)
+    assert meta["error"] is None and (body == fr).all()
+    # incomplete video trak after a complete audio trak: error, not borrow
+    broken = _audio_first(encode_mp4(fr, chunk_size=2), break_video_stco=True)
+    with pytest.raises(ValueError, match="complete sample table"):
+        parse_mp4(broken)
+    assert decode_meta(broken)["error"] is not None
