@@ -74,6 +74,68 @@ def group_quantile_thresholds(
     )
 
 
+def quantile_bucket_labels(
+    df: DataFrame,
+    score_col: str,
+    cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    group_col: str = "lang",
+    label_col: str = "bucket",
+) -> DataFrame:
+    """Label every row with its per-group quantile band — the CCNet
+    head/middle/tail corpus split (Wenzek et al. 2020, arXiv:1911.00359:
+    Common-Crawl partitioned per language into thirds by LM perplexity,
+    lower = cleaner). Generalized to any ascending ``cuts``.
+
+    Cut k is the SMALLEST score value s in the group with
+    ``#(score <= s) >= ceil(cuts[k] * n_group)`` — the ascending mirror of
+    ``group_quantile_thresholds`` (same bounded-domain histogram trick: the
+    only corpus exchange is the per-(group, score) partial agg; cumulative
+    sums run over the bounded value frame, never the corpus; tie-inclusive,
+    so re-runs are stable). ``score_col`` must be pre-rounded to fixed
+    precision. Rows with NULL score or NULL group drop out (score NULLs
+    never histogram; group NULLs drop at the threshold join) — triage both
+    upstream if they must be bucketed. Exactly SQL-replayable.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly one more label than cuts")
+    if list(cuts) != sorted(cuts) or not all(0.0 < c < 1.0 for c in cuts):
+        raise ValueError(f"cuts must be ascending and in (0, 1): {cuts}")
+    hist = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(group_col, score_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wa = (
+        W.partitionBy(group_col)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    h = hist.withColumn("_le", F.sum("_n").over(wa)).withColumn(
+        "_tot", F.sum("_n").over(W.partitionBy(group_col))
+    )
+    thr_cols = [
+        F.min(
+            F.when(
+                F.col("_le")
+                >= F.ceil(F.lit(c) * F.col("_tot")).cast("long"),
+                F.col(score_col),
+            )
+        ).alias(f"_cut{k}")
+        for k, c in enumerate(cuts)
+    ]
+    thr = h.groupBy(group_col).agg(*thr_cols)
+    label = F.lit(labels[-1])
+    for k in range(len(cuts) - 1, -1, -1):
+        label = F.when(F.col(score_col) <= F.col(f"_cut{k}"), labels[k]).otherwise(label)
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .join(F.broadcast(thr), group_col)
+        .withColumn(label_col, label)
+        .drop(*[f"_cut{k}" for k in range(len(cuts))])
+    )
+
+
 def quantile_gate(
     df: DataFrame,
     score: Column,

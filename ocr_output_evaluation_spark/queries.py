@@ -2985,6 +2985,129 @@ ORDER BY q.lang
 """
 
 
+def ppl_bucket_report(spark, sf):
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3: each language partitioned into thirds by LM
+    perplexity, lower = cleaner = head). LM trained in-engine with 'zh'
+    held out exactly as perplexity_report; rejected (+inf) and unscoreable
+    (NULL) docs are excluded — the split covers the scored corpus. Tertile
+    cuts are EXACT per-lang quantiles over the 2dp-rounded perplexity via
+    the bounded-domain histogram (operators/quantile.py
+    quantile_bucket_labels — no per-lang global sort, no percentile_approx),
+    so the whole pipeline is DuckDB-replayable."""
+    from .operators.perplexity import perplexity_native, train_char_lm
+    from .operators.quantile import quantile_bucket_labels
+
+    d = t(spark, sf, "documents")
+    lm = train_char_lm(d.filter(F.col("lang") != "zh"), text_col="text", lang_col="lang")
+    scored = perplexity_native(
+        d.select("doc_id", "lang", F.col("text").alias("extracted_text")),
+        lm,
+        id_col="doc_id",
+    )
+    p = F.col("perplexity")
+    fin = (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .filter(p.isNotNull() & (p != _INF))
+        .select("lang", _r(p, 2).alias("ppl"))
+    )
+    lab = quantile_bucket_labels(fin, "ppl", group_col="lang")
+    # avg_ppl in EXACT integer arithmetic: the quotient of a 2dp sum by a
+    # count lands exactly on 4dp half-points (x.xxx75 / 3 etc.), where
+    # Spark's and DuckDB's double round() legitimately disagree by 1 ulp
+    # (observed at sf0.001). So: exact cents (bigint), integral half-up
+    # division to 1e-4 units — round_half_up(100*cents/n) =
+    # div(200*cents + n, 2n) for positives — then one exact /10000.0.
+    # No double enters until the final division, so bigint holds to ~9e18
+    # cents (1e12 docs x ppl 10^4 fits).
+    g = lab.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col("ppl") * 100).cast("long")).alias("_cents"),
+        F.min("ppl").alias("min_ppl"),
+        F.max("ppl").alias("max_ppl"),
+    )
+    return g.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        (
+            F.expr("div(200 * _cents + n_docs, 2 * n_docs)") / F.lit(10000.0)
+        ).alias("avg_ppl"),
+        "min_ppl",
+        "max_ppl",
+    )
+
+
+# Replays the full chain: the perplexity_report LM + scoring CTEs, then the
+# ascending bounded-domain histogram, tie-inclusive tertile cuts (cut k =
+# smallest ppl with #(<= ppl) >= ceil(frac * n_lang); fracs written as
+# (1.0/3.0)/(2.0/3.0) so both engines multiply by bit-identical doubles),
+# and the head/middle/tail labeling.
+ORACLE_PPL_BUCKET_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+g AS (
+  SELECT lang, substr(t, CAST(i AS INT), 3) AS ngram
+  FROM norm, UNNEST(range(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 3 AND lang <> 'zh'
+),
+c AS (SELECT lang, ngram, count(*) AS c FROM g GROUP BY 1, 2),
+lm AS (
+  SELECT lang, ngram,
+         log10((c + 1.0) / (sum(c) OVER (PARTITION BY lang)
+                            + count(*) OVER (PARTITION BY lang))) AS logp
+  FROM c
+),
+known AS (SELECT DISTINCT lang FROM lm),
+docg AS (
+  SELECT n.doc_id, n.lang, substr(n.t, CAST(i AS INT), 3) AS ngram
+  FROM norm n, UNNEST(range(1, length(n.t) - 1)) AS u(i)
+  WHERE length(n.t) >= 3 AND n.lang IN (SELECT lang FROM known)
+),
+scored AS (
+  SELECT d.doc_id, pow(10.0, -sum(coalesce(lm.logp, -6.0)) / count(*)) AS ppl
+  FROM docg d LEFT JOIN lm ON lm.lang = d.lang AND lm.ngram = d.ngram
+  GROUP BY d.doc_id
+),
+fin AS (
+  SELECT n.lang, round(s.ppl, 2) AS ppl
+  FROM norm n JOIN scored s USING (doc_id)
+  WHERE length(n.t) >= 3 AND n.lang IN (SELECT lang FROM known)
+),
+hist AS (SELECT lang, ppl, count(*) AS n FROM fin GROUP BY 1, 2),
+cum AS (
+  SELECT lang, ppl,
+         sum(n) OVER (PARTITION BY lang ORDER BY ppl) AS le,
+         sum(n) OVER (PARTITION BY lang) AS tot
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN le >= ceil(tot * (1.0/3.0)) THEN ppl END) AS t1,
+         min(CASE WHEN le >= ceil(tot * (2.0/3.0)) THEN ppl END) AS t2
+  FROM cum GROUP BY lang
+),
+lab AS (
+  SELECT f.lang,
+         CASE WHEN f.ppl <= c.t1 THEN 'head'
+              WHEN f.ppl <= c.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         f.ppl
+  FROM fin f JOIN cuts c USING (lang)
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       ((200 * sum(CAST(round(ppl * 100) AS BIGINT)) + count(*))
+        // (2 * count(*))) / 10000.0 AS avg_ppl,
+       min(ppl) AS min_ppl, max(ppl) AS max_ppl
+FROM lab GROUP BY 1, 2
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Policy (VERDICT r2 item 1):
 #   - slots 0-9: the 10 queries without an r2 driver row (streaming first — it
@@ -3050,6 +3173,7 @@ QUERIES = {
     "split_report": split_report,
     "token_budget_report": token_budget_report,
     "quantile_gate_report": quantile_gate_report,
+    "ppl_bucket_report": ppl_bucket_report,  # r3b: CCNet head/middle/tail split
     "cube_status_priority": cube_status_priority,
     "order_value_quartiles": order_value_quartiles,
     "supplier_name_concat": supplier_name_concat,
@@ -3094,6 +3218,7 @@ ORACLES = {
     "split_report": ORACLE_SPLIT_REPORT,
     "token_budget_report": ORACLE_TOKEN_BUDGET_REPORT,
     "quantile_gate_report": ORACLE_QUANTILE_GATE_REPORT,
+    "ppl_bucket_report": ORACLE_PPL_BUCKET_REPORT,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,

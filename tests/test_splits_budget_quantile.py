@@ -223,3 +223,81 @@ def test_quantile_gate_no_corpus_window_and_broadcasts(spark, sf_dir):
     win_inputs = re.findall(r"\(\d+\) Window[^(]*\n(?:.*\n)*?Input \[.*?\]: \[(.*?)\]", plan)
     for cols in win_inputs:
         assert "text" not in cols.split(", "), cols
+
+
+# ---------------------------------------------------------------------------
+# quantile_bucket_labels — CCNet head/middle/tail (X33)
+# ---------------------------------------------------------------------------
+def test_bucket_labels_match_naive_tertiles(spark, sf_dir):
+    """Labels == the naive sorted-ascending definition (cut k = smallest
+    value whose <=-population reaches ceil(frac*n), tie-inclusive), fuzzed
+    across cut sets, on the real documents table scored by length."""
+    import math
+
+    from ocr_output_evaluation_spark.operators.quantile import quantile_bucket_labels
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", F.round(F.length("text") / 7.0, 2).alias("s"))
+    )
+    rows = docs.collect()
+    vals: dict[str, list[float]] = {}
+    for r in rows:
+        vals.setdefault(r.lang, []).append(r.s)
+    for cuts, labels in (
+        ((1 / 3, 2 / 3), ("head", "middle", "tail")),
+        ((0.1, 0.5, 0.9), ("a", "b", "c", "d")),
+        ((0.5,), ("lo", "hi")),
+    ):
+        got = {
+            (r.lang, r.doc_id): r.bucket
+            for r in quantile_bucket_labels(docs, "s", cuts, labels).collect()
+        }
+        for r in rows:
+            xs = sorted(vals[r.lang])
+            n = len(xs)
+            want = labels[-1]
+            for k in range(len(cuts) - 1, -1, -1):
+                cut = xs[math.ceil(cuts[k] * n) - 1]
+                if r.s <= cut:
+                    want = labels[k]
+            assert got[(r.lang, r.doc_id)] == want, (cuts, r.lang, r.s)
+
+
+def test_bucket_labels_ties_nulls_and_validation(spark):
+    from ocr_output_evaluation_spark.operators.quantile import quantile_bucket_labels
+
+    # 6 of 9 rows tied at the low value: the tie run reaches BOTH tertile
+    # targets (le=6 >= 3 and >= 6), so t1 = t2 = 1.0 — all six ties are
+    # 'head', 'middle' is empty, everything above is 'tail' (tie-inclusive
+    # cuts collapse, they never split a tie run). NULL scores and NULL
+    # groups drop out entirely.
+    rows = [(i, "x", v) for i, v in enumerate([1.0] * 6 + [5.0, 6.0, 7.0])]
+    rows += [(90, "x", None), (91, None, 2.0)]
+    df = spark.createDataFrame(rows, "id long, lang string, s double")
+    got = {r.id: r.bucket for r in quantile_bucket_labels(df, "s").collect()}
+    assert got == {0: "head", 1: "head", 2: "head", 3: "head", 4: "head",
+                   5: "head", 6: "tail", 7: "tail", 8: "tail"}
+    with pytest.raises(ValueError):
+        quantile_bucket_labels(df, "s", cuts=(0.5, 0.3))
+    with pytest.raises(ValueError):
+        quantile_bucket_labels(df, "s", cuts=(0.5,), labels=("only",))
+
+
+def test_ppl_buckets_are_ordered_and_partition_the_scored_corpus(spark, sf_dir):
+    """CCNet semantics on the composed query: per lang the three buckets
+    partition the finite-scored docs, sizes are within one tie-run of n/3,
+    and mean perplexity strictly increases head -> middle -> tail."""
+    from ocr_output_evaluation_spark.queries import ppl_bucket_report
+
+    rows = ppl_bucket_report(spark, sf_dir).collect()
+    by_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        assert b["head"].avg_ppl < b["middle"].avg_ppl < b["tail"].avg_ppl, lang
+        assert b["head"].max_ppl <= b["middle"].min_ppl, lang
+        assert b["middle"].max_ppl <= b["tail"].min_ppl, lang
+        tot = sum(x.n_docs for x in b.values())
+        assert b["head"].n_docs >= tot // 3  # tie-inclusive: never undershoots
