@@ -3118,6 +3118,9 @@ FROM lab GROUP BY 1, 2
 #     next round so every entry gets a driver row at least every other round.
 # NEVER insert a new query mid-dict: append after slot 9 and demote a
 # multi-round-green stalwart to the tail instead.
+# r4 TODO: rotate the current tail (slots 50-72: embedding_pair_topk ..
+# event_dow_matrix — all r1/r2-green) back into slots 0-49 and demote the
+# r3-recorded block, so every entry has a driver row within two rounds.
 QUERIES = {
     # -- slots 0-9: no driver row in r2 (streaming: none in r1 OR r2) --
     "streaming_extraction_report": streaming_extraction_report,
