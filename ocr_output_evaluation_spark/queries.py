@@ -3108,6 +3108,59 @@ FROM lab GROUP BY 1, 2
 """
 
 
+def asof_attribution_report(spark, sf):
+    """Event attribution via as-of join (X34): every 'error' event matched
+    to the same user's most recent at-or-before 'click', then per-user gap
+    stats. The Spark side is the union + running last(ignorenulls) window
+    (operators/asof.py — one exchange, no inequality-join blowup); the
+    DuckDB oracle is the engine's NATIVE ``ASOF LEFT JOIN`` — two
+    independent implementations of the same temporal-join semantics.
+    Gap sums stay in exact integer microseconds (no float-order drift)."""
+    from .operators.asof import as_of_join
+
+    e = t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    errs = e.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = as_of_join(errs, clicks, ["user_id"], "ts", "ts", ["click_id"])
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("asof_ts").cast("timestamp")
+    )
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.count("asof_ts").alias("n_matched"),
+        F.coalesce(F.sum(gap), F.lit(0)).cast("long").alias("sum_gap_us"),
+        F.max(gap).cast("long").alias("max_gap_us"),
+    )
+
+
+# Independent-implementation oracle: DuckDB's native ASOF LEFT JOIN (l.ts >=
+# r.ts picks the largest right ts at-or-before) vs the Spark union-window
+# form. Values use only the matched TIMESTAMP (never the tie-broken payload),
+# so both engines' arbitrary-tie right-row choice yields identical numbers.
+ORACLE_ASOF_ATTRIBUTION = """
+WITH e AS (
+  SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+err AS (SELECT user_id, ts FROM e WHERE event_type = 'error'),
+clk AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+m AS (
+  SELECT l.user_id, l.ts, r.ts AS cts
+  FROM err l ASOF LEFT JOIN clk r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT user_id,
+       count(*) AS n_errors,
+       count(cts) AS n_matched,
+       CAST(coalesce(sum(epoch_us(ts) - epoch_us(cts)), 0) AS BIGINT) AS sum_gap_us,
+       CAST(max(epoch_us(ts) - epoch_us(cts)) AS BIGINT) AS max_gap_us
+FROM m GROUP BY user_id
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Policy (VERDICT r2 item 1):
 #   - slots 0-9: the 10 queries without an r2 driver row (streaming first — it
@@ -3177,6 +3230,7 @@ QUERIES = {
     "token_budget_report": token_budget_report,
     "quantile_gate_report": quantile_gate_report,
     "ppl_bucket_report": ppl_bucket_report,  # r3b: CCNet head/middle/tail split
+    "asof_attribution_report": asof_attribution_report,  # r3b: as-of join (X34)
     "cube_status_priority": cube_status_priority,
     "order_value_quartiles": order_value_quartiles,
     "supplier_name_concat": supplier_name_concat,
@@ -3222,6 +3276,7 @@ ORACLES = {
     "token_budget_report": ORACLE_TOKEN_BUDGET_REPORT,
     "quantile_gate_report": ORACLE_QUANTILE_GATE_REPORT,
     "ppl_bucket_report": ORACLE_PPL_BUCKET_REPORT,
+    "asof_attribution_report": ORACLE_ASOF_ATTRIBUTION,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,
