@@ -3161,6 +3161,65 @@ FROM m GROUP BY user_id
 """
 
 
+def range_funnel_report(spark, sf):
+    """Funnel analysis via range (interval) join (X35): every 'click'
+    paired with the same user's 'error' events 0-12 hours LATER, per-user
+    pair/coverage/delta stats (12 h window — wide enough for a multi-user
+    match set at oracle scale). Spark side is the banded-bucket equi-join
+    (operators/rangejoin.py — fixed <=2x left replication, never a per-key
+    nested loop); the oracle is DuckDB's plain inequality join, an
+    independent evaluation path. Deltas stay in exact integer
+    microseconds."""
+    from .operators.rangejoin import range_join
+
+    e = t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("c_us"), F.col("event_id").alias("click_id")
+    )
+    errs = e.filter(F.col("event_type") == "error").select(
+        "user_id", us.alias("e_us"), "event_id"
+    )
+    j = range_join(clicks, errs, ["user_id"], "c_us", "e_us", 0, 43_200_000_000)
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks_followed"),
+        F.countDistinct("r_event_id").alias("n_errors_preceded"),
+        F.sum(F.col("r_e_us") - F.col("c_us")).alias("sum_delta_us"),
+    )
+
+
+# Independent-implementation oracle: a plain inequality join (fine at oracle
+# scale; the Spark side exists precisely because this form is a per-key
+# nested loop at corpus scale).
+ORACLE_RANGE_FUNNEL = """
+WITH e AS (
+  SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+clk AS (
+  SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+  FROM e WHERE event_type = 'click'
+),
+err AS (
+  SELECT user_id, epoch_us(ts) AS e_us, event_id
+  FROM e WHERE event_type = 'error'
+),
+p AS (
+  SELECT c.user_id, c.click_id, r.event_id, r.e_us - c.c_us AS d
+  FROM clk c JOIN err r
+    ON c.user_id = r.user_id AND r.e_us - c.c_us BETWEEN 0 AND 43200000000
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks_followed,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_errors_preceded,
+       CAST(sum(d) AS BIGINT) AS sum_delta_us
+FROM p GROUP BY user_id
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Policy (VERDICT r2 item 1):
 #   - slots 0-9: the 10 queries without an r2 driver row (streaming first — it
@@ -3231,6 +3290,7 @@ QUERIES = {
     "quantile_gate_report": quantile_gate_report,
     "ppl_bucket_report": ppl_bucket_report,  # r3b: CCNet head/middle/tail split
     "asof_attribution_report": asof_attribution_report,  # r3b: as-of join (X34)
+    "range_funnel_report": range_funnel_report,  # r3b: range join (X35)
     "cube_status_priority": cube_status_priority,
     "order_value_quartiles": order_value_quartiles,
     "supplier_name_concat": supplier_name_concat,
@@ -3277,6 +3337,7 @@ ORACLES = {
     "quantile_gate_report": ORACLE_QUANTILE_GATE_REPORT,
     "ppl_bucket_report": ORACLE_PPL_BUCKET_REPORT,
     "asof_attribution_report": ORACLE_ASOF_ATTRIBUTION,
+    "range_funnel_report": ORACLE_RANGE_FUNNEL,
     "q1_pricing_summary": ORACLE_Q1,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,
