@@ -61,14 +61,14 @@ def range_join(
             for c in right.columns
             if c not in key_cols
         ],
-    ).withColumn("_bkt", F.expr(f"div({right_prefix}{right_val}, {w})"))
+    ).withColumn("_bkt", F.expr(f"div(`{right_prefix}{right_val}`, {w})"))
     l = left.withColumn(
         "_bkt",
         F.explode(
             F.array_distinct(
                 F.array(
-                    F.expr(f"div({left_val} + {lower}, {w})"),
-                    F.expr(f"div({left_val} + {upper}, {w})"),
+                    F.expr(f"div(`{left_val}` + {lower}, {w})"),
+                    F.expr(f"div(`{left_val}` + {upper}, {w})"),
                 )
             )
         ),
