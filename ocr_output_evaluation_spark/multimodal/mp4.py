@@ -118,7 +118,19 @@ def parse_mp4(b: bytes) -> dict:
     Returns a dict with: codec (fourcc), width, height, depth, timescale
     (media timescale from mdhd), n_samples, duration, and samples — a list
     of absolute (offset, size) pairs into ``b``. Raises ValueError on any
-    malformed structure (callers keep it in-band)."""
+    malformed structure (callers keep it in-band). Like decode_jpeg, the
+    wrapper normalizes what truncated payloads actually raise (struct.error
+    on a short stsc/stco/stsd unpack, IndexError on an empty FullBox) to
+    the documented ValueError contract."""
+    try:
+        return _parse_mp4_inner(b)
+    except ValueError:
+        raise
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed mp4 ({type(e).__name__})") from e
+
+
+def _parse_mp4_inner(b: bytes) -> dict:
     if not is_mp4(b):
         raise ValueError("not an ISO BMFF payload (no ftyp)")
     budget = [MAX_BOXES]

@@ -12,10 +12,9 @@ last-non-null payload at each left row IS its as-of match.  Cost profile at
 100 TB: a single hash exchange on the key columns and a per-key sort; no
 replication of either input, no inequality-join candidate blowup (a naive
 ``l.ts >= r.ts`` range join is O(|L|·|R|) per key), no per-row Python.
-Reference analog: the reference joins OCR batches to the latest
-catalog snapshot at batch time (csv_loader.py:88-117 resolves each output
-row against the most recent metadata revision) — here generalized to any
-keyed stream pair.
+Reference analog: none — SURVEY §2.3 records that the reference has no
+theta/range/as-of joins; this is a rebuild-only training-data-layer operator
+(X34), like X21-X33.
 """
 
 from __future__ import annotations
@@ -57,6 +56,14 @@ def as_of_join(
     bad = [c for c in payload_cols if c in left.columns]
     if bad:
         raise ValueError(f"as_of_join: payload columns {bad} collide with left columns")
+    reserved = {"_t", "_side", "_pay", "_m"}
+    out_names = {f"{prefix}{right_ts}", *(f"{prefix}{c}" for c in payload_cols)}
+    bad = [c for c in left.columns if c in reserved or c in out_names]
+    if bad:
+        raise ValueError(
+            f"as_of_join: left columns {bad} collide with internal names "
+            f"{sorted(reserved)} or the {prefix!r}-prefixed output columns"
+        )
 
     # Right rows carry their payload in one struct so the window propagates
     # the whole matched row atomically; left rows carry NULL.  A NULL right

@@ -48,10 +48,15 @@ def group_quantile_thresholds(
     """(group, threshold, n_group) — the largest score value per group
     such that rows with ``score >= threshold`` number >= ceil(keep_frac *
     n_group) (any smaller score also qualifies, so max picks the true cut). ``score`` must already be rounded to fixed precision (the
-    bounded-domain contract; pass e.g. ``F.round(expr, 6)``)."""
+    bounded-domain contract; pass e.g. ``F.round(expr, 6)``).
+
+    NULL-score rows never histogram: ``n_group`` and the ceil(keep_frac *
+    n_group) target count SCOREABLE rows only (same contract as
+    ``quantile_bucket_labels``), so NULL scores neither inflate the
+    denominator nor pass the gate."""
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
-    hist = df.groupBy(group_col, score.alias("_s")).agg(
+    hist = df.filter(score.isNotNull()).groupBy(score.alias("_s"), group_col).agg(
         F.count(F.lit(1)).alias("_n")
     )
     wd = (
@@ -147,8 +152,10 @@ def quantile_gate(
     threshold, with ``score_col`` and ``threshold`` attached.
 
     Rows with a NULL ``group_col`` drop out at the threshold join (the
-    oracle's USING join agrees); triage NULL groups upstream if they must
-    be gated. The broadcast assumes bounded group cardinality — one
+    oracle's USING join agrees) and NULL-score rows are excluded from both
+    the quantile denominator and the output (``score >= threshold`` is
+    never true for NULL); triage NULL groups/scores upstream if they must
+    participate. The broadcast assumes bounded group cardinality — one
     threshold row per group."""
     scored = df.withColumn(score_col, score)
     thr = group_quantile_thresholds(scored, F.col(score_col), keep_frac, group_col)

@@ -14,9 +14,9 @@ predicate filters the band edges.  Each pair emerges EXACTLY once (a right
 row owns a single bucket; ``array_distinct`` keeps it at most once in the
 left's probe list), replication is a fixed ≤2× on the left — not data- or
 skew-dependent — and the plan is a shuffled equi-join, never a nested loop.
-Reference analog: the reference windows OCR confidence revisions against
-batch intervals with a pandas merge + mask (analyze_buckets.py:118-140);
-here the distributed general form.
+Reference analog: none — SURVEY §2.3 records that the reference has no
+theta/range/as-of joins; this is a rebuild-only training-data-layer operator
+(X35), like X21-X33.
 """
 
 from __future__ import annotations
@@ -42,9 +42,13 @@ def range_join(
     ``key_cols`` whose ``right_val - left_val`` lies in ``[lower, upper]``
     (integer bounds, inclusive).  Right columns (minus the keys) come back
     ``{right_prefix}``-renamed.  NULL keys/values never match (inner-join
-    semantics).  Values and ``value + lower`` must be non-negative —
-    bucketing uses integer ``div``, which truncates toward zero (exact at
-    any bigint magnitude, unlike a double ``floor(v / w)``).
+    semantics).  Values may be negative: bucketing uses integer ``div``
+    (truncation toward zero — exact at any bigint magnitude, unlike a
+    double ``floor(v / w)``), and trunc-div is monotone with
+    ``div(a + w, w) - div(a, w) <= 1``, so every value in the width-w match
+    interval ``[lv + lower, lv + upper]`` still lands in one of the two
+    probe buckets ``div(lv + lower, w)`` / ``div(lv + upper, w)`` on either
+    side of zero.
     """
     if upper < lower:
         raise ValueError(f"range_join: upper {upper} < lower {lower}")

@@ -29,8 +29,8 @@ from __future__ import annotations
 import html
 import os
 
-# Reference palette (see .claude dataviz method): categorical slot 1 blue +
-# the blue sequential ramp, each with a selected dark-mode twin.
+# Palette: one categorical blue + a blue sequential ramp, each with a
+# dark-mode twin picked for >=4.5:1 ink contrast on both surfaces.
 _LIGHT = {
     "surface": "#fcfcfb", "ink": "#0b0b0b", "ink2": "#52514e", "grid": "#e7e6e2",
     "series": "#2a78d6",

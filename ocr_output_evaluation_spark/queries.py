@@ -2962,7 +2962,8 @@ WITH q AS (
     , 6) AS score
   FROM documents
 ),
-hist AS (SELECT lang, score, count(*) AS n FROM q GROUP BY lang, score),
+hist AS (SELECT lang, score, count(*) AS n FROM q
+         WHERE score IS NOT NULL GROUP BY lang, score),
 c AS (
   SELECT lang, score,
          sum(n) OVER (PARTITION BY lang ORDER BY score DESC

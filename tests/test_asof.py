@@ -65,6 +65,23 @@ def test_asof_payload_collision_raises(spark):
         as_of_join(df, df.select("k", "ts", "x"), ["k"], "ts", "ts", ["x"])
 
 
+def test_asof_internal_and_output_name_collisions_raise(spark):
+    """Left columns that shadow the operator's internal names (_t/_side/
+    _pay/_m) or its fabricated {prefix}{col} outputs must be rejected
+    upfront, not surface as duplicate-name frames downstream."""
+    r = spark.createDataFrame([("a", 1, 9)], "k string, ts long, y long")
+    bad_internal = spark.createDataFrame(
+        [(1, "a", 1, 0)], "x long, k string, ts long, _side long"
+    )
+    with pytest.raises(ValueError, match="_side"):
+        as_of_join(bad_internal, r, ["k"], "ts", "ts", ["y"])
+    bad_output = spark.createDataFrame(
+        [(1, "a", 1, 0)], "x long, k string, ts long, asof_y long"
+    )
+    with pytest.raises(ValueError, match="asof_y"):
+        as_of_join(bad_output, r, ["k"], "ts", "ts", ["y"])
+
+
 def test_asof_plan_single_exchange_no_join(spark, sf_dir):
     """The union form must cost ONE hash exchange on the key (feeding the
     window sort) and no join operator — the 100 TB rationale for not

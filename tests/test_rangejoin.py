@@ -34,6 +34,31 @@ def test_range_join_matches_bruteforce_exactly_once(spark, lower, upper):
     assert got == want, (lower, upper)
 
 
+@pytest.mark.parametrize("lower,upper", [(0, 10), (-7, 7), (-10, -3), (-3, -3)])
+def test_range_join_negative_values_and_bands(spark, lower, upper):
+    """Trunc-div bucketing with values straddling zero (pre-1970 epochs) and
+    negative band bounds: brute-force parity, exactly-once emission. Pins the
+    docstring claim that div's truncation toward zero still covers both probe
+    buckets for negatives (monotone, endpoint buckets <=1 apart)."""
+    vals = [-31, -30, -29, -21, -13, -11, -10, -9, -7, -1, 0, 1, 7, 10, 11, 30]
+    left = [(i, "a" if i % 3 else "b", v) for i, v in enumerate(vals)]
+    right = [(100 + i, "a" if i % 2 else "b", v) for i, v in enumerate(
+        [-33, -30, -23, -17, -13, -12, -10, -7, -3, 0, 3, 7, 12, 20, 33])]
+    ldf = spark.createDataFrame(left, "lid long, k string, v long")
+    rdf = spark.createDataFrame(right, "rid long, k string, v long")
+    got = sorted(
+        (r.lid, r.r_rid)
+        for r in range_join(ldf, rdf, ["k"], "v", "v", lower, upper).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, lk, lv in left
+        for rid, rk, rv in right
+        if lk == rk and lower <= rv - lv <= upper
+    )
+    assert got == want, (lower, upper)
+
+
 def test_range_join_nulls_and_validation(spark):
     ldf = spark.createDataFrame(
         [(0, "a", 5), (1, None, 5), (2, "a", None)], "lid long, k string, v long"
