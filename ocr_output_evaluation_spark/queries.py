@@ -3222,83 +3222,26 @@ FROM p GROUP BY user_id
 
 
 # Registry order IS the driver contract: the correctness driver records only the
-# FIRST 50 entries each round.  Policy (VERDICT r2 item 1):
-#   - slots 0-9: the 10 queries without an r2 driver row (streaming first — it
-#     missed the window in both prior rounds);
-#   - slots 10-49: the remaining previously-recorded entries;
-#   - tail (50+): two-round-green stalwarts rotated out this round (q1/q3/q5/q6,
-#     top_docs, corr_trend, samples, unions, events_hourly) — they alternate back
-#     next round so every entry gets a driver row at least every other round.
-# NEVER insert a new query mid-dict: append after slot 9 and demote a
-# multi-round-green stalwart to the tail instead.
-# r4 TODO: rotate the current tail (slots 50-72: embedding_pair_topk ..
-# event_dow_matrix — all r1/r2-green) back into slots 0-49 and demote the
-# r3-recorded block, so every entry has a driver row within two rounds.
+# FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
+# every round since): the tail entries rotate back into the window next round,
+# so every entry gets a driver row at least every other round.
+# r4 rotation (VERDICT r3 item 1):
+#   - slots 0-24: the 25 entries with no r3 driver row (the r3 tail),
+#     embedding_pair_topk FIRST — its blocking logic changed in r3 and it
+#     deserves a round-current driver row;
+#   - next: queries NEW this round (driver row in their birth round);
+#   - remaining window: r3-recorded entries re-verified, prioritizing those
+#     whose implementation changed this round (quantile/asof/bpe) and the
+#     training-data reports added to the bench headline suite;
+#   - tail: r3-recorded stalwarts sitting out one round (back in r5).
+# NEVER insert a new query mid-dict: append after the rotation block and
+# demote a recorded-last-round stalwart to the tail instead.
 QUERIES = {
-    # -- slots 0-9: no driver row in r2 (streaming: none in r1 OR r2) --
-    "streaming_extraction_report": streaming_extraction_report,
-    "customers_without_orders": customers_without_orders,
-    "dup_clusters": dup_clusters,
-    "training_export_summary": training_export_summary,
-    "parts_above_type_avg": parts_above_type_avg,
-    "extraction_report": extraction_report,
-    "train_lm": train_lm,
-    "perplexity_report": perplexity_report,
-    "media_features_report": media_features_report,
-    "media_frame_sample_report": media_frame_sample_report,
-    # -- slots 10-49: recorded green in r2, kept inside the window --
-    "value_counts_lang": value_counts_lang,
-    "quality_buckets": quality_buckets,
-    "events_json_props": events_json_props,
-    "running_spend": running_spend,
-    "user_sessions": user_sessions,
-    "token_stats": token_stats,
-    "lang_id_report": lang_id_report,
-    "quality_scores": quality_scores,
-    "exact_dup_stats": exact_dup_stats,
-    "ngram_jaccard_small": ngram_jaccard_small,
-    "minhash_pairs": minhash_pairs,
-    "minhash_pairs_md5": minhash_pairs_md5,
-    "simhash_pairs": simhash_pairs,
-    "simhash_pairs_md5": simhash_pairs_md5,
-    "embedding_topk": embedding_topk,
-    "lsh_ann_topk": lsh_ann_topk,
-    "salted_source_stats": salted_source_stats,
-    "salted_join_stats": salted_join_stats,
-    "sql_summary": sql_summary,
-    "sql_quality_matrix": sql_quality_matrix,
-    "fingerprint_stats": fingerprint_stats,
-    "enrich_union_stats": enrich_union_stats,
-    # r3 additions take these two slots; the two-round-green entries they
-    # displace (conf_scale_normalize, order_gaps_lag) rotate to the tail
-    "contamination_report": contamination_report,
-    "repetition_report": repetition_report,
-    "pii_scrub_report": pii_scrub_report,
-    # r3 wave-2 additions; the two-round-green entries they displace
-    # (group_moment_stats, threshold_buckets, validity_classes) rotate to the tail
-    "line_dedup_report": line_dedup_report,
-    "domain_cap_report": domain_cap_report,
-    "mixing_report": mixing_report,
-    "bpe_merge_report": bpe_merge_report,
-    "packing_report": packing_report,
-    "classifier_report": classifier_report,
-    # r3 wave-3 additions; the rows-only ANN probes they displace
-    # (ivf_ann_topk, ann_index_topk, embedding_near_dup_report) rotate to
-    # the tail — each is pytest-pinned (containment + recall floor), so a
-    # rows-only driver row adds the least evidence of any entry.
-    "split_report": split_report,
-    "token_budget_report": token_budget_report,
-    "quantile_gate_report": quantile_gate_report,
-    "ppl_bucket_report": ppl_bucket_report,  # r3b: CCNet head/middle/tail split
-    "asof_attribution_report": asof_attribution_report,  # r3b: as-of join (X34)
-    "range_funnel_report": range_funnel_report,  # r3b: range join (X35)
-    "cube_status_priority": cube_status_priority,
-    "order_value_quartiles": order_value_quartiles,
-    "supplier_name_concat": supplier_name_concat,
+    # -- slots 0-24: the r3 tail, every one green in the r3-session local
+    #    strict re-run but without a driver row since r2 --
+    "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
     "challenging_docs": challenging_docs,
-    "embedding_pair_topk": embedding_pair_topk,
-    # -- tail: two-round-green stalwarts rotated out of the window this round --
     "ivf_ann_topk": ivf_ann_topk,
     "ann_index_topk": ann_index_topk,
     "embedding_near_dup_report": embedding_near_dup_report,
@@ -3321,6 +3264,61 @@ QUERIES = {
     "top_langs_per_source": top_langs_per_source,
     "value_histogram": value_histogram,
     "event_dow_matrix": event_dow_matrix,
+    # -- new in r4 (inserted here as they land) --
+    # -- r3-recorded entries kept in the window: implementation touched in
+    #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
+    #    the bench headline suite --
+    "quantile_gate_report": quantile_gate_report,
+    "ppl_bucket_report": ppl_bucket_report,
+    "asof_attribution_report": asof_attribution_report,
+    "range_funnel_report": range_funnel_report,
+    "contamination_report": contamination_report,
+    "line_dedup_report": line_dedup_report,
+    "bpe_merge_report": bpe_merge_report,
+    "packing_report": packing_report,
+    "repetition_report": repetition_report,
+    "pii_scrub_report": pii_scrub_report,
+    "domain_cap_report": domain_cap_report,
+    "mixing_report": mixing_report,
+    "classifier_report": classifier_report,
+    "split_report": split_report,
+    "token_budget_report": token_budget_report,
+    "cube_status_priority": cube_status_priority,
+    "order_value_quartiles": order_value_quartiles,
+    "supplier_name_concat": supplier_name_concat,
+    "value_counts_lang": value_counts_lang,
+    "quality_buckets": quality_buckets,
+    "user_sessions": user_sessions,
+    "minhash_pairs_md5": minhash_pairs_md5,
+    "events_json_props": events_json_props,
+    "running_spend": running_spend,
+    "quality_scores": quality_scores,
+    # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "streaming_extraction_report": streaming_extraction_report,
+    "customers_without_orders": customers_without_orders,
+    "dup_clusters": dup_clusters,
+    "training_export_summary": training_export_summary,
+    "parts_above_type_avg": parts_above_type_avg,
+    "extraction_report": extraction_report,
+    "train_lm": train_lm,
+    "perplexity_report": perplexity_report,
+    "media_features_report": media_features_report,
+    "media_frame_sample_report": media_frame_sample_report,
+    "token_stats": token_stats,
+    "lang_id_report": lang_id_report,
+    "exact_dup_stats": exact_dup_stats,
+    "ngram_jaccard_small": ngram_jaccard_small,
+    "minhash_pairs": minhash_pairs,
+    "simhash_pairs": simhash_pairs,
+    "simhash_pairs_md5": simhash_pairs_md5,
+    "embedding_topk": embedding_topk,
+    "lsh_ann_topk": lsh_ann_topk,
+    "salted_source_stats": salted_source_stats,
+    "salted_join_stats": salted_join_stats,
+    "sql_summary": sql_summary,
+    "sql_quality_matrix": sql_quality_matrix,
+    "fingerprint_stats": fingerprint_stats,
+    "enrich_union_stats": enrich_union_stats,
 }
 
 ORACLES = {
