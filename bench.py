@@ -45,6 +45,11 @@ HEADLINE = [
     "minhash_pairs",
     "embedding_topk",
     "salted_source_stats",
+    # r4 (VERDICT r3 item 4): the training-data layer's heavy movers, so
+    # future rounds get regression signal on it, not just the r1-era suite.
+    "contamination_report",
+    "line_dedup_report",
+    "asof_attribution_report",
 ]
 
 
@@ -162,6 +167,29 @@ def workload_control(fixture_path: str, n_lo: int = 8, n_hi: int = 32) -> dict:
     }
 
 
+def single_proc_control(fixture_path: str, n_docs: int = 3000) -> dict:
+    """No-Spark single-process extract control (~3-5 s): the throttle
+    denominator (VERDICT r3 item 3). This host stalls intermittently —
+    identical suites vary 1.5x+ across windows — so every BENCH JSON
+    carries the same fixed workload timed in-process, making cross-round
+    ratios self-normalizing: compare suite_seconds x (control_docs_per_sec
+    / other_round_control) instead of raw seconds. Best-of-2 (first run
+    also warms the page cache)."""
+    import pyarrow.parquet as pq
+
+    from ocr_output_evaluation_spark.extract import extract_document
+
+    col = pq.read_table(fixture_path, columns=["html"])["html"]
+    htmls = [v.as_py() for v in col[:n_docs]]
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        for h in htmls:
+            extract_document(h)
+        best = max(best, len(htmls) / (time.time() - t0))
+    return {"control_docs_per_sec": round(best, 1), "control_n_docs": len(htmls)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -245,7 +273,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     # Extraction (the north-rule headline) first: warm + best-of-3.
-    ensure_fixture_pages(spark, n_pages)
+    fixture = ensure_fixture_pages(spark, n_pages)
+    ctl = single_proc_control(fixture)
     ext = best_extraction(spark, n_pages, warmups=1, runs=3)
     timings["extract"] = ext["extract_sec"]
 
@@ -286,6 +315,7 @@ def main() -> None:
                 "cpus": cpus,
                 "extract_docs_per_sec": ext["docs_per_sec"],
                 "extract_n_docs": ext["n_docs"],
+                **ctl,
             }
         )
     )
