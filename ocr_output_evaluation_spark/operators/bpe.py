@@ -22,7 +22,7 @@ Spark-first shape, and how it holds at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.ngram import word_tokens
 
@@ -57,4 +57,97 @@ def merge_pair_counts(words: DataFrame) -> DataFrame:
     return pairs.groupBy("pair").agg(
         F.sum("wcount").cast("long").alias("total_count"),
         F.countDistinct("word").cast("long").alias("n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative training + encode (X36) — completes the tokenizer loop: X27 mined
+# single-pass pair stats; this trains REAL rank-ordered merges (re-counting
+# pair stats after each merge, Sennrich et al. 2016, arXiv:1508.07909
+# "get_stats/merge_vocab" loop) and applies them, yielding per-word BPE token
+# counts. Reference analog: none (training-data layer, SURVEY §2.13).
+#
+# Scale shape: every step runs over the DISTINCT-WORD frame (vocabulary-
+# scale — bounded in the millions however big the corpus), exactly the X27
+# argument; each step is one explode→map-side-combined agg for pair stats,
+# one 1-row collect (the argmax pair — a query-vector collect, allowed), and
+# one interpreted fold (F.aggregate) applying the merge. localCheckpoint
+# between steps truncates the fold lineage so step N's plan doesn't nest N
+# interpreted aggregates. The corpus is touched exactly twice end-to-end:
+# once to mine word frequencies, once to map word→token-count back on
+# (vocab frame joined broadcast).
+#
+# Merge application is a left-to-right fold with the accumulated sequence as
+# a space-joined string: if the accumulator's last symbol == a and the next
+# symbol == b, append WITHOUT the separator (which IS replacing last with
+# a||b); else append with it. This reproduces BPE's leftmost-non-overlapping
+# semantics ("l l l" + (l,l) -> "ll l"), and applying merges in rank order
+# is equivalent to the min-rank-present loop because a merge can only create
+# pairs of later rank than itself. DuckDB replays the identical fold with
+# list_reduce (which seeds the accumulator with the first element, matching
+# F.aggregate's explicit init here), making the WHOLE training loop
+# SQL-oracle-checkable when unrolled one CTE block per merge.
+# ---------------------------------------------------------------------------
+def _apply_merge(seq: Column, a: str, b: str) -> Column:
+    """One merge pass over a space-joined symbol sequence (non-empty)."""
+    syms = F.split(seq, " ")
+    return F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.element_at(syms, 1),
+        lambda acc, x: F.when(
+            (F.substring_index(acc, " ", -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+
+
+def train_bpe(
+    words: DataFrame, n_merges: int
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Iterative BPE training over a (word, wcount) frame.
+
+    Returns (trained frame (word, wcount, seq) where seq is the space-joined
+    symbol sequence after all merges, ordered merge list [(a, b), ...]).
+    Each step's best pair is the (count desc, a asc, b asc) argmax of
+    adjacent-symbol pair counts weighted by wcount (all positions counted,
+    overlaps included — Sennrich's get_stats). Stops early if no pair is
+    left (every word a single symbol). Words must be non-empty strings.
+    """
+    w = words.select(
+        "word", "wcount", F.concat_ws(" ", F.split("word", "")).alias("seq")
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        w = w.localCheckpoint()
+        syms = F.split("seq", " ")
+        n = F.size(syms)
+        pairs = w.select(
+            "wcount",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(syms, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+                    F.slice(syms, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        w = w.withColumn("seq", _apply_merge(F.col("seq"), a, b))
+    return w.localCheckpoint(), merges
+
+
+def bpe_vocab(trained: DataFrame) -> DataFrame:
+    """(word, n_tok) — per-word token count after training: the frame to
+    broadcast-join back onto the corpus's exploded words."""
+    return trained.select(
+        "word", F.size(F.split("seq", " ")).cast("long").alias("n_tok")
     )

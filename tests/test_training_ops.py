@@ -158,6 +158,58 @@ def test_bpe_merge_pair_counts_planted(spark):
     assert "a" not in got and len(got) == 2
 
 
+def test_train_bpe_sennrich_example_hand_traced(spark):
+    """Iterative BPE training on the classic Sennrich corpus (low x5,
+    lower x2, newest x6, widest x3), 8 merges hand-traced on paper:
+
+      step1 es/st tie at 9 -> 'es' on (a asc); step2 (es,t)=9; step3 lo/ow
+      tie at 7 -> 'lo'; step4 (lo,w)=7; step5 three-way tie at 6
+      (e,w)/(n,e)/(w,est) -> 'ew'; step6 (ew,est)/(n,ew) tie -> (ew,est);
+      step7 (n,ewest)=6; step8 (d,est)/(i,d)/(w,i) tie at 3 -> (d,est).
+
+    Pins argmax recount-after-each-merge semantics, the deterministic
+    (count desc, a, b) tie-break, leftmost-non-overlap application, and
+    the final per-word token counts the encode map-back consumes."""
+    from ocr_output_evaluation_spark.operators.bpe import (
+        bpe_vocab,
+        train_bpe,
+    )
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, wcount long",
+    )
+    trained, merges = train_bpe(words, 8)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+        ("e", "w"), ("ew", "est"), ("n", "ewest"), ("d", "est"),
+    ]
+    seqs = {r.word: r.seq for r in trained.collect()}
+    assert seqs == {
+        "low": "low",
+        "lower": "low e r",
+        "newest": "newest",
+        "widest": "w i dest",
+    }
+    toks = {r.word: r.n_tok for r in bpe_vocab(trained).collect()}
+    assert toks == {"low": 1, "lower": 3, "newest": 1, "widest": 3}
+
+
+def test_train_bpe_single_char_and_overlap(spark):
+    """Single-symbol words survive every fold untouched and stop
+    contributing pairs; overlapping identical pairs merge leftmost-first
+    ('l l l l' + (l,l) -> 'll ll')."""
+    from ocr_output_evaluation_spark.operators.bpe import train_bpe
+
+    words = spark.createDataFrame(
+        [("llll", 4), ("x", 9)], "word string, wcount long"
+    )
+    trained, merges = train_bpe(words, 2)
+    assert merges == [("l", "l"), ("ll", "ll")]
+    seqs = {r.word: r.seq for r in trained.collect()}
+    assert seqs == {"llll": "llll", "x": "x"}
+
+
 def test_pack_sequences_planted(spark):
     """pack_sequences on one shard with hand-replayed md5 order: sequence
     index = floor(exclusive-cumsum / L), straddle flags at boundaries,
