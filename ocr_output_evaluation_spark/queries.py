@@ -2416,6 +2416,94 @@ ORDER BY n.lang
 """
 
 
+def exact_substr_report(spark, sf):
+    """Exact-substring dedup (X37, operators/exactsubstr.py — the bounded
+    ExactSubstr mode of Lee et al. 2022, arXiv:2107.06499): tokens covered
+    by any 8-token window whose fingerprint appears in >= 2 distinct
+    documents are cut from every document (all copies — deviation from the
+    paper's keep-one recorded in the operator docstring). Per-lang report:
+    docs, affected docs, token totals, dropped tokens, drop fraction.
+    Plan shape: fingerprints built in-row (slice -> join -> md5 transform;
+    the text never shuffles), one map-side-combined countDistinct census
+    over 16-byte keys, duplicated tail + per-doc start lists broadcast
+    back, span drop one in-row position filter. Production swaps md5 for
+    xxhash64 (the minhash_pairs_md5 twin pattern)."""
+    from .operators.exactsubstr import exact_substr_dedup
+
+    d = _spread(t(spark, sf, "documents"))
+    e = exact_substr_dedup(
+        d, "text", "doc_id", k=8, min_docs=2, keep_cols=("lang",)
+    )
+    tt = F.col("total_tokens")
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_dropped") > 0).cast("long")).alias("affected_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_dropped").cast("long").alias("dropped_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "affected_docs",
+            "total_tokens",
+            "dropped_tokens",
+            F.when(tt > 0, _r(F.col("dropped_tokens") / tt)).alias("drop_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_EXACT_SUBSTR_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+wins AS (
+  SELECT doc_id, i AS s,
+         md5(array_to_string(w[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')) AS fp
+  FROM toks, UNNEST(range(0, len(w) - 7)) AS r(i)
+),
+dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+ds AS (SELECT doc_id, s FROM wins JOIN dup USING (fp)),
+pos AS (
+  SELECT t.doc_id, i AS p
+  FROM toks t, UNNEST(range(0, len(w))) AS r(i)
+),
+dropped AS (
+  SELECT p.doc_id, count(*) AS nd
+  FROM pos p
+  WHERE EXISTS (SELECT 1 FROM ds WHERE ds.doc_id = p.doc_id
+                AND p.p BETWEEN ds.s AND ds.s + 7)
+  GROUP BY p.doc_id
+),
+per_doc AS (
+  SELECT n.doc_id, n.lang,
+         coalesce(len(t2.w), 0) AS n_tokens,
+         coalesce(d.nd, 0) AS n_dropped
+  FROM norm n
+  LEFT JOIN toks t2 USING (doc_id)
+  LEFT JOIN dropped d USING (doc_id)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT) AS affected_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_dropped) AS BIGINT) AS dropped_tokens,
+       CASE WHEN sum(n_tokens) > 0
+            THEN round(sum(n_dropped) * 1.0 / sum(n_tokens), 6) END AS drop_frac
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def domain_cap_report(spark, sf):
     """Per-domain document caps (functions/url.py): the crawl-pipeline rule
     "at most N documents per registered domain" (defense against
@@ -3386,6 +3474,7 @@ QUERIES = {
     # -- new in r4 (inserted here as they land; one r3-recorded window
     #    entry demoted to the tail per insertion to hold the window at 50) --
     "bpe_encode_report": bpe_encode_report,
+    "exact_substr_report": exact_substr_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -3412,8 +3501,8 @@ QUERIES = {
     "user_sessions": user_sessions,
     "minhash_pairs_md5": minhash_pairs_md5,
     "events_json_props": events_json_props,
-    "running_spend": running_spend,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "running_spend": running_spend,
     "quality_scores": quality_scores,
     "streaming_extraction_report": streaming_extraction_report,
     "customers_without_orders": customers_without_orders,
@@ -3451,6 +3540,7 @@ ORACLES = {
     "mixing_report": ORACLE_MIXING_REPORT,
     "bpe_merge_report": ORACLE_BPE_MERGE_REPORT,
     "bpe_encode_report": _oracle_bpe_encode(),
+    "exact_substr_report": ORACLE_EXACT_SUBSTR_REPORT,
     "packing_report": ORACLE_PACKING_REPORT,
     "classifier_report": ORACLE_CLASSIFIER_REPORT,
     "split_report": ORACLE_SPLIT_REPORT,

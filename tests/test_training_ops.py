@@ -72,6 +72,78 @@ def test_line_dedup_banned_set_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_exact_substr_dedup_planted(spark):
+    """ExactSubstr (X37) on a hand-built fixture, k=3 min_docs=2: the one
+    cross-doc window ('a b c' in d1@0 and d2@2) is cut from BOTH docs
+    (all-copies contract), within-doc-only repetition survives (min_docs
+    counts DISTINCT docs), sub-k docs pass through, fully-duplicated docs
+    empty to ''."""
+    from ocr_output_evaluation_spark.operators.exactsubstr import (
+        exact_substr_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # window 'a b c' at 0 -> drop pos 0-2
+            (2, "x y a b c z"),   # window 'a b c' at 2 -> drop pos 2-4
+            (3, "p q r s"),       # untouched
+            (4, "m m m m m"),     # repeats only within itself -> untouched
+            (5, "a b"),           # < k tokens: no windows
+            (6, "a b c"),         # fully duplicated (with 1, 2, 7) -> ''
+            (7, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_dedup, r.n_tokens, r.n_dropped)
+        for r in exact_substr_dedup(df, "text", "doc_id", k=3, min_docs=2).collect()
+    }
+    assert got == {
+        1: ("d e f", 6, 3),
+        2: ("x y z", 6, 3),
+        3: ("p q r s", 4, 0),
+        4: ("m m m m m", 5, 0),
+        5: ("a b", 2, 0),
+        6: ("", 3, 3),
+        7: ("", 3, 3),
+    }
+
+
+def test_exact_substr_overlapping_spans_union(spark):
+    """Overlapping duplicated windows drop the UNION of their covered
+    positions: d1/d2 share 'a b c d' => windows 'a b c'@0 and 'b c d'@1 in
+    both, covering pos 0-3 as one span."""
+    from ocr_output_evaluation_spark.operators.exactsubstr import (
+        exact_substr_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d x"), (2, "y a b c d")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text_dedup, r.n_dropped)
+        for r in exact_substr_dedup(df, "text", "doc_id", k=3, min_docs=2).collect()
+    }
+    assert got == {1: ("x", 4), 2: ("y", 4)}
+
+
+def test_exact_substr_corpus_never_shuffles_for_membership(spark, sf_dir):
+    """Plan pin for the 100 TB shape: the duplicated tail and the per-doc
+    start lists come back as BROADCAST joins; no sort-merge join anywhere —
+    the corpus text never shuffles for membership."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ocr_output_evaluation_spark.queries import exact_substr_report
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        exact_substr_report(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_url_functions(spark):
     from ocr_output_evaluation_spark.functions.url import (
         strip_url_params,
