@@ -431,6 +431,149 @@ def svg_scatter_trend(
     return "\n".join(parts)
 
 
+def svg_box_panel(
+    items: list[tuple[str, float, float, float, float, float, float, float]],
+    title: str,
+    x_label: str = "value",
+    width: int = 720,
+    row_h: int = 34,
+) -> str:
+    """Horizontal percentile box panel — the reference's percentile box
+    plots (/root/reference/visualize.py:185-234 plot_percentile_ranges,
+    :357-419, :536-710) re-expressed over the already-oracle-checked exact
+    percentiles (group_moment_stats), one row per group on a shared scale.
+    ``items``: (label, min, p10, p25, median, p75, p90, max) — box spans
+    p25..p75 with a median tick, whiskers span p10..p90, min/max as dots.
+    All geometry is deterministic arithmetic on the inputs."""
+    ml, mr, mt, mb = 90, 24, 44, 34
+    pw = width - ml - mr
+    height = mt + len(items) * row_h + mb
+    lo = min((it[1] for it in items), default=0.0)
+    hi = max((it[7] for it in items), default=1.0)
+    span = (hi - lo) or 1.0
+    sx = lambda v: ml + (v - lo) / span * pw  # noqa: E731
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {width} {height}" '
+        f'role="img" aria-label="{_esc(title)}">',
+        _style(),
+        f'<rect class="surface" width="{width}" height="{height}"/>',
+        f'<text class="ink" x="{ml}" y="22" font-size="14" font-weight="600">{_esc(title)}</text>',
+    ]
+    for t in range(5):
+        x = ml + pw * t / 4
+        parts.append(
+            f'<line class="grid" x1="{x:.1f}" y1="{mt}" x2="{x:.1f}" '
+            f'y2="{height - mb}" stroke-width="1"/>'
+        )
+        parts.append(
+            f'<text class="ink2" x="{x:.1f}" y="{height - mb + 14}" font-size="10" '
+            f'text-anchor="middle">{lo + span * t / 4:g}</text>'
+        )
+    for i, (label, mn, p10, p25, med, p75, p90, mx) in enumerate(items):
+        cy = mt + i * row_h + row_h / 2
+        bh = row_h - 14
+        parts.append(
+            f'<text class="ink2" x="{ml - 8}" y="{cy + 4:.1f}" font-size="11" '
+            f'text-anchor="end">{_esc(label)}</text>'
+        )
+        tip = (
+            f"{_esc(label)}: min {mn:g} · p10 {p10:g} · p25 {p25:g} · "
+            f"median {med:g} · p75 {p75:g} · p90 {p90:g} · max {mx:g}"
+        )
+        parts.append(
+            f'<line class="vline" x1="{sx(p10):.1f}" y1="{cy:.1f}" '
+            f'x2="{sx(p90):.1f}" y2="{cy:.1f}" stroke-width="1.5"/>'
+        )
+        for wv in (p10, p90):
+            parts.append(
+                f'<line class="vline" x1="{sx(wv):.1f}" y1="{cy - bh / 2 + 3:.1f}" '
+                f'x2="{sx(wv):.1f}" y2="{cy + bh / 2 - 3:.1f}" stroke-width="1.5"/>'
+            )
+        bw = max(sx(p75) - sx(p25), 1.0)
+        parts.append(
+            f'<path class="series" d="{_hbar_path(sx(p25), cy - bh / 2, bw, bh)}" '
+            f'fill-opacity="0.55"><title>{tip}</title></path>'
+        )
+        parts.append(
+            f'<line class="vline" x1="{sx(med):.1f}" y1="{cy - bh / 2:.1f}" '
+            f'x2="{sx(med):.1f}" y2="{cy + bh / 2:.1f}" stroke-width="2.5"/>'
+        )
+        for dv in (mn, mx):
+            parts.append(
+                f'<circle class="series" cx="{sx(dv):.1f}" cy="{cy:.1f}" r="2.5">'
+                f"<title>{tip}</title></circle>"
+            )
+    parts.append(
+        f'<text class="ink2" x="{width / 2:.0f}" y="{height - 8}" font-size="11" '
+        f'text-anchor="middle">{_esc(x_label)}</text>'
+    )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def svg_pie(
+    slices: list[tuple[str, float]],
+    title: str,
+    width: int = 560,
+    height: int = 300,
+) -> str:
+    """Category-share pie — the reference's confidence-category pie
+    (/root/reference/visualize.py:94-137 plot_confidence_categories) over
+    already-oracle-checked counts (quality_buckets). Slices render
+    clockwise from 12 o'clock in the given order, filled from the
+    sequential ramp (spread for adjacent contrast), with a legend carrying
+    label, value and percentage; zero/negative slices are skipped. A
+    single non-zero slice degenerates to a full circle (the arc endpoints
+    would coincide)."""
+    import math
+
+    live = [(lab, v) for lab, v in slices if v > 0]
+    total = sum(v for _, v in live)
+    cx, cy, r = height / 2, height / 2 + 10, height / 2 - 40
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {width} {height}" '
+        f'role="img" aria-label="{_esc(title)}">',
+        _style(),
+        f'<rect class="surface" width="{width}" height="{height}"/>',
+        f'<text class="ink" x="16" y="22" font-size="14" font-weight="600">{_esc(title)}</text>',
+    ]
+    n = len(live)
+    qcls = lambda i: f"q{i * 12 // max(n - 1, 1)}" if n > 1 else "q12"  # noqa: E731
+    if total > 0 and n == 1:
+        lab, v = live[0]
+        parts.append(
+            f'<circle class="{qcls(0)}" cx="{cx:.1f}" cy="{cy:.1f}" r="{r:.1f}">'
+            f"<title>{_esc(lab)}: {v:g} (100%)</title></circle>"
+        )
+    elif total > 0:
+        acc = 0.0
+        for i, (lab, v) in enumerate(live):
+            a0 = -math.pi / 2 + 2 * math.pi * acc / total
+            acc += v
+            a1 = -math.pi / 2 + 2 * math.pi * acc / total
+            x0, y0 = cx + r * math.cos(a0), cy + r * math.sin(a0)
+            x1, y1 = cx + r * math.cos(a1), cy + r * math.sin(a1)
+            large = 1 if (a1 - a0) > math.pi else 0
+            parts.append(
+                f'<path class="{qcls(i)}" d="M {cx:.2f} {cy:.2f} L {x0:.2f} {y0:.2f} '
+                f'A {r:.2f} {r:.2f} 0 {large} 1 {x1:.2f} {y1:.2f} Z">'
+                f"<title>{_esc(lab)}: {v:g} ({v / total * 100:.1f}%)</title></path>"
+            )
+    lx = height + 20
+    for i, (lab, v) in enumerate(live):
+        ly = 56 + i * 24
+        pct = f" ({v / total * 100:.1f}%)" if total > 0 else ""
+        parts.append(
+            f'<rect class="{qcls(i)}" x="{lx}" y="{ly - 11}" width="14" height="14" rx="3"/>'
+        )
+        parts.append(
+            f'<text class="ink2" x="{lx + 22}" y="{ly}" font-size="12">'
+            f"{_esc(lab)}: {v:g}{pct}</text>"
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
 def generate_all_plots(spark, sf_dir: str, out_dir: str) -> dict:
     """The generate_all_plots analog (visualize.py:420+): run the (already
     oracle-checked) report queries and write the standard artifact set —
@@ -514,9 +657,28 @@ def generate_all_plots(spark, sf_dir: str, out_dir: str) -> dict:
         y_label="l_extendedprice",
     )
 
+    # percentile boxes (visualize.py:185-234 analog) from the exact,
+    # oracle-checked percentiles; pie (visualize.py:94-137 analog) from the
+    # oracle-checked bucket counts
+    gm = sorted(queries.group_moment_stats(spark, sf_dir).collect(), key=lambda r: r.lang)
+    boxes = svg_box_panel(
+        [
+            (r.lang, float(r.min_nc), float(r.p10_nc), float(r.p25_nc),
+             float(r.median_nc), float(r.p75_nc), float(r.p90_nc), float(r.max_nc))
+            for r in gm
+        ],
+        "documents.n_chars percentiles by language (p10-p90 whiskers, p25-p75 box)",
+        x_label="n_chars",
+    )
+    qb = sorted(queries.quality_buckets(spark, sf_dir).collect(), key=lambda r: -r.n)
+    pie = svg_pie(
+        [(r.bucket, float(r.n)) for r in qb],
+        "documents by quality bucket",
+    )
+
     for name, svg in (
         ("histogram", hist), ("heatmap", heat), ("langs", bars), ("compare", compare),
-        ("scatter", scatter),
+        ("scatter", scatter), ("boxes", boxes), ("pie", pie),
     ):
         p = os.path.join(out_dir, f"{name}.svg")
         with open(p, "w") as f:

@@ -3,6 +3,7 @@ query data, deterministic bytes, dark-mode style block present, and the
 generate_all_plots artifact set (the visualize.py:420+ analog)."""
 
 import os
+import re
 import xml.etree.ElementTree as ET
 
 from ocr_output_evaluation_spark.plans.report import (
@@ -90,14 +91,49 @@ def test_svg_scatter_trend_marks_and_fit_line():
 
 def test_generate_all_plots_artifact_set(spark, sf_dir, tmp_path):
     out = generate_all_plots(spark, sf_dir, str(tmp_path / "report"))
-    names = ("histogram", "heatmap", "langs", "compare", "scatter")
+    names = ("histogram", "heatmap", "langs", "compare", "scatter", "boxes", "pie")
     assert set(out) == {*names, "index"}
     for name in names:
         assert os.path.exists(out[name])
         ET.parse(out[name])  # well-formed
     idx = open(out["index"]).read()
-    assert idx.count("<figure>") == 5
+    assert idx.count("<figure>") == 7
     # deterministic across renders on the same input
     out2 = generate_all_plots(spark, sf_dir, str(tmp_path / "report2"))
     for name in names:
         assert open(out[name]).read() == open(out2[name]).read()
+
+
+def test_svg_box_panel_geometry():
+    """Box spans p25..p75, whiskers p10..p90, median tick, min/max dots;
+    shared scale across rows; tooltips carry all seven numbers."""
+    from ocr_output_evaluation_spark.plans.report import svg_box_panel
+
+    svg = svg_box_panel(
+        [("en", 0.0, 10.0, 25.0, 50.0, 75.0, 90.0, 100.0),
+         ("de", 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0)],
+        "t", x_label="n_chars",
+    )
+    import xml.etree.ElementTree as ET
+    ET.fromstring(svg)
+    assert svg.count('<circle class="series"') == 4  # min+max per row
+    assert "median 50" in svg and "p90 90" in svg
+    # shared scale: en's box is wider than de's (50 vs 20 units of span)
+    assert svg.count('<path class="series"') == 2
+
+
+def test_svg_pie_slices_and_degenerate_forms():
+    from ocr_output_evaluation_spark.plans.report import svg_pie
+    import xml.etree.ElementTree as ET
+
+    svg = svg_pie([("a", 3.0), ("b", 1.0), ("zero", 0.0)], "t")
+    ET.fromstring(svg)
+    assert svg.count("A ") == 2          # two arc slices; zero slice skipped
+    assert "(75.0%)" in svg and "(25.0%)" in svg and "zero" not in svg
+    # the 75% slice must take the long way round
+    assert re.search(r'A [\d.]+ [\d.]+ 0 1 1', svg)
+    # single-slice degenerates to a full circle, still legended
+    one = svg_pie([("only", 5.0)], "t")
+    ET.fromstring(one)
+    assert "A " not in one and "<circle" in one and "(100%)" in one
+
