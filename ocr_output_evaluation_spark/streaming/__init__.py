@@ -3,6 +3,7 @@ from .pipeline import (
     enrich_stream_with_dim,
     read_web_pages_stream,
     running_lang_totals,
+    stream_as_of_join,
     stream_dedup_extraction,
     stream_extraction,
     windowed_lang_counts,
@@ -16,4 +17,5 @@ __all__ = [
     "stream_extraction",
     "windowed_lang_counts",
     "running_lang_totals",
+    "stream_as_of_join",
 ]

@@ -256,3 +256,142 @@ def running_lang_totals(pages: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of join (the watermark-bounded twin of operators/asof.py X34)
+# ---------------------------------------------------------------------------
+ASOF_STREAM_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("left_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("asof_ts", T.TimestampType(), True),
+        T.StructField("asof_value", T.StringType(), True),
+    ]
+)
+
+# Buffered, not-yet-final rows per key: pending left events (ts, id) and
+# right revisions (ts, value), all timestamps in epoch-ms.
+ASOF_STREAM_STATE = T.StructType(
+    [
+        T.StructField("l_ts", T.ArrayType(T.LongType()), False),
+        T.StructField("l_id", T.ArrayType(T.LongType()), False),
+        T.StructField("r_ts", T.ArrayType(T.LongType()), False),
+        T.StructField("r_val", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+def _ms(series: pd.Series) -> list[int]:
+    return (series.astype("int64") // 1_000_000).tolist()
+
+
+def _asof_stream_update(key, pdf_iter, state: GroupState):
+    """Per-key as-of state machine. A left event is EMITTED (append-mode
+    final) only once the event-time watermark has passed its timestamp —
+    by the watermark contract no right revision at-or-before it can still
+    arrive, so its match is provably final; until then it buffers. Right
+    revisions at-or-below the watermark are pruned down to the single best
+    (max (ts, value)) one, which any future left still needs; so state per
+    key is bounded by the rows inside the watermark horizon plus one.
+    Matching is inclusive (right_ts <= left_ts), ties on right_ts resolve
+    to the largest value — exactly operators/asof.py as_of_join's
+    (ts, payload)-struct tie-break, which the parity test replays."""
+    (k,) = key
+    if state.exists:
+        l_ts, l_id, r_ts, r_val = (list(x) for x in state.get)
+    else:
+        l_ts, l_id, r_ts, r_val = [], [], [], []
+    for pdf in pdf_iter:
+        pdf = pdf[pdf["ts"].notna()]
+        lefts = pdf[(pdf["side"] == 0) & pdf["left_id"].notna()]
+        rights = pdf[(pdf["side"] == 1) & pdf["value"].notna()]
+        l_ts += _ms(lefts["ts"]); l_id += [int(v) for v in lefts["left_id"]]
+        r_ts += _ms(rights["ts"]); r_val += [str(v) for v in rights["value"]]
+    wm = state.getCurrentWatermarkMs()
+
+    out_rows = []
+    keep_ts, keep_id = [], []
+    rights_sorted = sorted(zip(r_ts, r_val))
+    for ts, lid in sorted(zip(l_ts, l_id)):
+        if ts <= wm:
+            match = max(((rt, rv) for rt, rv in rights_sorted if rt <= ts),
+                        default=None)
+            out_rows.append(
+                {
+                    "key": k,
+                    "left_id": lid,
+                    "ts": pd.Timestamp(ts, unit="ms"),
+                    "asof_ts": pd.Timestamp(match[0], unit="ms") if match else pd.NaT,
+                    "asof_value": match[1] if match else None,
+                }
+            )
+        else:
+            keep_ts.append(ts); keep_id.append(lid)
+
+    # prune rights: everything above the watermark, plus the single best
+    # at-or-below it (still the as-of candidate for every pending/future left)
+    live = [(rt, rv) for rt, rv in rights_sorted if rt > wm]
+    past = [(rt, rv) for rt, rv in rights_sorted if rt <= wm]
+    if past:
+        live = [max(past)] + live
+    if keep_ts or live:
+        state.update((keep_ts, keep_id, [rt for rt, _ in live], [rv for _, rv in live]))
+        if keep_ts:
+            # wake this key when the watermark passes its oldest pending
+            # left, even if no further input arrives for it
+            state.setTimeoutTimestamp(max(min(keep_ts), wm + 1))
+    else:
+        state.remove()
+    if out_rows:
+        yield pd.DataFrame(out_rows)
+
+
+def stream_as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "key",
+    left_ts: str = "ts",
+    id_col: str = "left_id",
+    right_ts: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream as-of join: every left event attributed to
+    the right revision with the largest timestamp at-or-before its own, per
+    key — X34's batch semantics under continuous arrival.
+
+    The two streams UNION (side-tagged) under one event-time watermark and
+    group by key into applyInPandasWithState — the streaming twin of the
+    batch operator's union+window form: one stateful exchange on the key,
+    no stream-stream join operator (Spark's native stream-stream joins
+    cannot express "latest at-or-before" without an unbounded range
+    condition). Emission is append-mode and watermark-final; rows later
+    than the watermark are dropped by the engine's late-data filter, and
+    per-key state is bounded by the watermark horizon (buffered lefts +
+    rights inside it + one pruned best right). EventTimeTimeout wakes keys
+    whose pending lefts become final without new input. Timestamps are
+    handled at epoch-ms resolution."""
+    l = left.select(
+        F.col(key_col).alias("key"),
+        F.col(left_ts).alias("ts"),
+        F.lit(0).alias("side"),
+        F.col(id_col).cast("long").alias("left_id"),
+        F.lit(None).cast("string").alias("value"),
+    )
+    r = right.select(
+        F.col(key_col).alias("key"),
+        F.col(right_ts).alias("ts"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("left_id"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    u = l.unionByName(r).withWatermark("ts", watermark)
+    return u.groupBy("key").applyInPandasWithState(
+        _asof_stream_update,
+        outputStructType=ASOF_STREAM_OUTPUT,
+        stateStructType=ASOF_STREAM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -269,3 +269,88 @@ def test_stream_kill_midway_then_resume_exactly_once(spark, tmp_path):
     # complement of what the killed run committed
     resumed_in = sum(int(p["numInputRows"]) for p in q2.recentProgress)
     assert resumed_in == n - len(part), (resumed_in, len(part))
+
+
+def test_stream_as_of_join_out_of_order_matches_batch(spark, tmp_path):
+    """VERDICT r3 item 8: the watermarked stream-stream as-of drill.
+    Events and revisions arrive across micro-batches (two independent file
+    sources, one per stream) with event-time order deliberately violated —
+    earlier-ts rows land in later batches, inside the 1h watermark.
+    Emission is watermark-final, keys without further input flush via
+    EventTimeTimeout, and the final output must equal the batch as_of_join
+    (X34) on the same sentinel-free data exactly."""
+    import time as _time
+    from datetime import datetime
+
+    from ocr_output_evaluation_spark.operators.asof import as_of_join
+    from ocr_output_evaluation_spark.streaming import stream_as_of_join
+
+    B = lambda h, m: datetime(2024, 5, 1, h, m, 0)  # noqa: E731
+    L_SCHEMA = "key string, ts timestamp, left_id long"
+    R_SCHEMA = "key string, ts timestamp, value string"
+    left_waves = [
+        [("k1", B(12, 20), 2), ("k2", B(12, 15), 4)],          # later ts first
+        [("k1", B(12, 5), 1), ("k1", B(11, 55), 3), ("k2", B(12, 9), 5)],
+    ]
+    right_waves = [
+        [("k1", B(12, 0), "r1a")],
+        [("k1", B(12, 20), "r1b"), ("k2", B(12, 10), "r2a")],  # out-of-order
+        # sentinels: push the watermark past every real event, then one more
+        # batch so the advanced watermark is applied — k1 flushes by input,
+        # k2 (no further input in the final batch) by event-time timeout
+        [("k1", B(14, 30), "SENTINEL"), ("k2", B(14, 30), "SENTINEL")],
+        [("k1", B(14, 31), "SENTINEL")],
+    ]
+    lsrc, rsrc = str(tmp_path / "lsrc"), str(tmp_path / "rsrc")
+    for i in range(max(len(left_waves), len(right_waves))):
+        if i < len(left_waves):
+            spark.createDataFrame(left_waves[i], L_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(lsrc)
+        if i < len(right_waves):
+            spark.createDataFrame(right_waves[i], R_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(rsrc)
+        _time.sleep(1.1)  # distinct mtimes -> file-source arrival order
+
+    left = (
+        spark.readStream.schema(L_SCHEMA).option("maxFilesPerTrigger", 1).parquet(lsrc)
+    )
+    # sentinels flow THROUGH the operator: filtering them upstream would
+    # strip them before the watermark node and the watermark would never
+    # advance. They're inert — far-future right revisions that match no
+    # left event — and only exist to push the watermark past the real data.
+    right = (
+        spark.readStream.schema(R_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rsrc)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_as_of_join(left, right, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.key, r.left_id, r.ts, r.asof_ts, r.asof_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    lb = spark.createDataFrame([r for w in left_waves for r in w], L_SCHEMA)
+    rb = spark.createDataFrame(
+        [r for w in right_waves for r in w if r[2] != "SENTINEL"], R_SCHEMA
+    )
+    want = {
+        (r.key, r.left_id, r.ts, r.asof_ts, r.asof_value)
+        for r in as_of_join(lb, rb, ["key"], "ts", "ts", ["value"]).collect()
+    }
+    assert len(got) == 5 and got == want
+    # spot the semantics: id1 -> r1a, id2 -> r1b (inclusive tie at 12:20),
+    # id3/id5 -> unmatched
+    by_id = {lid: v for _, lid, _, _, v in got}
+    assert by_id == {1: "r1a", 2: "r1b", 3: None, 4: "r2a", 5: None}
