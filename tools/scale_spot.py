@@ -1,7 +1,9 @@
-"""sf1.0 spot check (VERDICT r2 item 8): run the three shuffle-heaviest
-queries at 1x and 10x of the sf0.1 row counts and report the wall-time and
-output-size scaling factors — the sf0.1 suite cannot expose accidentally-
-quadratic candidate growth; a 10x input can.
+"""sf1.0 spot check (VERDICT r2 item 8, grown per r3 item 9): run the
+shuffle-heaviest queries at 1x and 10x of the sf0.1 row counts — and the
+temporal joins (asof/range) additionally at 100x — reporting wall-time and
+output-size scaling factors per step. The sf0.1 suite cannot expose
+accidentally-quadratic candidate growth; a 10x/100x input can (it caught
+embedding_pair_topk's fixed-block quadratic in r3).
 
 Tables are synthesized deterministically (seeded hashes, no RNG state, no
 external data) with the same schemas and the same *relative* structure as
@@ -35,7 +37,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BASE = dict(documents=5_000, events=100_000, embeddings=2_000)
-_SEED = "ooe-scale-spot-v1"
+_SEED = "ooe-scale-spot-v2"  # v2: "scroll" -> "error" so the temporal joins (asof/range, r4) have non-trivial pairs
 
 _VOCAB = [
     hashlib.sha256(f"{_SEED}:w{i}".encode()).hexdigest()[: 4 + i % 6]
@@ -82,7 +84,7 @@ def event_row(i: int, n_users: int) -> tuple:
     ts = pd.Timestamp("2024-03-01") + pd.Timedelta(
         days=day, hours=6 * burst, seconds=sec
     )
-    etype = ("view", "click", "purchase", "search", "scroll")[_h(i, "et") % 5]
+    etype = ("view", "click", "purchase", "search", "error")[_h(i, "et") % 5]
     value = (_h(i, "val") % 500_000) / 1000.0
     props = '{"p":' + str(_h(i, "pp") % 100) + "}"
     return (i, ts, us, etype, value, props)
@@ -106,12 +108,12 @@ def emb_vec(i: int) -> np.ndarray:
     return base_rs.normal(0, 1, 64) + rs.normal(0, 0.6, 64)
 
 
-def ensure_tables(spark, mult: int) -> str:
-    out_dir = os.path.join(REPO, ".bench", f"spot_x{mult}")
-    if os.path.exists(os.path.join(out_dir, "embeddings.parquet", "_SUCCESS")):
-        return out_dir
-    n_docs, n_events, n_embs = (BASE[k] * mult for k in ("documents", "events", "embeddings"))
-    n_users = max(n_events // 66, 1)
+def ensure_tables(spark, mult: int, needed: set[str] | None = None) -> str:
+    """Generate (only) the tables some query at this multiplier reads —
+    at 100x only the temporal joins run, so only events materializes."""
+    out_dir = os.path.join(REPO, ".bench", f"spot_v2_x{mult}")
+    needed = needed or {"documents", "events", "embeddings"}
+    n_users = max(BASE["events"] * mult // 66, 1)
 
     def gen(rows_fn, cols, schema):
         def g(batches):
@@ -120,27 +122,45 @@ def ensure_tables(spark, mult: int) -> str:
         return g, schema
 
     parts = max(8, 4 * mult)
-    g, sch = gen(doc_row, ["doc_id", "text", "lang", "source", "n_chars"],
-                 "doc_id long, text string, lang string, source string, n_chars long")
-    spark.range(0, n_docs, 1, parts).mapInPandas(g, sch).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "documents.parquet"))
-    g, sch = gen(lambda i: event_row(i, n_users),
-                 ["event_id", "ts", "user_id", "event_type", "value", "props"],
-                 "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
-    spark.range(0, n_events, 1, parts).mapInPandas(g, sch).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "events.parquet"))
-    g, sch = gen(emb_row, ["vec_id", "embedding", "label"],
-                 "vec_id long, embedding array<float>, label int")
-    spark.range(0, n_embs, 1, parts).mapInPandas(g, sch).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "embeddings.parquet"))
+    specs = {
+        "documents": gen(
+            doc_row,
+            ["doc_id", "text", "lang", "source", "n_chars"],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        "events": gen(
+            lambda i: event_row(i, n_users),
+            ["event_id", "ts", "user_id", "event_type", "value", "props"],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ),
+        "embeddings": gen(
+            emb_row,
+            ["vec_id", "embedding", "label"],
+            "vec_id long, embedding array<float>, label int",
+        ),
+    }
+    for tbl in sorted(needed):
+        path = os.path.join(out_dir, f"{tbl}.parquet")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        g, sch = specs[tbl]
+        spark.range(0, BASE[tbl] * mult, 1, parts).mapInPandas(g, sch).write.mode(
+            "overwrite"
+        ).parquet(path)
     return out_dir
 
 
 def main() -> None:
     from ocr_output_evaluation_spark.queries import (
+        asof_attribution_report,
+        contamination_report,
         embedding_pair_topk,
+        exact_substr_report,
+        line_dedup_report,
         minhash_pairs,
         quantile_gate_report,
+        range_funnel_report,
         token_budget_report,
         user_sessions,
     )
@@ -151,25 +171,42 @@ def main() -> None:
     spark = get_spark("scale-spot", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # (fn, multipliers, table read). The temporal joins (r4, VERDICT r3
+    # item 9) go to 100x — their per-key work is bounded by per-user event
+    # counts, so wall time must stay ~linear in users; the membership-style
+    # document passes run at 10x like the rest.
     qfns = {
-        "minhash_pairs": minhash_pairs,
-        "user_sessions": user_sessions,
-        "embedding_pair_topk": embedding_pair_topk,
+        "minhash_pairs": (minhash_pairs, (1, mult_hi), "documents"),
+        "user_sessions": (user_sessions, (1, mult_hi), "events"),
+        "embedding_pair_topk": (embedding_pair_topk, (1, mult_hi), "embeddings"),
         # r3 wave-3 sampling ops: both must scale ~linearly — the budget
         # take-while is windows over (lang, 256-bucket) partitions, the
         # quantile gate is a histogram agg + broadcast filter; a
         # super-linear factor here would mean a window partition grew with
         # the corpus (the per-lang trap both were designed to avoid)
-        "token_budget_report": token_budget_report,
-        "quantile_gate_report": quantile_gate_report,
+        "token_budget_report": (token_budget_report, (1, mult_hi), "documents"),
+        "quantile_gate_report": (quantile_gate_report, (1, mult_hi), "documents"),
+        # r4: the broadcast-membership document passes — the banned tail /
+        # benchmark keys / duplicated tail must stay broadcast-shaped
+        "line_dedup_report": (line_dedup_report, (1, mult_hi), "documents"),
+        "contamination_report": (contamination_report, (1, mult_hi), "documents"),
+        "exact_substr_report": (exact_substr_report, (1, mult_hi), "documents"),
+        # r4: temporal joins at 100x
+        "asof_attribution_report": (
+            asof_attribution_report, (1, mult_hi, 100), "events"),
+        "range_funnel_report": (range_funnel_report, (1, mult_hi, 100), "events"),
     }
     report: dict = {"metric": "sf1_spot_check", "unit": "sec", "base_rows": BASE,
                     "mult_hi": mult_hi, "cpus": cpus}
+    all_mults = sorted({m for _, ms, _ in qfns.values() for m in ms})
     results: dict[int, dict] = {}
-    for mult in (1, mult_hi):
-        d = ensure_tables(spark, mult)
+    for mult in all_mults:
+        needed = {tbl for _, ms, tbl in qfns.values() if mult in ms}
+        d = ensure_tables(spark, mult, needed)
         res = {}
-        for name, fn in qfns.items():
+        for name, (fn, ms, _) in qfns.items():
+            if mult not in ms:
+                continue
             # noop sink for timing (CLAUDE.md: .count() lets Catalyst prune
             # output expressions under measurement); rows counted untimed
             times = []
@@ -181,15 +218,20 @@ def main() -> None:
             res[name] = {"rows": rows, "sec": round(min(times), 3),
                          "all_runs_sec": [round(t, 3) for t in times]}
         results[mult] = res
-    for name in qfns:
-        lo, hi = results[1][name], results[mult_hi][name]
-        report[name] = {
-            "x1_rows": lo["rows"], f"x{mult_hi}_rows": hi["rows"],
-            "rows_scale_factor": round(hi["rows"] / max(lo["rows"], 1), 2),
-            "x1_sec": lo["sec"], f"x{mult_hi}_sec": hi["sec"],
-            "time_scale_factor": round(hi["sec"] / max(lo["sec"], 1e-9), 2),
-            "x1_runs": lo["all_runs_sec"], f"x{mult_hi}_runs": hi["all_runs_sec"],
-        }
+    for name, (_, ms, _) in qfns.items():
+        entry: dict = {}
+        for m in ms:
+            r = results[m][name]
+            entry[f"x{m}_rows"] = r["rows"]
+            entry[f"x{m}_sec"] = r["sec"]
+            entry[f"x{m}_runs"] = r["all_runs_sec"]
+        for m0, m1 in zip(ms, ms[1:]):
+            lo, hi = results[m0][name], results[m1][name]
+            entry[f"rows_scale_x{m0}_to_x{m1}"] = round(
+                hi["rows"] / max(lo["rows"], 1), 2)
+            entry[f"time_scale_x{m0}_to_x{m1}"] = round(
+                hi["sec"] / max(lo["sec"], 1e-9), 2)
+        report[name] = entry
     print(json.dumps(report))
 
 
