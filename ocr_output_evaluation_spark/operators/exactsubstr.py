@@ -7,12 +7,14 @@ the documents, with the remainders rejoined in order.
 Reference-repo analog: none (training-data layer, SURVEY §2.13). Bounded,
 oracle-able form of the suffix-array algorithm: fixed-length K-token window
 fingerprints at stride 1 stand in for arbitrary-length duplicated substrings
-— a span is removed iff it is covered by some K-window whose fingerprint
-occurs in >= min_docs distinct documents. Deviation from the paper recorded:
-Lee et al. keep one canonical copy of each duplicated span; this bounded
-form removes every copy (the safe direction for decontamination-style
-cleaning, and the same all-copies contract as line-level dedup X24 —
-within-document repetition stays the business of repetition signals X22).
+— a span is removed iff it is covered by some droppable K-window whose
+fingerprint occurs in >= min_docs distinct documents. Both published modes
+ship: the default removes every copy (the safe direction for
+decontamination-style cleaning, the same all-copies contract as line-level
+dedup X24 — within-document repetition stays the business of repetition
+signals X22); ``keep_first=True`` exempts each fingerprint's canonical
+(lexicographically first (doc, start)) occurrence, Lee et al.'s
+keep-one-copy semantics.
 
 Spark-first shape, and how it holds at 100 TB:
 - window fingerprints are built IN-ROW (transform over the token array:
@@ -59,12 +61,25 @@ def _windows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
 
 
 def duplicated_window_starts(
-    df: DataFrame, text_col: str, id_col: str, k: int = 8, min_docs: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """-> (id_col, _starts): for every document containing at least one
-    duplicated window, the sorted 0-based start positions of its duplicated
-    windows. A window is duplicated iff its fingerprint occurs in
-    >= min_docs DISTINCT documents corpus-wide."""
+    droppable duplicated window, the sorted 0-based start positions of its
+    droppable duplicated windows. A window is duplicated iff its
+    fingerprint occurs in >= min_docs DISTINCT documents corpus-wide.
+
+    keep_first=False drops every occurrence (the all-copies contract);
+    keep_first=True exempts each fingerprint's CANONICAL occurrence — the
+    lexicographically smallest (doc_id, start) — matching Lee et al.'s
+    keep-one-copy semantics. The canonical frame is one row per duplicated
+    fingerprint (same scale as the dup tail) and broadcasts; a canonical
+    span can still lose tokens to an overlapping non-canonical occurrence
+    of a DIFFERENT fingerprint in the same document."""
     wins = _windows(df, text_col, id_col, k)
     dup = (
         wins.groupBy("_fp")
@@ -72,10 +87,23 @@ def duplicated_window_starts(
         .filter(F.col("_nd") >= min_docs)
         .select("_fp")
     )
-    return (
-        wins.join(F.broadcast(dup), "_fp")
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("_s")).alias("_starts"))
+    occ = wins.join(F.broadcast(dup), "_fp")
+    if keep_first:
+        canon = occ.groupBy("_fp").agg(
+            F.min(F.struct(F.col(id_col), F.col("_s"))).alias("_c")
+        )
+        occ = (
+            occ.join(F.broadcast(canon), "_fp")
+            .filter(
+                ~(
+                    (F.col(id_col) == F.col(f"_c.{id_col}"))
+                    & (F.col("_s") == F.col("_c._s"))
+                )
+            )
+            .drop("_c")
+        )
+    return occ.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_s")).alias("_starts")
     )
 
 
@@ -86,15 +114,18 @@ def exact_substr_dedup(
     k: int = 8,
     min_docs: int = 2,
     keep_cols: tuple[str, ...] = (),
+    keep_first: bool = False,
 ) -> DataFrame:
     """-> (id_col, *keep_cols, text_dedup, n_tokens, n_dropped): each
-    document with all tokens covered by any duplicated K-window removed
-    (every copy — see module docstring), remainder rejoined space-separated
-    in original order. n_tokens counts the doc's normalized tokens;
-    n_dropped how many were cut (0 for untouched docs; both 0 for
-    token-less docs, whose text_dedup is '' like their normalized form).
-    keep_cols pass through in-row so callers don't re-join the corpus."""
-    starts = duplicated_window_starts(df, text_col, id_col, k, min_docs)
+    document with all tokens covered by any droppable duplicated K-window
+    removed (every copy by default; the fingerprint's canonical occurrence
+    survives with keep_first=True — Lee et al.'s keep-one mode), remainder
+    rejoined space-separated in original order. n_tokens counts the doc's
+    normalized tokens; n_dropped how many were cut (0 for untouched docs;
+    both 0 for token-less docs, whose text_dedup is '' like their
+    normalized form). keep_cols pass through in-row so callers don't
+    re-join the corpus."""
+    starts = duplicated_window_starts(df, text_col, id_col, k, min_docs, keep_first)
     toks = word_tokens(F.col(text_col))
     st = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
     kept = F.filter(

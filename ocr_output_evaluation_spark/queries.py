@@ -2504,6 +2504,96 @@ ORDER BY lang
 """
 
 
+def exact_substr_keep_one_report(spark, sf):
+    """ExactSubstr in Lee et al.'s KEEP-ONE mode (keep_first=True): each
+    duplicated fingerprint's canonical occurrence — the lexicographically
+    smallest (doc_id, start) — survives; every other copy's span drops.
+    Same per-lang columns as exact_substr_report, so the pair quantifies
+    what keep-one preserves vs all-copies. The canonical-exemption frame
+    is one row per duplicated fingerprint (dup-tail scale) and broadcasts;
+    the oracle replays the exemption as a row_number()-over-(doc,start)
+    window on the occurrence frame."""
+    from .operators.exactsubstr import exact_substr_dedup
+
+    d = _spread(t(spark, sf, "documents"))
+    e = exact_substr_dedup(
+        d, "text", "doc_id", k=8, min_docs=2, keep_cols=("lang",), keep_first=True
+    )
+    tt = F.col("total_tokens")
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_dropped") > 0).cast("long")).alias("affected_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_dropped").cast("long").alias("dropped_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "affected_docs",
+            "total_tokens",
+            "dropped_tokens",
+            F.when(tt > 0, _r(F.col("dropped_tokens") / tt)).alias("drop_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_EXACT_SUBSTR_KEEP_ONE = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+wins AS (
+  SELECT doc_id, i AS s,
+         md5(array_to_string(w[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')) AS fp
+  FROM toks, UNNEST(range(0, len(w) - 7)) AS r(i)
+),
+dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+occ AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rn
+  FROM wins JOIN dup USING (fp)
+),
+ds AS (SELECT doc_id, s FROM occ WHERE rn > 1),
+pos AS (
+  SELECT t.doc_id, i AS p
+  FROM toks t, UNNEST(range(0, len(w))) AS r(i)
+),
+dropped AS (
+  SELECT p.doc_id, count(*) AS nd
+  FROM pos p
+  WHERE EXISTS (SELECT 1 FROM ds WHERE ds.doc_id = p.doc_id
+                AND p.p BETWEEN ds.s AND ds.s + 7)
+  GROUP BY p.doc_id
+),
+per_doc AS (
+  SELECT n.doc_id, n.lang,
+         coalesce(len(t2.w), 0) AS n_tokens,
+         coalesce(d.nd, 0) AS n_dropped
+  FROM norm n
+  LEFT JOIN toks t2 USING (doc_id)
+  LEFT JOIN dropped d USING (doc_id)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT) AS affected_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_dropped) AS BIGINT) AS dropped_tokens,
+       CASE WHEN sum(n_tokens) > 0
+            THEN round(sum(n_dropped) * 1.0 / sum(n_tokens), 6) END AS drop_frac
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def domain_cap_report(spark, sf):
     """Per-domain document caps (functions/url.py): the crawl-pipeline rule
     "at most N documents per registered domain" (defense against
@@ -3561,6 +3651,7 @@ QUERIES = {
     "bpe_encode_report": bpe_encode_report,
     "exact_substr_report": exact_substr_report,
     "bpe_packing_report": bpe_packing_report,
+    "exact_substr_keep_one_report": exact_substr_keep_one_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -3585,8 +3676,8 @@ QUERIES = {
     "value_counts_lang": value_counts_lang,
     "quality_buckets": quality_buckets,
     "user_sessions": user_sessions,
-    "minhash_pairs_md5": minhash_pairs_md5,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "minhash_pairs_md5": minhash_pairs_md5,
     "events_json_props": events_json_props,
     "running_spend": running_spend,
     "quality_scores": quality_scores,
@@ -3628,6 +3719,7 @@ ORACLES = {
     "bpe_encode_report": _oracle_bpe_encode(),
     "exact_substr_report": ORACLE_EXACT_SUBSTR_REPORT,
     "bpe_packing_report": _oracle_bpe_packing(),
+    "exact_substr_keep_one_report": ORACLE_EXACT_SUBSTR_KEEP_ONE,
     "packing_report": ORACLE_PACKING_REPORT,
     "classifier_report": ORACLE_CLASSIFIER_REPORT,
     "split_report": ORACLE_SPLIT_REPORT,

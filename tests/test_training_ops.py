@@ -109,6 +109,41 @@ def test_exact_substr_dedup_planted(spark):
     }
 
 
+def test_exact_substr_keep_first_canonical_survives(spark):
+    """Lee et al. keep-one mode (keep_first=True): the lexicographically
+    first (doc, start) occurrence of each duplicated fingerprint keeps its
+    span — doc 1 (canonical for 'a b c') survives intact while docs 2/6/7
+    still lose their copies; doc 8's two occurrences ('a b c a b c') are
+    both non-canonical (the canonical lives in doc 1), so it loses both."""
+    from ocr_output_evaluation_spark.operators.exactsubstr import (
+        exact_substr_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # canonical (1, 0) for 'a b c' -> intact
+            (2, "x y a b c z"),   # non-canonical copy -> drops pos 2-4
+            (6, "a b c"),
+            (7, "a b c"),
+            (8, "a b c a b c"),   # two non-canonical copies -> all dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_dedup, r.n_dropped)
+        for r in exact_substr_dedup(
+            df, "text", "doc_id", k=3, min_docs=2, keep_first=True
+        ).collect()
+    }
+    assert got == {
+        1: ("a b c d e f", 0),
+        2: ("x y z", 3),
+        6: ("", 3),
+        7: ("", 3),
+        8: ("", 6),
+    }
+
+
 def test_exact_substr_overlapping_spans_union(spark):
     """Overlapping duplicated windows drop the UNION of their covered
     positions: d1/d2 share 'a b c d' => windows 'a b c'@0 and 'b c d'@1 in
