@@ -2861,7 +2861,8 @@ def bpe_encode_report(spark, sf):
     nw = F.coalesce(F.col("n_words"), F.lit(0).cast("long"))
     bt = F.coalesce(F.col("bpe_tokens"), F.lit(0).cast("long"))
     return (
-        base.join(tok, "lang", "left")
+        # per-lang frames are lang-cardinality-bounded: broadcast, don't SMJ
+        base.join(F.broadcast(tok), "lang", "left")
         .select(
             "lang",
             "n_docs",

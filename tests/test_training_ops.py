@@ -72,6 +72,23 @@ def test_line_dedup_banned_set_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_bpe_encode_map_back_broadcasts(spark, sf_dir):
+    """Plan pin: the learned vocab joins back onto the corpus's exploded
+    words as a BROADCAST hash join (vocabulary-scale build side) — the
+    corpus never sort-merge-shuffles against the vocab."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ocr_output_evaluation_spark.queries import bpe_encode_report
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bpe_encode_report(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_exact_substr_dedup_planted(spark):
     """ExactSubstr (X37) on a hand-built fixture, k=3 min_docs=2: the one
     cross-doc window ('a b c' in d1@0 and d2@2) is cut from BOTH docs
