@@ -72,6 +72,8 @@ def training_export_plan(
     key_expr: Column | None = None,
     split_fractions: tuple[tuple[str, int], ...] = DEFAULT_FRACTIONS,
     split_salt: str = "export-split-v1",
+    exact_substr_k: int | None = None,
+    exact_substr_min_docs: int = 2,
 ) -> dict:
     """Build the export lineage over an extracted-documents frame.
 
@@ -79,6 +81,14 @@ def training_export_plan(
     "components", "kept", "_persisted"}`` — `kept` is the final training
     set: quality-passed, exact-deduped, one representative per near-dup
     cluster (the min doc_key, i.e. stable across runs and cluster sizes).
+    With ``exact_substr_k`` set, a final span-cleaning stage (X37,
+    operators/exactsubstr.py, Lee et al. keep-one mode) appends
+    ``text_clean`` — the document's NORMALIZED token stream with
+    non-canonical corpus-duplicated K-token spans removed (fingerprints
+    are defined over normalized tokens, so the cleaned text lives in that
+    space; the original ``text`` column is left untouched) — plus
+    ``es_tokens``/``es_dropped`` accounting columns, all attached in-row
+    via the operator's keep_cols pass-through (no rejoin of the corpus).
     NOTE: the components stage executes eagerly here (iterative fixpoint);
     `clean` and `pairs` come back persisted — unpersist the frames in
     ``_persisted`` when done (run_training_export / the registered query
@@ -150,6 +160,21 @@ def training_export_plan(
     kept = assign_split(
         kept, F.col("component"), fractions=split_fractions, salt=split_salt
     )
+    if exact_substr_k:
+        from ..operators.exactsubstr import exact_substr_dedup
+
+        kept = exact_substr_dedup(
+            kept,
+            text_col,
+            "doc_key",
+            k=exact_substr_k,
+            min_docs=exact_substr_min_docs,
+            keep_cols=tuple(c for c in kept.columns if c != "doc_key"),
+            keep_first=True,
+        ).withColumnsRenamed(
+            {"text_dedup": "text_clean", "n_tokens": "es_tokens",
+             "n_dropped": "es_dropped"}
+        )
     return {
         "clean": clean,
         "uniq": uniq,

@@ -385,3 +385,48 @@ def test_training_export_split_is_cluster_atomic_and_partitioned(spark, tmp_path
     out2 = spark.read.parquet(str(tmp_path / "out2" / "training_docs"))
     got2 = {r.component: r.split for r in out2.select("component", "split").collect()}
     assert got2 == got and summary2["split_rows"] == summary["split_rows"]
+
+
+def test_training_export_exact_substr_stage(spark):
+    """Optional X37 span-cleaning stage in the export plan: with
+    exact_substr_k set, kept docs gain text_clean/es_tokens/es_dropped
+    attached in-row (keep-one mode: the canonical copy of a duplicated
+    span survives, later copies lose it; the original text column is
+    untouched)."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.plans.export import training_export_plan
+
+    shared = "alpha beta gamma"  # 3-token span planted in two distinct docs
+    rows = [
+        (
+            "http://a.example/1",
+            shared + " " + " ".join(f"ax{j} bx{j} cx{j}" for j in range(20)),
+            0,
+        ),
+        (
+            "http://b.example/2",
+            " ".join(f"dx{j} ex{j} fx{j}" for j in range(20)) + " " + shared,
+            0,
+        ),
+        ("http://c.example/3", " ".join(f"gx{j} hx{j}" for j in range(30)), 0),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, bucket int")
+    plan = training_export_plan(
+        df, min_quality=0.2, jaccard_threshold=0.95, exact_substr_k=3
+    )
+    kept = plan["kept"]
+    assert {"text_clean", "es_tokens", "es_dropped", "text"} <= set(kept.columns)
+    got = {r.url: r for r in kept.collect()}
+    for f in plan["_persisted"]:
+        f.unpersist()
+    assert len(got) == 3
+    # exactly ONE of the two span-sharing docs lost the 3 tokens (keep-one);
+    # the unrelated doc lost nothing; the original text column is intact
+    drops = sorted(r.es_dropped for r in got.values())
+    assert drops == [0, 0, 3]
+    originals = {u: t for u, t, _ in rows}
+    for u, r in got.items():
+        assert r.text == originals[u]
+        if r.es_dropped == 3:
+            assert "alpha" not in r.text_clean and "beta" not in r.text_clean
