@@ -196,11 +196,16 @@ def run_training_export(
     partition_col: str | None = "bucket",
     split_fractions: tuple[tuple[str, int], ...] = DEFAULT_FRACTIONS,
     split_salt: str = "export-split-v1",
+    exact_substr_k: int | None = None,
+    exact_substr_min_docs: int = 2,
 ) -> dict:
     """Job wrapper: read the extracted table, run the export plan, write the
     kept set partitioned by the resume bucket, report per-stage counts.
     Counts are read off the written output where possible so the expensive
-    stages execute once."""
+    stages execute once. ``exact_substr_k`` enables the X37 span-cleaning
+    stage (see training_export_plan): the written table gains
+    text_clean/es_tokens/es_dropped and the summary a dropped-token
+    total."""
     docs = spark.read.parquet(extracted_path)
     stages = training_export_plan(
         docs,
@@ -210,6 +215,8 @@ def run_training_export(
         jaccard_threshold=jaccard_threshold,
         split_fractions=split_fractions,
         split_salt=split_salt,
+        exact_substr_k=exact_substr_k,
+        exact_substr_min_docs=exact_substr_min_docs,
     )
     kept = stages["kept"]
     writer = kept.write.mode("overwrite")
@@ -234,6 +241,10 @@ def run_training_export(
         },
         "out_dir": out_dir,
     }
+    if exact_substr_k:
+        summary["exact_substr_dropped_tokens"] = out.agg(
+            F.coalesce(F.sum("es_dropped"), F.lit(0)).cast("long")
+        ).collect()[0][0]
     for frame in stages["_persisted"]:
         frame.unpersist()
     return summary

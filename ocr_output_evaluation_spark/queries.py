@@ -2882,7 +2882,15 @@ def _bpe_trainer_ctes(n_merges: int = _BPE_ENCODE_MERGES) -> str:
     (count desc, a, b) argmax, w{i} applies it with the list_reduce fold —
     the exact twin of operators/bpe.py _apply_merge (list_reduce seeds the
     accumulator with the first element, matching F.aggregate's explicit
-    init). Used by both the encode and the BPE-packing oracles."""
+    init). Used by both the encode and the BPE-packing oracles.
+
+    Saturation: when the vocabulary fully merges before n_merges steps,
+    train_bpe breaks early keeping the vocab; here m{i} goes empty, so
+    w{i} joins it LEFT ... ON TRUE (never CROSS — that would empty the
+    word frame) and the NULL a/b make the fold a no-op reconstruction of
+    seq. concat_ws in the merges column skips the NULL scalar subqueries,
+    matching Spark's shorter merge list (pytest-pinned on a saturating
+    corpus)."""
     steps = []
     for i in range(1, n_merges + 1):
         p = i - 1
@@ -2898,7 +2906,7 @@ w{i} AS (
          list_reduce(string_split(seq, ' '),
            (acc, x) -> CASE WHEN split_part(acc, ' ', -1) = m.a AND x = m.b
                             THEN acc || x ELSE acc || ' ' || x END) AS seq
-  FROM w{p} CROSS JOIN m{i} m
+  FROM w{p} LEFT JOIN m{i} m ON TRUE
 )""")
     return rf"""norm AS (
   SELECT doc_id, lang,

@@ -287,17 +287,27 @@ def _ms(series: pd.Series) -> list[int]:
     return (series.astype("int64") // 1_000_000).tolist()
 
 
+def _rank(rv: tuple) -> tuple:
+    """Right-revision order: (ts, value) with a NULL value ranking below
+    any non-NULL — operators/asof.py's (ts, payload)-struct asc-nulls-first
+    tie-break, so the max is the batch operator's match."""
+    return (rv[0], rv[1] is not None, rv[1] or "")
+
+
 def _asof_stream_update(key, pdf_iter, state: GroupState):
     """Per-key as-of state machine. A left event is EMITTED (append-mode
-    final) only once the event-time watermark has passed its timestamp —
-    by the watermark contract no right revision at-or-before it can still
-    arrive, so its match is provably final; until then it buffers. Right
-    revisions at-or-below the watermark are pruned down to the single best
-    (max (ts, value)) one, which any future left still needs; so state per
-    key is bounded by the rows inside the watermark horizon plus one.
-    Matching is inclusive (right_ts <= left_ts), ties on right_ts resolve
-    to the largest value — exactly operators/asof.py as_of_join's
-    (ts, payload)-struct tie-break, which the parity test replays."""
+    final) only once the event-time watermark is STRICTLY past its
+    timestamp — Spark's late filter drops only rows strictly below the
+    watermark, so a right revision AT the watermark can still arrive; with
+    strict emission every right at-or-before an emitted left (rt <= ts
+    < wm) is provably un-arrivable and the match is final. Until then the
+    left buffers. Right revisions at-or-below the watermark are pruned
+    down to the single best (_rank-max) one, which any future left still
+    needs; so state per key is bounded by the rows inside the watermark
+    horizon plus one. Matching is inclusive (right_ts <= left_ts), ties on
+    right_ts resolve by _rank (NULL payload values participate, ranking
+    below non-NULL) — exactly operators/asof.py as_of_join's semantics,
+    which the parity test replays."""
     (k,) = key
     if state.exists:
         l_ts, l_id, r_ts, r_val = (list(x) for x in state.get)
@@ -306,18 +316,19 @@ def _asof_stream_update(key, pdf_iter, state: GroupState):
     for pdf in pdf_iter:
         pdf = pdf[pdf["ts"].notna()]
         lefts = pdf[(pdf["side"] == 0) & pdf["left_id"].notna()]
-        rights = pdf[(pdf["side"] == 1) & pdf["value"].notna()]
+        rights = pdf[pdf["side"] == 1]
         l_ts += _ms(lefts["ts"]); l_id += [int(v) for v in lefts["left_id"]]
-        r_ts += _ms(rights["ts"]); r_val += [str(v) for v in rights["value"]]
+        r_ts += _ms(rights["ts"])
+        r_val += [None if pd.isna(v) else str(v) for v in rights["value"]]
     wm = state.getCurrentWatermarkMs()
 
     out_rows = []
     keep_ts, keep_id = [], []
-    rights_sorted = sorted(zip(r_ts, r_val))
+    rights_sorted = sorted(zip(r_ts, r_val), key=_rank)
     for ts, lid in sorted(zip(l_ts, l_id)):
-        if ts <= wm:
+        if ts < wm:
             match = max(((rt, rv) for rt, rv in rights_sorted if rt <= ts),
-                        default=None)
+                        key=_rank, default=None)
             out_rows.append(
                 {
                     "key": k,
@@ -330,12 +341,13 @@ def _asof_stream_update(key, pdf_iter, state: GroupState):
         else:
             keep_ts.append(ts); keep_id.append(lid)
 
-    # prune rights: everything above the watermark, plus the single best
-    # at-or-below it (still the as-of candidate for every pending/future left)
-    live = [(rt, rv) for rt, rv in rights_sorted if rt > wm]
-    past = [(rt, rv) for rt, rv in rights_sorted if rt <= wm]
+    # prune rights: everything at-or-above the watermark, plus the single
+    # best strictly-below it (still the as-of candidate for every
+    # pending/future left, all of which have ts >= wm)
+    live = [(rt, rv) for rt, rv in rights_sorted if rt >= wm]
+    past = [(rt, rv) for rt, rv in rights_sorted if rt < wm]
     if past:
-        live = [max(past)] + live
+        live = [max(past, key=_rank)] + live
     if keep_ts or live:
         state.update((keep_ts, keep_id, [rt for rt, _ in live], [rv for _, rv in live]))
         if keep_ts:
@@ -367,21 +379,26 @@ def stream_as_of_join(
     batch operator's union+window form: one stateful exchange on the key,
     no stream-stream join operator (Spark's native stream-stream joins
     cannot express "latest at-or-before" without an unbounded range
-    condition). Emission is append-mode and watermark-final; rows later
-    than the watermark are dropped by the engine's late-data filter, and
-    per-key state is bounded by the watermark horizon (buffered lefts +
-    rights inside it + one pruned best right). EventTimeTimeout wakes keys
-    whose pending lefts become final without new input. Timestamps are
-    handled at epoch-ms resolution."""
+    condition). Emission is append-mode and watermark-final (strictly:
+    ts < watermark, since the engine's late filter only drops rows
+    strictly below it); rows later than the watermark are dropped by that
+    filter, and per-key state is bounded by the watermark horizon
+    (buffered lefts + rights inside it + one pruned best right).
+    EventTimeTimeout wakes keys whose pending lefts become final without
+    new input. Timestamps are handled at epoch-ms resolution. Output
+    coercions: ``key`` comes back as string, ``left_id`` as long,
+    ``value`` as string (cast at intake — any castable input types work);
+    NULL right values participate in matching exactly as in the batch
+    operator (asof_ts set, asof_value NULL)."""
     l = left.select(
-        F.col(key_col).alias("key"),
+        F.col(key_col).cast("string").alias("key"),
         F.col(left_ts).alias("ts"),
         F.lit(0).alias("side"),
         F.col(id_col).cast("long").alias("left_id"),
         F.lit(None).cast("string").alias("value"),
     )
     r = right.select(
-        F.col(key_col).alias("key"),
+        F.col(key_col).cast("string").alias("key"),
         F.col(right_ts).alias("ts"),
         F.lit(1).alias("side"),
         F.lit(None).cast("long").alias("left_id"),

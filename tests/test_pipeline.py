@@ -430,3 +430,28 @@ def test_training_export_exact_substr_stage(spark):
         assert r.text == originals[u]
         if r.es_dropped == 3:
             assert "alpha" not in r.text_clean and "beta" not in r.text_clean
+
+
+def test_run_training_export_forwards_exact_substr(spark, tmp_path):
+    """The job wrapper exposes the span-cleaning stage: the written table
+    carries text_clean/es_tokens/es_dropped and the summary the dropped-
+    token total (review finding: the option existed only on the plan)."""
+    from ocr_output_evaluation_spark.plans.export import run_training_export
+
+    shared = "alpha beta gamma"
+    rows = [
+        ("http://a.example/1",
+         shared + " " + " ".join(f"ax{j} bx{j} cx{j}" for j in range(20)), 0),
+        ("http://b.example/2",
+         " ".join(f"dx{j} ex{j} fx{j}" for j in range(20)) + " " + shared, 0),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, bucket int")
+    src = str(tmp_path / "extracted")
+    df.write.partitionBy("bucket").parquet(src)
+    summary = run_training_export(
+        spark, src, str(tmp_path / "out"),
+        min_quality=0.2, jaccard_threshold=0.95, exact_substr_k=3,
+    )
+    assert summary["exact_substr_dropped_tokens"] == 3  # keep-one: one copy
+    out = spark.read.parquet(str(tmp_path / "out") + "/training_docs")
+    assert {"text_clean", "es_tokens", "es_dropped"} <= set(out.columns)

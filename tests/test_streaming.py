@@ -294,7 +294,11 @@ def test_stream_as_of_join_out_of_order_matches_batch(spark, tmp_path):
     ]
     right_waves = [
         [("k1", B(12, 0), "r1a")],
-        [("k1", B(12, 20), "r1b"), ("k2", B(12, 10), "r2a")],  # out-of-order
+        # out-of-order, including a NULL-valued revision: it must
+        # participate in matching exactly like the batch operator (id4 at
+        # 12:15 matches ts 12:12 with a NULL value, not the older r2a)
+        [("k1", B(12, 20), "r1b"), ("k2", B(12, 10), "r2a"),
+         ("k2", B(12, 12), None)],
         # sentinels: push the watermark past every real event, then one more
         # batch so the advanced watermark is applied — k1 flushes by input,
         # k2 (no further input in the final batch) by event-time timeout
@@ -351,6 +355,54 @@ def test_stream_as_of_join_out_of_order_matches_batch(spark, tmp_path):
     }
     assert len(got) == 5 and got == want
     # spot the semantics: id1 -> r1a, id2 -> r1b (inclusive tie at 12:20),
-    # id3/id5 -> unmatched
-    by_id = {lid: v for _, lid, _, _, v in got}
-    assert by_id == {1: "r1a", 2: "r1b", 3: None, 4: "r2a", 5: None}
+    # id4 -> the NEWER NULL-valued revision at 12:12, id3/id5 -> unmatched
+    by_id = {lid: (ats, v) for _, lid, _, ats, v in got}
+    assert by_id == {
+        1: (B(12, 0), "r1a"),
+        2: (B(12, 20), "r1b"),
+        3: (None, None),
+        4: (B(12, 12), None),
+        5: (None, None),
+    }
+
+
+def test_stream_as_of_join_integer_keys_coerce(spark, tmp_path):
+    """Non-string keys must not crash at Arrow output conversion: the
+    operator casts key to string (and id to long) at intake — pin with a
+    bigint key, the exact shape asof_attribution_report's user_id has."""
+    import time as _time
+    from datetime import datetime
+
+    from ocr_output_evaluation_spark.streaming import stream_as_of_join
+
+    B = lambda h, m: datetime(2024, 5, 1, h, m, 0)  # noqa: E731
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(7, B(12, 10), 1)], "key long, ts timestamp, left_id long"
+    ).coalesce(1).write.parquet(lsrc)
+    for i, w in enumerate(
+        [[(7, B(12, 0), "v1")], [(7, B(14, 0), "S")], [(7, B(14, 1), "S")]]
+    ):
+        spark.createDataFrame(w, "key long, ts timestamp, value string").coalesce(
+            1
+        ).write.mode("append").parquet(rsrc)
+        _time.sleep(1.1)
+    left = spark.readStream.schema("key long, ts timestamp, left_id long").parquet(lsrc)
+    right = (
+        spark.readStream.schema("key long, ts timestamp, value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rsrc)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_as_of_join(left, right, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert [(r.key, r.left_id, r.asof_value) for r in rows] == [("7", 1, "v1")]

@@ -411,3 +411,30 @@ def test_logreg_train_matches_numpy(spark):
         "avg(CASE WHEN (_p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) a"
     ).collect()[0].a
     assert acc == 1.0  # separable fixture -> the boundary must separate it
+
+
+def test_bpe_oracle_saturating_vocab_parity(spark, tmp_path):
+    """Saturating corpus (fully merged in 2 < 8 steps): train_bpe breaks
+    early keeping the vocab; the oracle's empty m{i} CTEs must become
+    fold no-ops (LEFT JOIN ON TRUE), NOT empty the word frame — Spark and
+    DuckDB must agree row-for-row including the shortened merges string."""
+    import duckdb
+
+    from ocr_output_evaluation_spark.queries import (
+        _oracle_bpe_encode,
+        bpe_encode_report,
+    )
+
+    rows = [(1, "ab ab", "en"), (2, "cd", "de")]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {tuple(r) for r in bpe_encode_report(spark, d).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    want = {tuple(r) for r in con.execute(_oracle_bpe_encode()).fetchall()}
+    assert got == want
+    merges = {r[-1] for r in got}
+    assert merges == {"ab cd"}  # 2 learned merges, not 8; both rows agree
+    assert {(r[0], r[3]) for r in got} == {("en", 2), ("de", 1)}  # fully merged
