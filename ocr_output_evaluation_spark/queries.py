@@ -2316,6 +2316,102 @@ ORDER BY lang
 """
 
 
+def gopher_rules_report(spark, sf):
+    """Published quality-filter rule packs (X38, functions/rulepacks.py):
+    the Gopher doc-level rules (Rae et al. 2021 Table A1 — word count,
+    mean word length, symbol ratio, alpha-word fraction, stop-word floor)
+    plus C4's lorem-ipsum/curly-brace bans (Raffel et al. 2020 §2.2),
+    thresholds scaled to fixture-length texts. The synthetic corpus is
+    uniformly clean prose, so failure structure is PLANTED
+    deterministically from doc_id (every 11th doc truncated to 3 words,
+    13th given a '### ... ###' tail, 17th a 'lorem ipsum { ' prefix — the
+    pii_scrub_report pattern) and replayed identically in the oracle.
+    Per-lang report: docs, per-rule failure counts, docs passing all.
+    Zero shuffles before the per-lang rollup; all codegen except the G4
+    alpha-word filter (in-row HOF)."""
+    from .functions.rulepacks import rulepack_flags
+
+    d = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    first3 = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3)
+    )
+    mut = (
+        F.when(did % 11 == 0, first3)
+        .when(did % 13 == 0, F.concat(F.col("text"), F.lit(" ### ... ###")))
+        .when(did % 17 == 0, F.concat(F.lit("lorem ipsum { "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    flags = rulepack_flags(mut, min_words=5, max_words=100_000)
+    base = d.select("lang", *[v.alias(k) for k, v in flags.items()])
+    pass_all = F.lit(True)
+    for k in flags:
+        pass_all = pass_all & F.col(k)
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum((~F.col(k)).cast("long")).alias(f"fail_{k}")
+                for k in flags
+            ],
+            F.sum(pass_all.cast("long")).alias("n_pass_all"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_GOPHER_RULES = rf"""
+WITH mut AS (
+  SELECT lang,
+    CASE
+      WHEN doc_id % 11 = 0 THEN array_to_string(regexp_split_to_array(trim(text), '\s+')[1:3], ' ')
+      WHEN doc_id % 13 = 0 THEN text || ' ### ... ###'
+      WHEN doc_id % 17 = 0 THEN 'lorem ipsum {{ ' || text
+      ELSE text
+    END AS t
+  FROM documents
+),
+f AS (
+  SELECT lang,
+    CASE WHEN length(trim(t)) > 0 THEN len(regexp_split_to_array(trim(t), '\s+')) ELSE 0 END AS nw,
+    length(regexp_replace(t, '\s', '', 'g')) AS nc,
+    len(regexp_extract_all(t, '#|\.\.\.')) AS nsym,
+    CASE WHEN length(trim(t)) > 0
+         THEN len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+                              w -> regexp_matches(w, '[a-zA-Z]')))
+         ELSE 0 END AS nalpha,
+    len(regexp_extract_all(lower(t), '\b({_SW_EN})\b')) AS nsw,
+    (contains(lower(t), 'lorem ipsum') OR contains(t, '{{')) AS banned
+  FROM mut
+),
+g AS (
+  SELECT lang,
+    (nw >= 5 AND nw <= 100000) AS g1_wordcount,
+    coalesce(nw > 0 AND nc * 1.0 / nw >= 3.0 AND nc * 1.0 / nw <= 10.0, FALSE) AS g2_mean_word_len,
+    CASE WHEN nw > 0 THEN nsym * 1.0 / nw <= 0.1 ELSE TRUE END AS g3_symbol_ratio,
+    CASE WHEN nw > 0 THEN nalpha * 1.0 / nw >= 0.8 ELSE TRUE END AS g4_alpha_words,
+    (nsw >= 2) AS g5_stopwords,
+    NOT banned AS c4_lorem_brace
+  FROM f
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN NOT g1_wordcount THEN 1 ELSE 0 END) AS BIGINT) AS fail_g1_wordcount,
+       CAST(sum(CASE WHEN NOT g2_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_g2_mean_word_len,
+       CAST(sum(CASE WHEN NOT g3_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS fail_g3_symbol_ratio,
+       CAST(sum(CASE WHEN NOT g4_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_g4_alpha_words,
+       CAST(sum(CASE WHEN NOT g5_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS fail_g5_stopwords,
+       CAST(sum(CASE WHEN NOT c4_lorem_brace THEN 1 ELSE 0 END) AS BIGINT) AS fail_c4_lorem_brace,
+       CAST(sum(CASE WHEN g1_wordcount AND g2_mean_word_len AND g3_symbol_ratio
+                      AND g4_alpha_words AND g5_stopwords AND c4_lorem_brace
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM g
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops (r3, wave 2): line dedup, domain caps, corpus mixing
 # ---------------------------------------------------------------------------
@@ -3661,6 +3757,7 @@ QUERIES = {
     "exact_substr_report": exact_substr_report,
     "bpe_packing_report": bpe_packing_report,
     "exact_substr_keep_one_report": exact_substr_keep_one_report,
+    "gopher_rules_report": gopher_rules_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -3681,11 +3778,11 @@ QUERIES = {
     "token_budget_report": token_budget_report,
     "cube_status_priority": cube_status_priority,
     "order_value_quartiles": order_value_quartiles,
-    "supplier_name_concat": supplier_name_concat,
     "value_counts_lang": value_counts_lang,
     "quality_buckets": quality_buckets,
     "user_sessions": user_sessions,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "supplier_name_concat": supplier_name_concat,
     "minhash_pairs_md5": minhash_pairs_md5,
     "events_json_props": events_json_props,
     "running_spend": running_spend,
@@ -3729,6 +3826,7 @@ ORACLES = {
     "exact_substr_report": ORACLE_EXACT_SUBSTR_REPORT,
     "bpe_packing_report": _oracle_bpe_packing(),
     "exact_substr_keep_one_report": ORACLE_EXACT_SUBSTR_KEEP_ONE,
+    "gopher_rules_report": ORACLE_GOPHER_RULES,
     "packing_report": ORACLE_PACKING_REPORT,
     "classifier_report": ORACLE_CLASSIFIER_REPORT,
     "split_report": ORACLE_SPLIT_REPORT,

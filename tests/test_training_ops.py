@@ -438,3 +438,33 @@ def test_bpe_oracle_saturating_vocab_parity(spark, tmp_path):
     merges = {r[-1] for r in got}
     assert merges == {"ab cd"}  # 2 learned merges, not 8; both rows agree
     assert {(r[0], r[3]) for r in got} == {("en", 2), ("de", 1)}  # fully merged
+
+
+def test_rulepack_flags_planted(spark):
+    """Gopher/C4 rule pack (X38) on hand-built docs: each rule fails on
+    exactly the doc built to fail it and passes elsewhere."""
+    from ocr_output_evaluation_spark.functions.rulepacks import rulepack_flags
+
+    rows = [
+        (0, "the quick dog runs over the lazy fox today fine"),  # passes all
+        (1, "the dog"),                                 # G1: 2 words < 5
+        (2, "of am in at to is be we it up"),           # G2: mwl 2.0 < 3; G5
+        (3, "the quick dog ### ... ### ### over fox"),  # G3: 4 syms / 9 words
+        (4, "the 11 22 33 44 55 66 77 dog fox"),        # G4: 3/10 alpha < 0.8
+        (5, "alpha beta gamma delta epsilon"),          # G5: 0 stop words
+        (6, "the quick dog lorem ipsum over the fox"),  # C4
+        (7, None),                                      # NULL: fails G1+G5
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    flags = rulepack_flags(F.col("t"))
+    got = {r.i: r for r in df.select("i", *[v.alias(k) for k, v in flags.items()]).collect()}
+    assert got[0].g1_wordcount and got[0].g2_mean_word_len and got[0].g3_symbol_ratio
+    assert got[0].g4_alpha_words and got[0].g5_stopwords and got[0].c4_lorem_brace
+    assert not got[1].g1_wordcount
+    assert not got[2].g2_mean_word_len and not got[2].g5_stopwords
+    assert not got[3].g3_symbol_ratio and got[3].g1_wordcount
+    assert not got[4].g4_alpha_words
+    assert not got[5].g5_stopwords and got[5].g4_alpha_words
+    assert not got[6].c4_lorem_brace and got[6].g5_stopwords
+    assert not got[7].g1_wordcount and not got[7].g5_stopwords
+    assert got[7].g3_symbol_ratio and got[7].g4_alpha_words and got[7].c4_lorem_brace
