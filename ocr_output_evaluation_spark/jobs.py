@@ -80,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--splits", default="train:80,val:10,test:10",
                     help="name:percent list; percents must sum to 100 "
                          "(cluster-atomic, RNG-free hash assignment)")
+    xp.add_argument("--exact-substr-k", type=int, default=None,
+                    help="enable X37 span-cleaning: K-token duplicated-span "
+                         "removal (keep-one), adds text_clean/es_* columns")
+    xp.add_argument("--exact-substr-min-docs", type=int, default=2)
     xp.add_argument("--split-salt", default="export-split-v1",
                     help="decorrelates independent re-splits of one corpus")
     _add_common(xp)
@@ -169,6 +173,8 @@ def main(argv: list[str] | None = None) -> int:
             jaccard_threshold=args.jaccard_threshold,
             split_fractions=fractions,
             split_salt=args.split_salt,
+            exact_substr_k=args.exact_substr_k,
+            exact_substr_min_docs=args.exact_substr_min_docs,
         )
     elif args.cmd == "sql":
         from ocr_output_evaluation_spark.sources.io import register_tables_dir, sql_repl
