@@ -468,3 +468,22 @@ def test_rulepack_flags_planted(spark):
     assert not got[6].c4_lorem_brace and got[6].g5_stopwords
     assert not got[7].g1_wordcount and not got[7].g5_stopwords
     assert got[7].g3_symbol_ratio and got[7].g4_alpha_words and got[7].c4_lorem_brace
+
+
+def test_gopher_rules_single_exchange(spark, sf_dir):
+    """Plan pin (X38): the rule flags are scan-side expressions — exactly
+    one shuffle in the whole report (the per-lang rollup)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ocr_output_evaluation_spark.queries import gopher_rules_report
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        gopher_rules_report(spark, sf_dir).explain("formatted")
+    import re
+
+    plan = buf.getvalue()
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan  # hash rollup exchange + orderBy range
+    assert "Join" not in plan
