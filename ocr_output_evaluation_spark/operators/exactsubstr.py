@@ -34,6 +34,14 @@ Spark-first shape, and how it holds at 100 TB:
   one in-row filter over token positions.
 - production swaps md5 for xxhash64 (8-byte keys); md5 is the
   DuckDB-replayable twin, the minhash_pairs_md5 pattern.
+
+Measured (r4, 10x/100x spot fixtures): exactly linear in corpus size —
+the constant per-doc cost is the interpreted transform itself, NOT the
+md5 (dropping md5 changed nothing: 7.97 s vs 8.13 s at 10x), and the
+"obvious" rewrite to per-window rolling-hash arithmetic folds (nested
+F.aggregate over precomputed token hashes) measured 4-7x SLOWER
+(33-60 s) — interpreted fold steps cost more than slice+join+md5.
+The shipped shape is the fastest known no-shuffle form.
 """
 
 from __future__ import annotations
