@@ -406,3 +406,87 @@ def test_stream_as_of_join_integer_keys_coerce(spark, tmp_path):
     q.awaitTermination()
     rows = spark.read.parquet(out_dir).collect()
     assert [(r.key, r.left_id, r.asof_value) for r in rows] == [("7", 1, "v1")]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 59)),
+        min_size=1, max_size=8,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.sampled_from("ab"),
+            st.integers(0, 59),
+            st.one_of(st.none(), st.sampled_from(["v1", "v2", "v3"])),
+        ),
+        min_size=0, max_size=8,
+    ),
+    split=st.integers(0, 7),
+)
+def test_stream_as_of_join_fuzz_matches_batch(spark, tmp_path_factory, lefts, rights, split):
+    """Randomized stream-vs-batch as-of parity: arbitrary key/ts multisets
+    (duplicate timestamps, NULL revision values, ties) split across two
+    arrival waves, flushed by sentinels + timeout — the multiset of
+    emitted rows must equal the batch as_of_join exactly."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from ocr_output_evaluation_spark.operators.asof import as_of_join
+    from ocr_output_evaluation_spark.streaming import stream_as_of_join
+
+    tmp = tmp_path_factory.mktemp("asof_fuzz")
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    lrows = [(k, base + timedelta(minutes=m), i) for i, (k, m) in enumerate(lefts)]
+    rrows = [(k, base + timedelta(minutes=m), v) for k, m, v in rights]
+    sent = base + timedelta(hours=3)
+    lsrc, rsrc = str(tmp / "l"), str(tmp / "r")
+    lw = [lrows[:split], lrows[split:]]
+    rw = [
+        rrows[: len(rrows) // 2],
+        rrows[len(rrows) // 2:],
+        [("a", sent, "S"), ("b", sent, "S")],
+        [("a", sent + timedelta(minutes=1), "S")],
+    ]
+    L, R = "key string, ts timestamp, left_id long", "key string, ts timestamp, value string"
+    for i in range(4):
+        if i < len(lw) and lw[i]:
+            spark.createDataFrame(lw[i], L).coalesce(1).write.mode("append").parquet(lsrc)
+        if rw[i]:
+            spark.createDataFrame(rw[i], R).coalesce(1).write.mode("append").parquet(rsrc)
+        _time.sleep(1.05)
+    left = spark.readStream.schema(L).option("maxFilesPerTrigger", 1).parquet(lsrc)
+    right = spark.readStream.schema(R).option("maxFilesPerTrigger", 1).parquet(rsrc)
+    q = (
+        stream_as_of_join(left, right, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(tmp / "out"))
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.key, r.left_id, r.ts, r.asof_ts, r.asof_value)
+        for r in spark.read.parquet(str(tmp / "out")).collect()
+    )
+    lb = spark.createDataFrame(lrows, L)
+    rb = spark.createDataFrame([r for r in rrows], R) if rrows else spark.createDataFrame([], R)
+    want = sorted(
+        (r.key, r.left_id, r.ts, r.asof_ts, r.asof_value)
+        for r in as_of_join(lb, rb, ["key"], "ts", "ts", ["value"]).collect()
+    )
+    assert got == want
