@@ -1,0 +1,87 @@
+"""WARC source (sources/warc.py): encoder/parser round-trip, gzip
+handling, record-type skipping, in-band corrupt-archive errors, and
+byte-identity of the crawl -> extraction path."""
+
+from datetime import datetime
+
+from ocr_output_evaluation_spark.extract import extract_document
+from ocr_output_evaluation_spark.fixtures.generate import web_pages_pdf
+from ocr_output_evaluation_spark.sources.warc import (
+    encode_warc,
+    parse_warc,
+    read_warc,
+)
+
+
+def _records(n, offset=0):
+    pdf = web_pages_pdf(n + offset).iloc[offset:]
+    return [
+        {
+            "url": row.url,
+            "warc_ts": row.warc_ts or datetime(2024, 5, 1, 12, 0, 0),
+            "html": bytes(row.html) if row.html is not None else b"",
+        }
+        for _, row in pdf.iterrows()
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    recs = _records(6)
+    for compress in (False, True):
+        raw = encode_warc(recs, compress=compress)
+        got = parse_warc(raw)
+        assert len(got) == 6  # warcinfo skipped
+        for want, r in zip(recs, got):
+            assert r["url"] == want["url"]
+            assert r["html"] == want["html"]
+            assert r["status"] == 200
+            assert r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ") == want[
+                "warc_ts"
+            ].strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def test_warc_parse_rejects_corruption():
+    import pytest
+
+    raw = encode_warc(_records(2))
+    with pytest.raises(ValueError, match="magic"):
+        parse_warc(b"NOTWARC" + raw)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(raw[: len(raw) - 40])
+
+
+def test_read_warc_spark_and_extraction_byte_identity(spark, tmp_path):
+    """Two archives (one gzipped) + one corrupt file: read_warc yields
+    every response record exactly once, one in-band error row for the
+    corrupt archive, and the extraction UDF over the WARC frame is
+    byte-identical to the single-process extractor."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.extract.udf import extract_udf
+
+    recs = _records(10)
+    src = tmp_path / "crawl"
+    os.makedirs(src)
+    (src / "a.warc").write_bytes(encode_warc(recs[:5]))
+    (src / "b.warc.gz").write_bytes(encode_warc(recs[5:], compress=True))
+    (src / "c.warc").write_bytes(b"WARC/1.0\r\nbroken")
+
+    df = read_warc(spark, str(src))
+    rows = df.collect()
+    ok = [r for r in rows if r.warc_error is None]
+    bad = [r for r in rows if r.warc_error is not None]
+    assert len(ok) == 10 and len(bad) == 1
+    assert bad[0].url is None and bad[0].warc_file.endswith("c.warc")
+    got = {r.url: bytes(r.html) for r in ok}
+    assert got == {r["url"]: r["html"] for r in recs}
+    assert all(r.http_status == 200 for r in ok)
+
+    ext = (
+        df.filter(F.col("warc_error").isNull())
+        .withColumn("x", extract_udf(F.col("html")))
+        .select("url", "x.text_sha256")
+    )
+    want = {r["url"]: extract_document(r["html"]).text_sha256 for r in recs}
+    assert {r.url: r.text_sha256 for r in ext.collect()} == want
