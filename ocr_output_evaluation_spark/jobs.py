@@ -54,6 +54,9 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--source", required=True)
     ex.add_argument("--out", required=True)
     ex.add_argument("--manifest", default=None)
+    ex.add_argument("--format", choices=["parquet", "warc"], default="parquet",
+                    help="source layout: a web_pages parquet/Iceberg table, "
+                         "or raw WARC archives (sources/warc.py)")
     ex.add_argument("--max-buckets", type=int, default=None,
                     help="process at most N pending buckets (checkpoint drill)")
     _add_common(ex)
@@ -143,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
             args.manifest or f"{args.out}_manifest",
             n_buckets=args.n_buckets,
             max_buckets=args.max_buckets,
+            source_format=args.format,
         )
     elif args.cmd == "quality":
         from ocr_output_evaluation_spark.plans.pipeline import run_quality_pipeline

@@ -83,8 +83,15 @@ def run_extraction(
     run_id: str | None = None,
     max_buckets: int | None = None,
     shuffle_partitions: int | None = None,
+    source_format: str = "parquet",
 ) -> dict:
     """Resumable distributed extraction. Returns per-run counters.
+
+    ``source_format="warc"`` ingests raw Common-Crawl-style archives
+    (sources/warc.py) instead of a parquet/Iceberg web_pages table: the
+    crawl-to-text path in one resumable job. Response records with parse
+    errors (corrupt archives) are excluded here — run ``read_warc``
+    directly to audit them (they surface as in-band warc_error rows).
 
     ``max_buckets`` caps how many pending buckets this invocation processes —
     the test hook for kill/resume semantics (process K buckets, "crash",
@@ -120,7 +127,23 @@ def run_extraction(
         return {"run_id": rid, "processed_buckets": [], "skipped_buckets": sorted(done),
                 "row_count": 0, "error_count": 0, "extraction_version": version}
 
-    src = bucketed(read_table_any(spark, source_path), n_buckets)
+    if source_format == "warc":
+        from ..sources.warc import read_warc
+
+        base = (
+            read_warc(spark, source_path)
+            .filter(F.col("warc_error").isNull() & F.col("url").isNotNull())
+            .select(
+                "url",
+                "warc_ts",
+                "html",
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+            )
+        )
+    else:
+        base = read_table_any(spark, source_path)
+    src = bucketed(base, n_buckets)
     n_tasks = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     extracted = extraction_plan(src, pending, version, n_tasks)
     (

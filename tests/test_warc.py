@@ -85,3 +85,33 @@ def test_read_warc_spark_and_extraction_byte_identity(spark, tmp_path):
     )
     want = {r["url"]: extract_document(r["html"]).text_sha256 for r in recs}
     assert {r.url: r.text_sha256 for r in ext.collect()} == want
+
+
+def test_run_extraction_from_warc_source(spark, tmp_path):
+    """The crawl-to-text path as one resumable job: run_extraction over a
+    directory of WARC archives (source_format='warc') produces the same
+    byte-identical extractions as the parquet path, with manifest resume
+    (second invocation processes zero buckets)."""
+    import os
+
+    from ocr_output_evaluation_spark.plans.pipeline import run_extraction
+
+    recs = _records(12)
+    src = tmp_path / "crawl"
+    os.makedirs(src)
+    (src / "a.warc").write_bytes(encode_warc(recs[:6]))
+    (src / "b.warc.gz").write_bytes(encode_warc(recs[6:], compress=True))
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+
+    res = run_extraction(
+        spark, str(src), out, man, n_buckets=4, source_format="warc"
+    )
+    assert res["row_count"] == 12 and len(res["processed_buckets"]) == 4
+    got = {r.url: r.text_sha256 for r in spark.read.parquet(out).collect()}
+    want = {r["url"]: extract_document(r["html"]).text_sha256 for r in recs}
+    assert got == want
+
+    res2 = run_extraction(
+        spark, str(src), out, man, n_buckets=4, source_format="warc"
+    )
+    assert res2["processed_buckets"] == [] and len(res2["skipped_buckets"]) == 4
