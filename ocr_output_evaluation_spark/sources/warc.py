@@ -39,7 +39,7 @@ from typing import Iterator
 
 import pandas as pd
 
-__all__ = ["encode_warc", "parse_warc", "read_warc"]
+__all__ = ["encode_warc", "parse_warc", "read_warc", "read_warc_stream"]
 
 _CRLF = b"\r\n"
 
@@ -182,6 +182,33 @@ READ_WARC_SCHEMA = (
 )
 
 
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def _records_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["url", "warc_ts", "http_status", "html", "warc_file", "warc_error"]
+    for pdf in batches:
+        rows = []
+        for fpath, content in zip(pdf["path"], pdf["content"]):
+            try:
+                for r in parse_warc(bytes(content)):
+                    rows.append(
+                        (
+                            r["url"],
+                            r["warc_ts"].replace(tzinfo=None) if r["warc_ts"] else None,
+                            r["status"],
+                            r["html"],
+                            fpath,
+                            None,
+                        )
+                    )
+            except ValueError as e:
+                rows.append((None, None, None, None, fpath, str(e)))
+        yield pd.DataFrame(rows, columns=cols)
+
+
 def read_warc(spark, path: str):
     """-> DataFrame(url, warc_ts, http_status, html, warc_file,
     warc_error): every response record of every WARC archive under
@@ -191,26 +218,19 @@ def read_warc(spark, path: str):
     a NULL text/lang into the extraction pipeline for the full
     crawl-to-text path (byte-identity pytest-pinned)."""
     files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(_records_gen, READ_WARC_SCHEMA)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "warc_ts", "http_status", "html", "warc_file", "warc_error"]
-        for pdf in batches:
-            rows = []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                try:
-                    for r in parse_warc(bytes(content)):
-                        rows.append(
-                            (
-                                r["url"],
-                                r["warc_ts"].replace(tzinfo=None) if r["warc_ts"] else None,
-                                r["status"],
-                                r["html"],
-                                fpath,
-                                None,
-                            )
-                        )
-                except ValueError as e:
-                    rows.append((None, None, None, None, fpath, str(e)))
-            yield pd.DataFrame(rows, columns=cols)
 
-    return files.select("path", "content").mapInPandas(gen, READ_WARC_SCHEMA)
+def read_warc_stream(spark, path: str, max_files_per_trigger: int | None = None):
+    """Streaming twin of ``read_warc``: new archives landing under ``path``
+    become micro-batches (binaryFile file-stream source; explicit schema —
+    streaming sources cannot infer), each parsed by the same per-file
+    generator. ``max_files_per_trigger`` bounds archives per micro-batch
+    (a ~1 GB-archive feed wants small batches). Point it at the live crawl
+    directory and chain the extraction UDF for continuous crawl-to-text
+    with checkpoint resume (streaming/pipeline.py stream_warc_extraction)."""
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path)
+    return files.select("path", "content").mapInPandas(_records_gen, READ_WARC_SCHEMA)

@@ -412,3 +412,48 @@ def stream_as_of_join(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_warc_extraction(
+    spark: SparkSession,
+    crawl_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous crawl-to-text: new WARC archives landing in ``crawl_dir``
+    stream through the per-archive parser (sources/warc.py
+    read_warc_stream) and the SAME Arrow extraction UDF as the batch
+    pipeline — byte-identity per micro-batch by construction — into an
+    append-mode parquet sink with checkpoint resume (an already-processed
+    archive is never re-read). Corrupt archives pass through as in-band
+    rows (NULL url, warc_error set) so the crawl feed never kills the
+    query; filter on warc_error downstream."""
+    from ..sources.warc import read_warc_stream
+
+    recs = read_warc_stream(spark, crawl_dir, max_files_per_trigger)
+    ok = recs.filter(F.col("warc_error").isNull() & F.col("url").isNotNull())
+    extracted = (
+        ok.withColumn("x", extract_udf(F.col("html")))
+        .select(
+            "url",
+            domain_of("url").alias("domain"),
+            "warc_ts",
+            "http_status",
+            F.col("x.extracted_text").alias("extracted_text"),
+            F.col("x.text_sha256").alias("text_sha256"),
+            F.col("x.is_pdf").alias("is_pdf"),
+            F.col("x.error").alias("error"),
+            F.col("warc_file"),
+        )
+    )
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -115,3 +115,37 @@ def test_run_extraction_from_warc_source(spark, tmp_path):
         spark, str(src), out, man, n_buckets=4, source_format="warc"
     )
     assert res2["processed_buckets"] == [] and len(res2["skipped_buckets"]) == 4
+
+
+def test_stream_warc_extraction_resume(spark, tmp_path):
+    """Continuous crawl-to-text: archives arriving across micro-batches
+    stream through the parser + extraction UDF byte-identically; a second
+    archive landing AFTER the first run is picked up by the resumed query
+    without re-reading the first (checkpoint offsets at the archive
+    level)."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ocr_output_evaluation_spark.streaming import stream_warc_extraction
+
+    recs = _records(8)
+    src = tmp_path / "crawl"
+    os.makedirs(src)
+    (src / "a.warc").write_bytes(encode_warc(recs[:4]))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = stream_warc_extraction(spark, str(src), out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+    got1 = {r.url: r.text_sha256 for r in spark.read.parquet(out).collect()}
+    want = {r["url"]: extract_document(r["html"]).text_sha256 for r in recs}
+    assert got1 == {u: want[u] for u in got1} and len(got1) == 4
+
+    # a new archive lands; the resumed query processes ONLY it
+    (src / "b.warc.gz").write_bytes(encode_warc(recs[4:], compress=True))
+    q2 = stream_warc_extraction(spark, str(src), out, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert {r.url: r.text_sha256 for r in rows} == want and len(rows) == 8
+    resumed_in = sum(int(p["numInputRows"]) for p in q2.recentProgress)
+    assert resumed_in == 1  # one archive row read, not five
