@@ -2412,6 +2412,130 @@ ORDER BY lang
 """
 
 
+def dsir_selection_report(spark, sf):
+    """X39 DSIR importance resampling (operators/dsir.py — Xie et al. 2023,
+    arXiv:2302.03169): select the 120 documents whose hashed-unigram/bigram
+    bag-of-words distribution best matches a target corpus (here the docs
+    of source 'src0' playing the held-out high-quality target), via Gumbel
+    top-k over importance log-weights ln p(x) - ln q(x). 64 hash buckets at
+    fixture scale (the operator default is the paper-faithful 8192); both
+    LMs are fit in ONE corpus pass, weights are exact integer nano-log sums
+    (order-independent under partial aggregation), and the Gumbel noise is
+    a pure md5 function of doc_id — fully DuckDB-replayable, no RNG.
+    Report grain lang: corpus docs, selected docs, mean selected
+    log-weight, the selection's lang share vs the corpus' lang share (the
+    number DSIR exists to move). Plan shape: counts pass collapses
+    map-side to <= B rows; scoring pass is explode → BroadcastHashJoin
+    (B-row ratio table) → per-doc partial agg; selection is a global
+    TakeOrderedAndProject (no full sort); report aggs run over the tiny
+    selected/ per-lang frames. Reference analog: none."""
+    from .operators.dsir import dsir_select
+
+    d = _spread(t(spark, sf, "documents"))
+    sel = dsir_select(
+        d, F.col("source") == "src0", "text", "doc_id", k=120, n_buckets=64
+    )
+    tot = W.partitionBy(F.lit(1))
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(sel.select("doc_id", "_nano")), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_nano").alias("n_sel"),
+            F.sum("_nano").alias("_sum_nano"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_sel",
+            F.when(
+                F.col("n_sel") > 0,
+                _r(F.col("_sum_nano") / (F.col("n_sel") * F.lit(1e9))),
+            ).alias("avg_logw_sel"),
+            _r(F.col("n_sel") / F.sum("n_sel").over(tot)).alias("sel_share"),
+            _r(F.col("n_docs") / F.sum("n_docs").over(tot)).alias(
+                "corpus_share"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_DSIR_SELECTION = r"""
+WITH norm AS (
+  SELECT doc_id, lang, source,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, source, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+grams AS (  -- unigram + bigram OCCURRENCES (bag-of-words: repeats count)
+  SELECT doc_id, source, u.g FROM toks, UNNEST(w) AS u(g)
+  UNION ALL
+  SELECT doc_id, source,
+         array_to_string(w[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+),
+feats AS (
+  SELECT doc_id, source = 'src0' AS is_t,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 64 AS bucket
+  FROM grams
+),
+counts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS raw_n,
+         CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS tgt_n
+  FROM feats GROUP BY bucket
+),
+filled AS (
+  SELECT CAST(d.range AS BIGINT) AS bucket,
+         coalesce(c.raw_n, 0) AS raw_n, coalesce(c.tgt_n, 0) AS tgt_n
+  FROM range(64) d LEFT JOIN counts c ON c.bucket = d.range
+),
+tots AS (
+  SELECT CAST(sum(raw_n) AS BIGINT) AS totr, CAST(sum(tgt_n) AS BIGINT) AS tott
+  FROM filled
+),
+lm AS (  -- integer nano-log ratios: exact, order-independent doc sums
+  SELECT bucket,
+         CAST(round((ln((tgt_n + 1.0) / (tott + 64)) -
+                     ln((raw_n + 1.0) / (totr + 64))) * 1e9) AS BIGINT) AS r
+  FROM filled, tots
+),
+scores AS (
+  SELECT f.doc_id, CAST(sum(l.r) AS BIGINT) AS nano
+  FROM feats f JOIN lm l USING (bucket) GROUP BY f.doc_id
+),
+alldocs AS (
+  SELECT n.doc_id, n.lang, coalesce(s.nano, 0) AS nano
+  FROM norm n LEFT JOIN scores s USING (doc_id)
+),
+sel AS (  -- Gumbel top-k: deterministic md5 noise, doc_id tiebreak
+  SELECT doc_id, nano
+  FROM alldocs
+  ORDER BY nano / 1e9 +
+           (-ln(-ln((('0x' || substr(md5('dsir-sel-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     + 0.5) / 4294967296.0))) DESC,
+           doc_id
+  LIMIT 120
+)
+SELECT a.lang,
+       count(*) AS n_docs,
+       CAST(count(s.doc_id) AS BIGINT) AS n_sel,
+       CASE WHEN count(s.doc_id) > 0
+            THEN round(CAST(sum(s.nano) AS BIGINT) / (count(s.doc_id) * 1e9), 6)
+       END AS avg_logw_sel,
+       round(count(s.doc_id) * 1.0 / sum(count(s.doc_id)) OVER (), 6) AS sel_share,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS corpus_share
+FROM alldocs a LEFT JOIN sel s USING (doc_id)
+GROUP BY a.lang
+ORDER BY a.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops (r3, wave 2): line dedup, domain caps, corpus mixing
 # ---------------------------------------------------------------------------
@@ -3758,6 +3882,7 @@ QUERIES = {
     "bpe_packing_report": bpe_packing_report,
     "exact_substr_keep_one_report": exact_substr_keep_one_report,
     "gopher_rules_report": gopher_rules_report,
+    "dsir_selection_report": dsir_selection_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -3776,12 +3901,12 @@ QUERIES = {
     "classifier_report": classifier_report,
     "split_report": split_report,
     "token_budget_report": token_budget_report,
-    "cube_status_priority": cube_status_priority,
     "order_value_quartiles": order_value_quartiles,
     "value_counts_lang": value_counts_lang,
     "quality_buckets": quality_buckets,
     "user_sessions": user_sessions,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "cube_status_priority": cube_status_priority,
     "supplier_name_concat": supplier_name_concat,
     "minhash_pairs_md5": minhash_pairs_md5,
     "events_json_props": events_json_props,
@@ -3827,6 +3952,7 @@ ORACLES = {
     "bpe_packing_report": _oracle_bpe_packing(),
     "exact_substr_keep_one_report": ORACLE_EXACT_SUBSTR_KEEP_ONE,
     "gopher_rules_report": ORACLE_GOPHER_RULES,
+    "dsir_selection_report": ORACLE_DSIR_SELECTION,
     "packing_report": ORACLE_PACKING_REPORT,
     "classifier_report": ORACLE_CLASSIFIER_REPORT,
     "split_report": ORACLE_SPLIT_REPORT,
