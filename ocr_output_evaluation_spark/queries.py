@@ -2536,6 +2536,136 @@ ORDER BY a.lang
 """
 
 
+def semdedup_report(spark, sf):
+    """X40 SemDeDup (operators/semdedup.py — Abbas et al. 2023,
+    arXiv:2303.09540): deterministic k-means over the embeddings table
+    (k=10, 3 Lloyd iterations, md5-seeded init, centroids 6dp-quantized
+    each step so the iterative loop is oracle-replayable — the X29 trick),
+    then within-cluster cosine pruning at tau=0.28 (one-shot
+    keep-lowest-id). Report grain cluster: members, pruned members, prune
+    rate, mean cosine-to-centroid — the rates computed by exact integral
+    half-up division (the money-mean recipe) so no float mean ever meets a
+    rounding half-point. Plan shape: per iteration, assignment is a
+    ZERO-shuffle literal-array map (centroids collected — k*d rows, the
+    sanctioned tiny-frame collect) and the update is one map-side-combined
+    (cid, dim) mean; the pair stage joins on the cluster id so pair work
+    is bounded by the largest cluster (the SemDeDup point), never
+    corpus-quadratic. Reference analog: none."""
+    from .operators.semdedup import kmeans_assign, semantic_dupes
+
+    e = t(spark, sf, "embeddings")
+    asg = kmeans_assign(e, "embedding", "vec_id", k=10, iters=3)
+    dup = semantic_dupes(asg, "embedding", "vec_id", tau=0.28).withColumn(
+        "_d", F.lit(1)
+    )
+    return (
+        asg.join(F.broadcast(dup), "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("_d").alias("n_pruned"),
+            F.sum(F.round(F.col("cos") * 1e6).cast("long")).alias("_sc"),
+        )
+        .select(
+            "cid",
+            "n_vecs",
+            "n_pruned",
+            (
+                F.expr("div(2*1000000*n_pruned + n_vecs, 2*n_vecs)") / 1e6
+            ).alias("prune_rate"),
+            (
+                (
+                    F.expr("div(2*(_sc + 2000000*n_vecs) + n_vecs, 2*n_vecs)")
+                    - 2000000
+                )
+                / 1e6
+            ).alias("mean_cos"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _oracle_semdedup(k: int = 10, iters: int = 3, tau: float = 0.28) -> str:
+    """DuckDB replay of semdedup_report: the Lloyd iterations unrolled as
+    CTE chains (the X36 unrolled-trajectory pattern), cosines via the
+    proven UNNEST sum(x*y) twin of ORACLE_EMBEDDING_TOPK, empty clusters
+    keeping their previous centroid exactly as the operator does."""
+    seed = "md5('semdedup-v1:' || CAST(vec_id AS VARCHAR))"
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY {seed}, vec_id) AS cid,
+         list_transform(v, x -> round(x, 6)) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY {seed}, vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iters + 2):  # iters updates + the final assignment
+        prev = f"cent{i - 1}"
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT e.vec_id, c.cid,
+         e.v[CAST(t.i AS INT)] AS x, c.cv[CAST(t.i AS INT)] AS y
+  FROM e, {prev} c, UNNEST(range(1, len(e.v) + 1)) AS t(i)
+),
+s{i} AS (
+  SELECT vec_id, cid,
+         coalesce(round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6), -2.0) AS c
+  FROM p{i} GROUP BY vec_id, cid
+),
+a{i} AS (
+  SELECT vec_id, cid, c FROM s{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) = 1
+)"""
+        )
+        if i <= iters:
+            parts.append(
+                f""",
+m{i} AS (
+  SELECT a.cid, t.i AS pos, round(avg(e.v[CAST(t.i AS INT)]), 6) AS m
+  FROM a{i} a JOIN e USING (vec_id), UNNEST(range(1, len(e.v) + 1)) AS t(i)
+  GROUP BY a.cid, t.i
+),
+cent{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid
+  UNION ALL
+  SELECT c.cid, c.cv FROM {prev} c
+  WHERE c.cid NOT IN (SELECT cid FROM m{i})
+)"""
+            )
+    fin = f"a{iters + 1}"
+    parts.append(
+        f""",
+pp AS (
+  SELECT x.vec_id AS xi, y.vec_id AS yi,
+         ex.v[CAST(t.i AS INT)] AS x, ey.v[CAST(t.i AS INT)] AS y
+  FROM {fin} x JOIN {fin} y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id,
+  UNNEST(range(1, len(ex.v) + 1)) AS t(i)
+),
+pc AS (
+  SELECT xi, yi,
+         coalesce(round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6), -2.0) AS c
+  FROM pp GROUP BY xi, yi
+),
+dup AS (SELECT DISTINCT yi AS vec_id FROM pc WHERE c >= {tau})
+SELECT f.cid,
+       count(*) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_pruned,
+       ((2*1000000*count(d.vec_id) + count(*)) // (2*count(*))) / 1e6 AS prune_rate,
+       (((2*(CAST(sum(CAST(round(f.c*1e6) AS BIGINT)) AS BIGINT) + 2000000*count(*)) + count(*))
+         // (2*count(*))) - 2000000) / 1e6 AS mean_cos
+FROM {fin} f LEFT JOIN dup d USING (vec_id)
+GROUP BY f.cid
+ORDER BY f.cid"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops (r3, wave 2): line dedup, domain caps, corpus mixing
 # ---------------------------------------------------------------------------
@@ -3883,6 +4013,7 @@ QUERIES = {
     "exact_substr_keep_one_report": exact_substr_keep_one_report,
     "gopher_rules_report": gopher_rules_report,
     "dsir_selection_report": dsir_selection_report,
+    "semdedup_report": semdedup_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -3901,11 +4032,11 @@ QUERIES = {
     "classifier_report": classifier_report,
     "split_report": split_report,
     "token_budget_report": token_budget_report,
-    "order_value_quartiles": order_value_quartiles,
     "value_counts_lang": value_counts_lang,
     "quality_buckets": quality_buckets,
     "user_sessions": user_sessions,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "order_value_quartiles": order_value_quartiles,
     "cube_status_priority": cube_status_priority,
     "supplier_name_concat": supplier_name_concat,
     "minhash_pairs_md5": minhash_pairs_md5,
@@ -3953,6 +4084,7 @@ ORACLES = {
     "exact_substr_keep_one_report": ORACLE_EXACT_SUBSTR_KEEP_ONE,
     "gopher_rules_report": ORACLE_GOPHER_RULES,
     "dsir_selection_report": ORACLE_DSIR_SELECTION,
+    "semdedup_report": _oracle_semdedup(),
     "packing_report": ORACLE_PACKING_REPORT,
     "classifier_report": ORACLE_CLASSIFIER_REPORT,
     "split_report": ORACLE_SPLIT_REPORT,
