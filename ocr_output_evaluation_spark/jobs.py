@@ -87,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="enable X37 span-cleaning: K-token duplicated-span "
                          "removal (keep-one), adds text_clean/es_* columns")
     xp.add_argument("--exact-substr-min-docs", type=int, default=2)
+    xp.add_argument("--dsir-target", default=None,
+                    help="enable X39 DSIR selection: SQL boolean over the "
+                         "input columns marking the target slice (e.g. "
+                         "\"lang = 'en'\"); adds dsir_logw")
+    xp.add_argument("--dsir-top-k", type=int, default=None,
+                    help="with --dsir-target: keep only the Gumbel top-k "
+                         "docs by importance weight (deterministic)")
+    xp.add_argument("--dsir-buckets", type=int, default=8192)
     xp.add_argument("--split-salt", default="export-split-v1",
                     help="decorrelates independent re-splits of one corpus")
     _add_common(xp)
@@ -179,6 +187,9 @@ def main(argv: list[str] | None = None) -> int:
             split_salt=args.split_salt,
             exact_substr_k=args.exact_substr_k,
             exact_substr_min_docs=args.exact_substr_min_docs,
+            dsir_target=args.dsir_target,
+            dsir_top_k=args.dsir_top_k,
+            dsir_buckets=args.dsir_buckets,
         )
     elif args.cmd == "sql":
         from ocr_output_evaluation_spark.sources.io import register_tables_dir, sql_repl

@@ -150,3 +150,112 @@ def semantic_dupes(
         .select(F.col("_yi").alias(id_col))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-numpy production path (the scale twin of the expression form above,
+# cf. similarity.brute_force_top_k / brute_force_top_k_np): identical seeds,
+# quantization, and tie rules — parity is pytest-pinned. At n×k assignment
+# scale the batched BLAS matmul replaces n×k interpreted HOF cosines; the
+# expression form stays as the DuckDB-oracle contract.
+# ---------------------------------------------------------------------------
+def _round6_np(a):
+    """Vectorized HALF_UP 6dp rounding (numpy's round is half-even; Spark's
+    F.round is half-up — identical on everything but exact 6dp half-points,
+    which the parity tests never generate and real cosines never hit)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+
+def _assign_np(base: DataFrame, vec_col: str, id_col: str, cents) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)  # k×d, in the task closure
+    nc = np.sqrt((C * C).sum(1))  # k
+
+    def gen(batches):
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            nx = np.sqrt((X * X).sum(1))
+            denom = nx[:, None] * nc[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0.0, (X @ C.T) / denom, -2.0)
+            cosr = _round6_np(cos)
+            cid = cosr.argmax(1)  # first max → smallest cid (ties as expr form)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cid": cid + 1,
+                    "cos": cosr[np.arange(len(cosr)), cid],
+                }
+            )
+
+    return base.mapInPandas(
+        gen, f"{id_col} long, {vec_col} array<double>, cid long, cos double"
+    )
+
+
+def kmeans_assign_np(
+    vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    iters: int = 3,
+) -> DataFrame:
+    """Arrow-numpy twin of :func:`kmeans_assign` — same result, batched
+    matmul assignment instead of n×k interpreted cosine expressions. Use
+    this at production scale (k grows with n to hold cluster size
+    constant — the SemDeDup regime — so assignment is n×k flops, which
+    BLAS makes cheap and the expression form does not)."""
+    cents = seed_centroids(vecs, vec_col, id_col, k)
+    k = len(cents)
+    base = vecs.select(id_col, _as_double(F.col(vec_col)).alias(vec_col))
+    for _ in range(iters):
+        asg = _assign_np(base, vec_col, id_col, cents)
+        # identical F.round as the expression path — centroid quantization
+        # must be bit-equal between the two forms for parity to hold
+        means = (
+            asg.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.m
+        cents = [
+            [by_cid[c + 1][p] for p in sorted(by_cid[c + 1])]
+            if (c + 1) in by_cid
+            else cents[c]
+            for c in range(k)
+        ]
+    return _assign_np(base, vec_col, id_col, cents)
+
+
+def semantic_dupes_np(
+    asg: DataFrame, vec_col: str, id_col: str, tau: float
+) -> DataFrame:
+    """Arrow-numpy twin of :func:`semantic_dupes`: per-cluster Gram-matrix
+    pruning via applyInPandas (one task per cluster; memory is c² doubles
+    for cluster size c — production holds c ~constant by scaling k, and a
+    skewed giant cluster is split by salt before this stage, the X20
+    pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        n = np.sqrt((X * X).sum(1))
+        denom = n[:, None] * n[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0.0, (X @ X.T) / denom, -2.0)
+        keep_mask = np.triu(_round6_np(cos) >= tau, 1).any(0)
+        return pd.DataFrame({id_col: pdf[id_col].to_numpy()[keep_mask]})
+
+    return asg.select("cid", id_col, vec_col).groupBy("cid").applyInPandas(
+        prune, f"{id_col} long"
+    )

@@ -74,6 +74,9 @@ def training_export_plan(
     split_salt: str = "export-split-v1",
     exact_substr_k: int | None = None,
     exact_substr_min_docs: int = 2,
+    dsir_target: "str | Column | None" = None,
+    dsir_top_k: int | None = None,
+    dsir_buckets: int = 8192,
 ) -> dict:
     """Build the export lineage over an extracted-documents frame.
 
@@ -175,6 +178,32 @@ def training_export_plan(
             {"text_dedup": "text_clean", "n_tokens": "es_tokens",
              "n_dropped": "es_dropped"}
         )
+    if dsir_target is not None:
+        # X39 DSIR selection stage (operators/dsir.py): tilt the kept set
+        # toward the target slice's hashed-ngram distribution. `dsir_target`
+        # is a boolean expression over the kept columns (CLI passes a SQL
+        # string) marking the target subset; every doc gains `dsir_logw`,
+        # and with `dsir_top_k` set only the Gumbel top-k survive (sampling
+        # without replacement ∝ importance weight — deterministic md5
+        # noise, stable across re-runs/resumes). The weight pass never
+        # shuffles the corpus (explode_outer → broadcast LM join → per-doc
+        # agg); the attach is a 1:1 enrichment join on the doc key.
+        from ..operators.dsir import dsir_log_weights, gumbel_noise
+
+        tgt = F.expr(dsir_target) if isinstance(dsir_target, str) else dsir_target
+        w = dsir_log_weights(
+            kept, tgt, text_col, "doc_key", n_buckets=dsir_buckets
+        ).select("doc_key", F.col("logw").alias("dsir_logw"))
+        kept = kept.join(w, "doc_key")
+        if dsir_top_k:
+            kept = (
+                kept.withColumn(
+                    "dsir_score",
+                    F.col("dsir_logw") + gumbel_noise(F.col("doc_key")),
+                )
+                .orderBy(F.desc("dsir_score"), "doc_key")
+                .limit(dsir_top_k)
+            )
     return {
         "clean": clean,
         "uniq": uniq,
@@ -198,6 +227,9 @@ def run_training_export(
     split_salt: str = "export-split-v1",
     exact_substr_k: int | None = None,
     exact_substr_min_docs: int = 2,
+    dsir_target: str | None = None,
+    dsir_top_k: int | None = None,
+    dsir_buckets: int = 8192,
 ) -> dict:
     """Job wrapper: read the extracted table, run the export plan, write the
     kept set partitioned by the resume bucket, report per-stage counts.
@@ -217,6 +249,9 @@ def run_training_export(
         split_salt=split_salt,
         exact_substr_k=exact_substr_k,
         exact_substr_min_docs=exact_substr_min_docs,
+        dsir_target=dsir_target,
+        dsir_top_k=dsir_top_k,
+        dsir_buckets=dsir_buckets,
     )
     kept = stages["kept"]
     writer = kept.write.mode("overwrite")
@@ -245,6 +280,10 @@ def run_training_export(
         summary["exact_substr_dropped_tokens"] = out.agg(
             F.coalesce(F.sum("es_dropped"), F.lit(0)).cast("long")
         ).collect()[0][0]
+    if dsir_target is not None:
+        summary["dsir_mean_logw"] = (
+            out.agg(F.round(F.avg("dsir_logw"), 6)).collect()[0][0]
+        )
     for frame in stages["_persisted"]:
         frame.unpersist()
     return summary

@@ -455,3 +455,47 @@ def test_run_training_export_forwards_exact_substr(spark, tmp_path):
     assert summary["exact_substr_dropped_tokens"] == 3  # keep-one: one copy
     out = spark.read.parquet(str(tmp_path / "out") + "/training_docs")
     assert {"text_clean", "es_tokens", "es_dropped"} <= set(out.columns)
+
+
+def test_run_training_export_dsir_selection(spark, tmp_path):
+    """X39 as an export stage: with dsir_target set every kept doc gains
+    dsir_logw; with dsir_top_k the Gumbel top-k survive, target-like docs
+    over-represented, and re-runs select the identical set."""
+    from ocr_output_evaluation_spark.plans.export import run_training_export
+
+    rows = []
+    en_vocab = [f"en{w}" for w in range(20)]
+    de_vocab = [f"de{w}" for w in range(20)]
+    for i in range(60):
+        vocab = en_vocab if i % 3 == 0 else de_vocab
+        # shared style vocabulary + per-doc unique markers: a strong
+        # distribution signal that still survives exact AND near dedup
+        toks = [
+            vocab[(i * 7 + j * (3 + i % 5)) % 20] if j % 5 else f"u{i}x{j}"
+            for j in range(30)
+        ]
+        rows.append((f"http://d.example/{i}", " ".join(toks),
+                     "en" if i % 3 == 0 else "de", 0))
+    df = spark.createDataFrame(rows, "url string, text string, lang string, bucket int")
+    src = str(tmp_path / "extracted")
+    df.write.partitionBy("bucket").parquet(src)
+
+    kw = dict(
+        min_quality=0.0, jaccard_threshold=0.95,
+        dsir_target="lang = 'en'", dsir_top_k=15, dsir_buckets=64,
+    )
+    summary = run_training_export(spark, src, str(tmp_path / "out"), **kw)
+    out = spark.read.parquet(str(tmp_path / "out") + "/training_docs")
+    assert {"dsir_logw", "dsir_score"} <= set(out.columns)
+    assert summary["kept_rows"] == 15
+    assert summary["dsir_mean_logw"] is not None
+    # the en/'quick brown fox' style is 1/3 of the corpus but dominates the
+    # selection (that is what the stage is for)
+    n_en = out.filter(out.lang == "en").count()
+    assert n_en >= 12, f"only {n_en}/15 selected docs match the target style"
+
+    summary2 = run_training_export(spark, src, str(tmp_path / "out2"), **kw)
+    a = sorted(r.url for r in out.select("url").collect())
+    out2 = spark.read.parquet(str(tmp_path / "out2") + "/training_docs")
+    b = sorted(r.url for r in out2.select("url").collect())
+    assert a == b and summary2["kept_rows"] == 15

@@ -157,3 +157,32 @@ def test_semdedup_report_plan_no_python(spark, sf_dir):
 
     plan = plan_of(semdedup_report(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_np_path_parity_with_expression_form(spark):
+    """kmeans_assign_np / semantic_dupes_np (the production Arrow-numpy
+    path) must reproduce the expression form exactly: same seeds, same
+    centroid quantization, same tie rules, same pruned set."""
+    import numpy as np
+
+    from ocr_output_evaluation_spark.operators.semdedup import (
+        kmeans_assign_np,
+        semantic_dupes_np,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(150)]
+    # planted near-dups so the pruned sets are non-trivially equal
+    for i in range(0, 150, 30):
+        rows.append((1000 + i, (np.asarray(rows[i][1]) * 1.0000001).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    expr = kmeans_assign(df, "embedding", "vec_id", k=5, iters=2)
+    nppy = kmeans_assign_np(df, "embedding", "vec_id", k=5, iters=2)
+    a = {r.vec_id: (r.cid, r.cos) for r in expr.collect()}
+    b = {r.vec_id: (r.cid, r.cos) for r in nppy.collect()}
+    assert a == b
+
+    d1 = {r.vec_id for r in semantic_dupes(expr, "embedding", "vec_id", 0.99).collect()}
+    d2 = {r.vec_id for r in semantic_dupes_np(nppy, "embedding", "vec_id", 0.99).collect()}
+    assert d1 == d2 and d1  # equal AND non-empty (planted dups found)

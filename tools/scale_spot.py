@@ -151,10 +151,30 @@ def ensure_tables(spark, mult: int, needed: set[str] | None = None) -> str:
     return out_dir
 
 
+def _semdedup_np_spot(spark, sf_dir: str):
+    """SemDeDup at its scale operating point: k = n / 200 (cluster size held
+    ~constant as the corpus grows — the published regime), one Lloyd
+    iteration, Arrow-numpy assignment + per-cluster Gram pruning. Returns
+    the pruned-id frame (rows metric = pruned count)."""
+    from ocr_output_evaluation_spark.operators.semdedup import (
+        kmeans_assign_np,
+        semantic_dupes_np,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    k = max(10, e.count() // 200)
+    asg = kmeans_assign_np(e, "embedding", "vec_id", k=k, iters=1)
+    # tau=0.9: prune the PLANTED tight pairs, not the loose family structure
+    # (the fixture's 20 direction families sit ~0.7 cosine apart; 0.28 would
+    # flag ~99% — same Gram-matrix work, nonsense selectivity)
+    return semantic_dupes_np(asg, "embedding", "vec_id", tau=0.9)
+
+
 def main() -> None:
     from ocr_output_evaluation_spark.queries import (
         asof_attribution_report,
         contamination_report,
+        dsir_selection_report,
         embedding_pair_topk,
         exact_substr_report,
         line_dedup_report,
@@ -195,6 +215,13 @@ def main() -> None:
         "asof_attribution_report": (
             asof_attribution_report, (1, mult_hi, 100), "events"),
         "range_funnel_report": (range_funnel_report, (1, mult_hi, 100), "events"),
+        # r4b: DSIR is two corpus scans + tiny broadcasts — must be ~linear
+        "dsir_selection_report": (dsir_selection_report, (1, mult_hi), "documents"),
+        # r4b: SemDeDup in its production regime — k grows with n to hold
+        # cluster size ~constant (the paper's operating point), Arrow-numpy
+        # assignment + per-cluster Gram pruning; ~linear wall time expected
+        # (assignment n*k flops via BLAS, pair work n*cluster_size)
+        "semdedup_np": (_semdedup_np_spot, (1, mult_hi), "embeddings"),
     }
     report: dict = {"metric": "sf1_spot_check", "unit": "sec", "base_rows": BASE,
                     "mult_hi": mult_hi, "cpus": cpus}
