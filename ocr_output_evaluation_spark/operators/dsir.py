@@ -168,3 +168,54 @@ def dsir_select(
         "score", F.col("logw") + gumbel_noise(F.col(id_col))
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def dsir_log_ratio_list(
+    docs: DataFrame,
+    is_target,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 8192,
+) -> list[int]:
+    """Train the LM pair and collect the bucket-ordered nano-log-ratio
+    table as a plain list (length exactly n_buckets — dsir_log_ratio fills
+    the whole domain). The driver-side form of the broadcast table, for
+    closures and in-row scoring (tiny by construction: B ints)."""
+    feats = docs.select(
+        F.col(id_col),
+        F.when(is_target, True).otherwise(False).alias("_is_t"),
+        F.explode(
+            F.concat(word_tokens(F.col(text_col)), word_ngrams(F.col(text_col), 2))
+        ).alias("_g"),
+    ).select(id_col, "_is_t", _bucket(F.col("_g"), n_buckets).alias("_bucket"))
+    lm = dsir_log_ratio(feats, F.col("_is_t"), n_buckets)
+    return [int(r._r_nano) for r in lm.orderBy("_bucket").collect()]
+
+
+def with_dsir_logw(
+    df: DataFrame,
+    r_nano: list[int],
+    text_col: str,
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """Attach the DSIR importance log-weight as ONE in-row expression — the
+    nano-log table rides inside the expression as a literal array, so there
+    is no join, no aggregation, and no shuffle. This is the STREAMING form
+    (score documents as they arrive — a per-doc groupBy would need state);
+    for batch at scale prefer dsir_log_weights' explode → broadcast-join →
+    partial-agg shape (codegen beats the interpreted in-row fold — the
+    known HOF trap, CLAUDE.md). Both compute the SAME exact integer sum
+    (parity pytest-pinned): adds `<out_col>_nano` (BIGINT) and `out_col`
+    (= nano / 1e9)."""
+    n_buckets = len(r_nano)
+    grams = F.concat(word_tokens(F.col(text_col)), word_ngrams(F.col(text_col), 2))
+    arr = F.array(*[F.lit(int(x)).cast("long") for x in r_nano])
+    nano = F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.element_at(arr, (_bucket(g, n_buckets) + F.lit(1)).cast("int")),
+    )
+    return df.withColumn(f"{out_col}_nano", nano).withColumn(
+        out_col, F.col(f"{out_col}_nano") / 1e9
+    )

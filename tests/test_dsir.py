@@ -149,3 +149,54 @@ def test_dsir_plan_shape(spark, sf_dir):
     assert n_nodes(plan, "TakeOrderedAndProject") == 1
     assert n_nodes(plan, "BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_inrow_scoring_matches_weights_and_streams(spark, sf_dir, tmp_path):
+    """with_dsir_logw (the in-row, shuffle-free form) must produce the
+    exact integer nano sums of dsir_log_weights — and, applied to a
+    Structured Stream, score arriving docs identically to batch."""
+    from ocr_output_evaluation_spark.fixtures.generate import web_pages_df
+    from ocr_output_evaluation_spark.operators.dsir import (
+        dsir_log_ratio_list,
+        with_dsir_logw,
+    )
+    from ocr_output_evaluation_spark.streaming import read_web_pages_stream
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = F.col("source") == "src0"
+    r = dsir_log_ratio_list(d, tgt, "text", "doc_id", n_buckets=64)
+    assert len(r) == 64
+    inrow = {
+        x.doc_id: x.dsir_logw_nano
+        for x in with_dsir_logw(d, r, "text").select("doc_id", "dsir_logw_nano").collect()
+    }
+    agg = {
+        x.doc_id: x._nano
+        for x in dsir_log_weights(d, tgt, "text", "doc_id", n_buckets=64).collect()
+    }
+    assert inrow == agg
+
+    # streaming leg: same expression over a file stream == batch scores
+    src = str(tmp_path / "pages")
+    web_pages_df(spark, 80, 4).write.parquet(src)
+    pages = spark.read.parquet(src)
+    r2 = dsir_log_ratio_list(pages, F.col("lang") == "en", "text", "url", n_buckets=32)
+    q = (
+        with_dsir_logw(read_web_pages_stream(spark, src), r2, "text")
+        .select("url", "dsir_logw_nano")
+        .writeStream.format("memory")
+        .queryName("dsir_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        x.url: x.dsir_logw_nano
+        for x in spark.sql("SELECT * FROM dsir_stream").collect()
+    }
+    want = {
+        x.url: x.dsir_logw_nano
+        for x in with_dsir_logw(pages, r2, "text").select("url", "dsir_logw_nano").collect()
+    }
+    assert got == want and len(got) == 80
