@@ -2666,6 +2666,162 @@ ORDER BY f.cid"""
     return "".join(parts)
 
 
+def unigram_tokenizer_report(spark, sf):
+    """X41 unigram-LM tokenizer (operators/unigram.py — Kudo 2018,
+    arXiv:1804.10959, the SentencePiece unigram model in its bounded
+    hard-EM form): seed vocab = top-40 weighted substrings (len 2-4) + all
+    single chars, integer nano-log piece costs computed by Spark on the
+    tiny vocab frame, in-row Viterbi DP over the DISTINCT-WORD frame
+    (exact BIGINT scores, longest-piece tie-break), usage-recount, second
+    Viterbi round; the learned word→token-count map broadcast back onto
+    the corpus. Report grain lang: docs, word occurrences, unigram piece
+    occurrences, pieces-per-word (exact integral half-up division).
+    Plan shape: everything between the two corpus scans is
+    vocabulary-scale; the DP cost table rides in the expression as a
+    literal map (no join inside a round); per-doc apply is explode →
+    broadcast join → partial agg. Reference analog: none."""
+    from .operators.unigram import train_unigram, unigram_doc_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    seg = train_unigram(
+        d, "text", max_word_len=10, piece_len=4, top_s=40, rounds=2
+    )
+    dt = unigram_doc_tokens(d, seg, "text", "doc_id", 10, extra_cols=("lang",))
+    return (
+        dt.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("word_occurrences"),
+            F.sum("n_pieces").cast("long").alias("piece_occurrences"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "word_occurrences",
+            "piece_occurrences",
+            F.when(
+                F.col("word_occurrences") > 0,
+                F.expr(
+                    "div(2*1000000*piece_occurrences + word_occurrences,"
+                    " 2*word_occurrences)"
+                )
+                / 1e6,
+            ).alias("pieces_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _oracle_unigram(M: int = 10, L: int = 4, S: int = 40, R: int = 2) -> str:
+    """DuckDB replay of unigram_tokenizer_report: both Viterbi rounds
+    unrolled as per-position CTE chains (the X36/X40 trajectory pattern) —
+    d{r}_{j} holds the best segmentation of every word's j-char prefix,
+    built from the ≤L prior positions; row_number ORDER BY s DESC, l DESC
+    mirrors the operator's array_max(struct(score, piece_len)) tie rule."""
+    parts = [
+        r"""WITH norm AS MATERIALIZED (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, lang, substr(u.word, 1, """ + str(M) + r""") AS w
+  FROM (SELECT doc_id, lang, string_split(t, ' ') AS ws FROM norm WHERE length(t) > 0),
+       UNNEST(ws) AS u(word)
+),
+wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM toks GROUP BY w),
+subs AS MATERIALIZED (
+  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM wf, UNNEST(range(1, len(w) + 1)) AS t(i), UNNEST(range(2, """ + str(L + 1) + r""")) AS u(l)
+  WHERE i + l - 1 <= len(w) GROUP BY 1
+),
+tops AS (SELECT piece, cnt FROM subs ORDER BY cnt DESC, piece LIMIT """ + str(S) + r"""),
+chars AS MATERIALIZED (
+  SELECT substr(w, CAST(i AS INT), 1) AS piece, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM wf, UNNEST(range(1, len(w) + 1)) AS t(i) GROUP BY 1
+),
+vocab0 AS MATERIALIZED (
+  SELECT piece, cnt FROM tops
+  UNION ALL
+  SELECT c.piece, c.cnt FROM chars c WHERE c.piece NOT IN (SELECT piece FROM tops)
+)"""
+    ]
+    for r in range(R):
+        parts.append(
+            f""",
+cost{r} AS MATERIALIZED (
+  SELECT piece, CAST(round(ln((cnt + 1.0) / (tv.tot + tv.v)) * 1e9) AS BIGINT) AS cost
+  FROM vocab{r}, (SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS v FROM vocab{r}) tv
+),
+d{r}_0 AS MATERIALIZED (SELECT w, wc, CAST(0 AS BIGINT) AS s, '' AS p FROM wf)"""
+        )
+        for j in range(1, M + 1):
+            legs = "\n    UNION ALL\n".join(
+                f"""    SELECT d.w, d.wc, d.s + c.cost AS s, {l} AS l,
+           d.p || ' ' || substr(d.w, {j - l + 1}, {l}) AS p
+    FROM d{r}_{j - l} d JOIN cost{r} c ON c.piece = substr(d.w, {j - l + 1}, {l})
+    WHERE len(d.w) >= {j}"""
+                for l in range(1, min(L, j) + 1)
+            )
+            parts.append(
+                f""",
+d{r}_{j} AS MATERIALIZED (
+  SELECT w, wc, s, p FROM (
+    SELECT q.*, row_number() OVER (PARTITION BY w ORDER BY s DESC, l DESC) AS rn
+    FROM (
+{legs}
+    ) q
+  ) WHERE rn = 1
+)"""
+            )
+        segsel = "\n  UNION ALL\n".join(
+            f"  SELECT w, wc, p FROM d{r}_{j} WHERE len(w) = {j}"
+            for j in range(1, M + 1)
+        )
+        parts.append(
+            f""",
+seg{r} AS MATERIALIZED (
+  SELECT w, wc, ltrim(p) AS p FROM (
+{segsel}
+  )
+)"""
+        )
+        if r < R - 1:
+            parts.append(
+                f""",
+use{r + 1} AS MATERIALIZED (
+  SELECT u.piece, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM seg{r}, UNNEST(string_split(p, ' ')) AS u(piece) GROUP BY 1
+),
+vocab{r + 1} AS MATERIALIZED (
+  SELECT v.piece, CAST(coalesce(u.cnt, 0) AS BIGINT) AS cnt
+  FROM vocab0 v LEFT JOIN use{r + 1} u USING (piece)
+)"""
+            )
+    parts.append(
+        f""",
+segF AS MATERIALIZED (SELECT w, CAST(len(string_split(p, ' ')) AS BIGINT) AS n_tokens FROM seg{R - 1}),
+perdoc AS MATERIALIZED (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nw, CAST(sum(s.n_tokens) AS BIGINT) AS np
+  FROM toks t JOIN segF s USING (w) GROUP BY t.doc_id
+),
+alldocs AS MATERIALIZED (
+  SELECT n.doc_id, n.lang, coalesce(p.nw, 0) AS nw, coalesce(p.np, 0) AS np
+  FROM norm n LEFT JOIN perdoc p USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS word_occurrences,
+       CAST(sum(np) AS BIGINT) AS piece_occurrences,
+       CASE WHEN sum(nw) > 0
+            THEN ((2*1000000*CAST(sum(np) AS BIGINT) + CAST(sum(nw) AS BIGINT))
+                  // (2*CAST(sum(nw) AS BIGINT))) / 1e6
+       END AS pieces_per_word
+FROM alldocs GROUP BY lang ORDER BY lang"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops (r3, wave 2): line dedup, domain caps, corpus mixing
 # ---------------------------------------------------------------------------
@@ -4014,6 +4170,7 @@ QUERIES = {
     "gopher_rules_report": gopher_rules_report,
     "dsir_selection_report": dsir_selection_report,
     "semdedup_report": semdedup_report,
+    "unigram_tokenizer_report": unigram_tokenizer_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -4032,10 +4189,10 @@ QUERIES = {
     "classifier_report": classifier_report,
     "split_report": split_report,
     "token_budget_report": token_budget_report,
-    "value_counts_lang": value_counts_lang,
     "quality_buckets": quality_buckets,
     "user_sessions": user_sessions,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "value_counts_lang": value_counts_lang,
     "order_value_quartiles": order_value_quartiles,
     "cube_status_priority": cube_status_priority,
     "supplier_name_concat": supplier_name_concat,
@@ -4085,6 +4242,7 @@ ORACLES = {
     "gopher_rules_report": ORACLE_GOPHER_RULES,
     "dsir_selection_report": ORACLE_DSIR_SELECTION,
     "semdedup_report": _oracle_semdedup(),
+    "unigram_tokenizer_report": _oracle_unigram(),
     "packing_report": ORACLE_PACKING_REPORT,
     "classifier_report": ORACLE_CLASSIFIER_REPORT,
     "split_report": ORACLE_SPLIT_REPORT,
