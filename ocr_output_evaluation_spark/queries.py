@@ -2822,6 +2822,122 @@ FROM alldocs GROUP BY lang ORDER BY lang"""
     return "".join(parts)
 
 
+def pq_ann_topk(spark, sf):
+    """X42 product-quantization ANN (operators/pq.py — Jégou et al. 2011,
+    IEEE TPAMI): per-subspace k-means codebooks (m=8 subspaces × k=16
+    centroids, 2 deterministic Lloyd iterations, md5 seeds, 6dp-quantized
+    state), vectors encoded to 8 small ints, query answered by ADC —
+    per-subspace 6dp distance-table lookups summed in subspace order.
+    Top-10 ascending ADC to vec_id 0's vector, vec_id tiebreak. Plan
+    shape: training is one zero-shuffle assignment map + ONE map-side
+    (subspace, cid, dim) mean per iteration (all m subspaces in the same
+    pass); encode is in-row; search scans the CODE column only and ends in
+    a TakeOrderedAndProject. Completes the ANN family (brute-force / LSH /
+    IVF / PQ). Reference analog: none."""
+    from .operators.pq import pq_adc_top_k, pq_encode, pq_train
+
+    e = t(spark, sf, "embeddings")
+    # query rounded by SPARK's round (the engine the oracle twins against),
+    # not python's half-even round
+    qrow = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+            ).alias("q")
+        )
+        .collect()
+    )
+    query = [float(x) for x in qrow[0][0]]
+    books = pq_train(e, "embedding", "vec_id", m=8, k=16, dim=64, iters=2)
+    codes = pq_encode(e, "embedding", "vec_id", books)
+    return pq_adc_top_k(codes, "vec_id", books, query, top_k=10)
+
+
+def _oracle_pq(m: int = 8, k: int = 16, dim: int = 64, iters: int = 2,
+               top_k: int = 10) -> str:
+    """DuckDB replay of pq_ann_topk: each subspace's Lloyd trajectory
+    unrolled as MATERIALIZED CTE chains (the X40/X41 pattern), squared-L2
+    via the UNNEST sum twin, empty cells keeping their previous centroid,
+    the query taken as vec_id 0's 6dp-rounded vector."""
+    sub = dim // m
+    seed = "md5('pq-seed-v1:' || CAST(vec_id AS VARCHAR))"
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT list_transform(v, x -> round(x, 6)) AS v FROM e WHERE vec_id = 0
+),
+seedv AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY {seed}, vec_id) AS cid,
+         list_transform(v, x -> round(x, 6)) AS sv
+  FROM (SELECT vec_id, v FROM e ORDER BY {seed}, vec_id LIMIT {k})
+)"""
+    ]
+    for s in range(m):
+        off = s * sub
+        parts.append(
+            f""",
+cb{s}_0 AS MATERIALIZED (SELECT cid, sv[{off + 1}:{off + sub}] AS cv FROM seedv)"""
+        )
+        for it in range(1, iters + 2):  # iters updates + final assignment
+            prev = f"cb{s}_{it - 1}"
+            parts.append(
+                f""",
+a{s}_{it} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM (
+      SELECT e.vec_id, c.cid,
+             round(sum((e.v[CAST({off} + t.i AS INT)] - c.cv[CAST(t.i AS INT)])
+                     * (e.v[CAST({off} + t.i AS INT)] - c.cv[CAST(t.i AS INT)])), 6) AS d
+      FROM e, {prev} c, UNNEST(range(1, {sub + 1})) AS t(i)
+      GROUP BY e.vec_id, c.cid
+    )
+  ) WHERE rn = 1
+)"""
+            )
+            if it <= iters:
+                parts.append(
+                    f""",
+m{s}_{it} AS MATERIALIZED (
+  SELECT a.cid, t.i AS pos, round(avg(e.v[CAST({off} + t.i AS INT)]), 6) AS mean
+  FROM a{s}_{it} a JOIN e USING (vec_id), UNNEST(range(1, {sub + 1})) AS t(i)
+  GROUP BY a.cid, t.i
+),
+cb{s}_{it} AS MATERIALIZED (
+  SELECT cid, list(mean ORDER BY pos) AS cv FROM m{s}_{it} GROUP BY cid
+  UNION ALL
+  SELECT c.cid, c.cv FROM {prev} c WHERE c.cid NOT IN (SELECT cid FROM m{s}_{it})
+)"""
+                )
+        parts.append(
+            f""",
+t{s} AS MATERIALIZED (
+  SELECT a.vec_id,
+         round(sum((q.v[CAST({off} + t.i AS INT)] - c.cv[CAST(t.i AS INT)])
+                 * (q.v[CAST({off} + t.i AS INT)] - c.cv[CAST(t.i AS INT)])), 6) AS d
+  FROM a{s}_{iters + 1} a JOIN cb{s}_{iters} c USING (cid), q,
+       UNNEST(range(1, {sub + 1})) AS t(i)
+  GROUP BY a.vec_id
+)"""
+        )
+    chain = " + ".join(f"t{s}.d" for s in range(m))
+    joins = "\n".join(f"JOIN t{s} USING (vec_id)" for s in range(m))
+    parts.append(
+        f"""
+SELECT vec_id, round({chain}, 6) AS adc
+FROM e
+{joins}
+ORDER BY {chain} ASC, vec_id
+LIMIT {top_k}"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops (r3, wave 2): line dedup, domain caps, corpus mixing
 # ---------------------------------------------------------------------------
@@ -4171,6 +4287,7 @@ QUERIES = {
     "dsir_selection_report": dsir_selection_report,
     "semdedup_report": semdedup_report,
     "unigram_tokenizer_report": unigram_tokenizer_report,
+    "pq_ann_topk": pq_ann_topk,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -4189,9 +4306,9 @@ QUERIES = {
     "classifier_report": classifier_report,
     "split_report": split_report,
     "token_budget_report": token_budget_report,
-    "quality_buckets": quality_buckets,
     "user_sessions": user_sessions,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "quality_buckets": quality_buckets,
     "value_counts_lang": value_counts_lang,
     "order_value_quartiles": order_value_quartiles,
     "cube_status_priority": cube_status_priority,
@@ -4243,6 +4360,7 @@ ORACLES = {
     "dsir_selection_report": ORACLE_DSIR_SELECTION,
     "semdedup_report": _oracle_semdedup(),
     "unigram_tokenizer_report": _oracle_unigram(),
+    "pq_ann_topk": _oracle_pq(),
     "packing_report": ORACLE_PACKING_REPORT,
     "classifier_report": ORACLE_CLASSIFIER_REPORT,
     "split_report": ORACLE_SPLIT_REPORT,

@@ -182,6 +182,7 @@ def main() -> None:
         quantile_gate_report,
         range_funnel_report,
         token_budget_report,
+        unigram_tokenizer_report,
         user_sessions,
     )
     from ocr_output_evaluation_spark.session import get_spark
@@ -222,6 +223,12 @@ def main() -> None:
         # assignment + per-cluster Gram pruning; ~linear wall time expected
         # (assignment n*k flops via BLAS, pair work n*cluster_size)
         "semdedup_np": (_semdedup_np_spot, (1, mult_hi), "embeddings"),
+        # r4b: unigram tokenizer — the trainer is VOCABULARY-scale (the spot
+        # corpus vocab is fixed at 500 words whatever n), so only the two
+        # corpus scans (word freqs + broadcast apply) should grow; expect
+        # far-sublinear wall time
+        "unigram_tokenizer_report": (
+            unigram_tokenizer_report, (1, mult_hi), "documents"),
     }
     report: dict = {"metric": "sf1_spot_check", "unit": "sec", "base_rows": BASE,
                     "mult_hi": mult_hi, "cpus": cpus}
