@@ -179,6 +179,7 @@ def main() -> None:
         exact_substr_report,
         line_dedup_report,
         minhash_pairs,
+        pq_ann_topk,
         quantile_gate_report,
         range_funnel_report,
         token_budget_report,
@@ -229,6 +230,9 @@ def main() -> None:
         # far-sublinear wall time
         "unigram_tokenizer_report": (
             unigram_tokenizer_report, (1, mult_hi), "documents"),
+        # r4b: PQ ANN — training is two linear scans (assignment map +
+        # bounded mean agg), encode/ADC are in-row; expect ~linear
+        "pq_ann_topk": (pq_ann_topk, (1, mult_hi), "embeddings"),
     }
     report: dict = {"metric": "sf1_spot_check", "unit": "sec", "base_rows": BASE,
                     "mult_hi": mult_hi, "cpus": cpus}
