@@ -206,3 +206,133 @@ def pq_adc_top_k(
         .limit(top_k)
         .select(id_col, _round6(F.col("adc")).alias("adc"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite (the FAISS IVFPQ layout, Jégou et al. 2011 §IV): a coarse
+# quantizer routes vectors to cells; RESIDUALS (v − coarse centroid) are
+# PQ-encoded; a query probes only its nearest cells and ADC-scans their
+# codes. At scale this is THE billion-vector shape: the cell id is a
+# partition column (probing = partition pruning — the scan never touches
+# unprobed cells) and each row is m small ints. Fully deterministic: the
+# coarse quantizer is pq_train with m=1, residot encoding reuses the same
+# quantized-Lloyd machinery, probes are chosen by a Spark-computed 6dp
+# distance ranking (engine-parity with the DuckDB oracle, no python float).
+# ---------------------------------------------------------------------------
+def _coarse_cell(vec_col: Column, coarse: list[list[float]]) -> Column:
+    return _argmin_code(vec_col, coarse)
+
+
+def _residual(vec_col: Column, coarse: list[list[float]], cell: Column) -> Column:
+    """v − coarse[cell], via one literal array-of-arrays lookup (in-row)."""
+    tbl = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    cc = F.element_at(tbl, cell.cast("int"))
+    return F.zip_with(vec_col, cc, lambda x, y: x.cast("double") - y)
+
+
+def ivfpq_build(
+    vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+):
+    """-> (coarse, books, codes): the coarse codebook (n_cells full-dim
+    centroids, trained as pq_train m=1), the residual PQ codebooks, and
+    the code frame (id_col, cell BIGINT, code ARRAY<BIGINT>). Residuals
+    are computed in-row (no join); write `codes` partitioned by `cell` so
+    probing prunes partitions."""
+    coarse = pq_train(vecs, vec_col, id_col, m=1, k=n_cells, dim=dim, iters=iters)[0]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cell = _coarse_cell(v, coarse)
+    resid = vecs.select(
+        F.col(id_col),
+        cell.alias("cell"),
+        _residual(v, coarse, cell).alias("_resid"),
+    )
+    books = pq_train(resid, "_resid", id_col, m=m, k=k, dim=dim, iters=iters)
+    sub = dim // m
+    codes = resid.select(
+        id_col,
+        "cell",
+        F.array(
+            *[
+                _argmin_code(F.slice(F.col("_resid"), s * sub + 1, sub), books[s])
+                for s in range(m)
+            ]
+        ).alias("code"),
+    )
+    return coarse, books, codes
+
+
+def ivfpq_probe_cells(
+    spark, coarse: list[list[float]], query: list[float], n_probe: int
+) -> list[int]:
+    """The n_probe cells nearest the query — ranked BY SPARK (6dp squared
+    L2, cell-id tiebreak) over a literal n_cells-row frame, so the choice
+    is bit-identical to the DuckDB oracle's replay (a driver-side python
+    ranking would reintroduce python-float rounding)."""
+    rows = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(coarse)], "cell long, cv array<double>"
+    )
+    ranked = (
+        rows.select("cell", _round6(_sq_l2(F.col("cv"), query)).alias("d"))
+        .orderBy("d", "cell")
+        .limit(n_probe)
+        .collect()
+    )
+    return [int(r.cell) for r in ranked]
+
+
+def ivfpq_top_k(
+    codes: DataFrame,
+    id_col: str,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    query: list[float],
+    n_probe: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """ADC over the probed cells only: filter cell ∈ probes (partition
+    pruning when codes are cell-partitioned), per-cell residual query
+    q − coarse[cell], per-subspace 6dp table lookups summed in subspace
+    order, global top-k ascending (TakeOrderedAndProject)."""
+    spark = codes.sparkSession
+    probes = ivfpq_probe_cells(spark, coarse, query, n_probe)
+    m = len(books)
+    sub = len(books[0][0])
+
+    def cell_adc(cell: int) -> Column:
+        qr = [query[p] - coarse[cell - 1][p] for p in range(len(query))]
+        # qr is literal-arithmetic on Spark-rounded inputs — exact doubles the
+        # oracle reproduces with the same subtraction
+        adc = None
+        for s in range(m):
+            qs = qr[s * sub : (s + 1) * sub]
+            tbl = F.array(
+                *[
+                    _round6(_sq_l2(F.array(*[F.lit(float(x)) for x in qs]), c))
+                    for c in books[s]
+                ]
+            )
+            term = F.element_at(
+                tbl, F.element_at(F.col("code"), s + 1).cast("int")
+            )
+            adc = term if adc is None else adc + term
+        return adc
+
+    score = F.when(F.col("cell") == probes[0], cell_adc(probes[0]))
+    for cell in probes[1:]:
+        score = score.when(F.col("cell") == cell, cell_adc(cell))
+    # chained whens stay linear here (n_probe branches, no self-reference —
+    # not the 2^n running-best trap)
+    return (
+        codes.filter(F.col("cell").isin([int(c) for c in probes]))
+        .select(id_col, "cell", "code", score.alias("adc"))
+        .orderBy(F.asc("adc"), F.col(id_col))
+        .limit(top_k)
+        .select(id_col, F.col("cell"), _round6(F.col("adc")).alias("adc"))
+    )

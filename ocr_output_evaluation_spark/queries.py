@@ -2938,6 +2938,148 @@ LIMIT {top_k}"""
     return "".join(parts)
 
 
+def ivfpq_ann_topk(spark, sf):
+    """X43 IVF-PQ composite ANN (operators/pq.py — the FAISS IVFPQ layout,
+    Jégou et al. 2011 §IV): a coarse quantizer (deterministic Lloyd, m=1)
+    routes vectors to 8 cells; RESIDUALS v − coarse[cell] are PQ-encoded
+    (m=8 × k=16); the query probes its 3 nearest cells and ADC-scans their
+    codes only. Probe choice is ranked BY SPARK over the literal coarse
+    frame (engine-parity — no python-float rounding picks discrete
+    outcomes). At scale the cell id is a partition column: probing IS
+    partition pruning, and each row is m small ints — the billion-vector
+    index shape; plan ends in a TakeOrderedAndProject. Fully oracle-
+    replayed: coarse trajectory, residuals, all 8 residual-codebook
+    trajectories, probe ranking, ADC. Reference analog: none."""
+    from .operators.pq import ivfpq_build, ivfpq_top_k
+
+    e = t(spark, sf, "embeddings")
+    qrow = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+            ).alias("q")
+        )
+        .collect()
+    )
+    query = [float(x) for x in qrow[0][0]]
+    coarse, books, codes = ivfpq_build(
+        e, "embedding", "vec_id", n_cells=8, m=8, k=16, dim=64, iters=2
+    )
+    return ivfpq_top_k(codes, "vec_id", coarse, books, query, n_probe=3, top_k=10)
+
+
+def _oracle_ivfpq(n_cells: int = 8, m: int = 8, k: int = 16, dim: int = 64,
+                  iters: int = 2, n_probe: int = 3, top_k: int = 10) -> str:
+    """DuckDB replay of ivfpq_ann_topk: the coarse Lloyd chain (full-dim,
+    k=n_cells), the residual construction, all m residual-codebook chains,
+    the probe ranking, and the per-cell residual ADC — every CTE
+    MATERIALIZED (the X41 exponential-inlining lesson)."""
+    sub = dim // m
+    seed = "md5('pq-seed-v1:' || CAST(vec_id AS VARCHAR))"
+
+    def kmeans_chain(pre: str, src: str, seedcte: str, off: int, d: int,
+                     kk: int, its: int) -> str:
+        out = [f""",
+{pre}cb_0 AS MATERIALIZED (SELECT cid, sv[{off + 1}:{off + d}] AS cv FROM {seedcte})"""]
+        for it in range(1, its + 2):
+            prev = f"{pre}cb_{it - 1}"
+            out.append(f""",
+{pre}a_{it} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM (
+      SELECT e.vec_id, c.cid,
+             round(sum((e.v[CAST({off} + t.i AS INT)] - c.cv[CAST(t.i AS INT)])
+                     * (e.v[CAST({off} + t.i AS INT)] - c.cv[CAST(t.i AS INT)])), 6) AS d
+      FROM {src} e, {prev} c, UNNEST(range(1, {d + 1})) AS t(i)
+      GROUP BY e.vec_id, c.cid
+    )
+  ) WHERE rn = 1
+)""")
+            if it <= its:
+                out.append(f""",
+{pre}m_{it} AS MATERIALIZED (
+  SELECT a.cid, t.i AS pos, round(avg(e.v[CAST({off} + t.i AS INT)]), 6) AS mean
+  FROM {pre}a_{it} a JOIN {src} e USING (vec_id), UNNEST(range(1, {d + 1})) AS t(i)
+  GROUP BY a.cid, t.i
+),
+{pre}cb_{it} AS MATERIALIZED (
+  SELECT cid, list(mean ORDER BY pos) AS cv FROM {pre}m_{it} GROUP BY cid
+  UNION ALL
+  SELECT c.cid, c.cv FROM {prev} c WHERE c.cid NOT IN (SELECT cid FROM {pre}m_{it})
+)""")
+        return "".join(out)
+
+    parts = [f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT list_transform(v, x -> round(x, 6)) AS v FROM e WHERE vec_id = 0
+),
+cseedv AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY {seed}, vec_id) AS cid,
+         list_transform(v, x -> round(x, 6)) AS sv
+  FROM (SELECT vec_id, v FROM e ORDER BY {seed}, vec_id LIMIT {n_cells})
+)"""]
+    parts.append(kmeans_chain("c", "e", "cseedv", 0, dim, n_cells, iters))
+    parts.append(f""",
+resid AS MATERIALIZED (
+  SELECT a.vec_id, list(e.v[CAST(t.i AS INT)] - c.cv[CAST(t.i AS INT)] ORDER BY t.i) AS v
+  FROM ca_{iters + 1} a JOIN e USING (vec_id) JOIN ccb_{iters} c USING (cid),
+       UNNEST(range(1, {dim + 1})) AS t(i)
+  GROUP BY a.vec_id
+),
+rseedv AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY {seed}, vec_id) AS cid,
+         list_transform(v, x -> round(x, 6)) AS sv
+  FROM (SELECT vec_id, v FROM resid ORDER BY {seed}, vec_id LIMIT {k})
+)""")
+    for s in range(m):
+        parts.append(
+            kmeans_chain(f"r{s}", "resid", "rseedv", s * sub, sub, k, iters)
+        )
+    parts.append(f""",
+probe AS MATERIALIZED (
+  SELECT cid FROM (
+    SELECT c.cid,
+           round(sum((c.cv[CAST(t.i AS INT)] - q.v[CAST(t.i AS INT)])
+                   * (c.cv[CAST(t.i AS INT)] - q.v[CAST(t.i AS INT)])), 6) AS d
+    FROM ccb_{iters} c, q, UNNEST(range(1, {dim + 1})) AS t(i)
+    GROUP BY c.cid
+  ) ORDER BY d ASC, cid ASC LIMIT {n_probe}
+)""")
+    for s in range(m):
+        off = s * sub
+        parts.append(f""",
+t{s} AS MATERIALIZED (
+  SELECT a.vec_id,
+         round(sum(((q.v[CAST({off} + t.i AS INT)] - cc.cv[CAST({off} + t.i AS INT)])
+                    - c.cv[CAST(t.i AS INT)])
+                 * ((q.v[CAST({off} + t.i AS INT)] - cc.cv[CAST({off} + t.i AS INT)])
+                    - c.cv[CAST(t.i AS INT)])), 6) AS d
+  FROM ca_{iters + 1} a
+  JOIN ccb_{iters} cc ON cc.cid = a.cid
+  JOIN r{s}a_{iters + 1} r2 ON r2.vec_id = a.vec_id
+  JOIN r{s}cb_{iters} c ON c.cid = r2.cid, q,
+       UNNEST(range(1, {sub + 1})) AS t(i)
+  WHERE a.cid IN (SELECT cid FROM probe)
+  GROUP BY a.vec_id
+)""")
+    chain = " + ".join(f"t{s}.d" for s in range(m))
+    joins = "\n".join(f"JOIN t{s} USING (vec_id)" for s in range(m))
+    parts.append(f"""
+SELECT vec_id, a.cid AS cell, round({chain}, 6) AS adc
+FROM ca_{iters + 1} a
+{joins}
+WHERE a.cid IN (SELECT cid FROM probe)
+ORDER BY {chain} ASC, vec_id
+LIMIT {top_k}""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops (r3, wave 2): line dedup, domain caps, corpus mixing
 # ---------------------------------------------------------------------------
@@ -4293,6 +4435,7 @@ QUERIES = {
     "semdedup_report": semdedup_report,
     "unigram_tokenizer_report": unigram_tokenizer_report,
     "pq_ann_topk": pq_ann_topk,
+    "ivfpq_ann_topk": ivfpq_ann_topk,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -4303,7 +4446,6 @@ QUERIES = {
     "contamination_report": contamination_report,
     "line_dedup_report": line_dedup_report,
     "bpe_merge_report": bpe_merge_report,
-    "packing_report": packing_report,
     "repetition_report": repetition_report,
     "pii_scrub_report": pii_scrub_report,
     "domain_cap_report": domain_cap_report,
@@ -4313,6 +4455,7 @@ QUERIES = {
     "token_budget_report": token_budget_report,
     "user_sessions": user_sessions,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "packing_report": packing_report,
     "quality_buckets": quality_buckets,
     "value_counts_lang": value_counts_lang,
     "order_value_quartiles": order_value_quartiles,
@@ -4366,6 +4509,7 @@ ORACLES = {
     "semdedup_report": _oracle_semdedup(),
     "unigram_tokenizer_report": _oracle_unigram(),
     "pq_ann_topk": _oracle_pq(),
+    "ivfpq_ann_topk": _oracle_ivfpq(),
     "packing_report": ORACLE_PACKING_REPORT,
     "classifier_report": ORACLE_CLASSIFIER_REPORT,
     "split_report": ORACLE_SPLIT_REPORT,

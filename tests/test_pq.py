@@ -138,3 +138,58 @@ def test_pq_search_scans_codes_only(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         for sec in scan_sections(plan):
             assert "embedding" not in sec  # codes-only scan
+
+
+def test_ivfpq_finds_planted_cluster_and_probes_prune(spark):
+    """X43: the planted query-cluster must survive coarse routing + residual
+    quantization; results come only from probed cells; probing every cell
+    reproduces a superset ranking; re-runs identical."""
+    import numpy as np
+
+    from ocr_output_evaluation_spark.operators.pq import ivfpq_build, ivfpq_top_k
+
+    rng = np.random.default_rng(9)
+    center = rng.normal(size=64) * 0.5
+    rows = [(i, (center + rng.normal(scale=1e-3, size=64)).tolist()) for i in range(10)]
+    for g in range(4):  # far-away noise clumps
+        c2 = rng.normal(size=64) * 0.5 + (g + 2) * 4.0
+        rows += [(100 + g * 50 + i, (c2 + rng.normal(scale=0.1, size=64)).tolist())
+                 for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in
+         df.filter(F.col("vec_id") == 0)
+         .select(F.transform("embedding", lambda x: F.round(x, 6)).alias("q"))
+         .collect()[0][0]]
+    coarse, books, codes = ivfpq_build(df, "embedding", "vec_id",
+                                       n_cells=6, m=8, k=16, dim=64, iters=2)
+    top = ivfpq_top_k(codes, "vec_id", coarse, books, q, n_probe=2, top_k=10)
+    got = [r.vec_id for r in top.collect()]
+    assert sorted(got) == list(range(10))  # exactly the planted cluster
+    assert got == [r.vec_id for r in top.collect()]  # deterministic
+
+    cells = {r.cell for r in top.collect()}
+    from ocr_output_evaluation_spark.operators.pq import ivfpq_probe_cells
+
+    probes = set(ivfpq_probe_cells(spark, coarse, q, 2))
+    assert cells <= probes  # nothing outside the probed cells
+
+
+def test_ivfpq_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """Codes written partitioned by cell: the probe filter must reach the
+    scan as a partition filter (only probed cells read), TakeOrdered tail,
+    no joins, no Python."""
+    from ocr_output_evaluation_spark.operators.pq import ivfpq_build, ivfpq_top_k
+    from tests.test_plans import n_nodes, plan_of
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coarse, books, codes = ivfpq_build(e, "embedding", "vec_id",
+                                       n_cells=8, m=8, k=16, dim=64, iters=1)
+    out = str(tmp_path / "codes")
+    codes.write.partitionBy("cell").parquet(out)
+    stored = spark.read.parquet(out)
+    q = [0.1] * 64
+    plan = plan_of(ivfpq_top_k(stored, "vec_id", coarse, books, q, n_probe=3, top_k=10))
+    assert n_nodes(plan, "TakeOrderedAndProject") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters:")[1][:120]
