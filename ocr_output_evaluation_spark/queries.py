@@ -4391,7 +4391,7 @@ FROM p GROUP BY user_id
 #   - tail: r3-recorded stalwarts sitting out one round (back in r5).
 # NEVER insert a new query mid-dict: append after the rotation block and
 # demote a recorded-last-round stalwart to the tail instead.
-# r5 rotation (due at round start): swap the 34-entry tail below
+# r5 rotation (due at round start): swap the 35-entry tail below
 # (quality_buckets … enrich_union_stats) into slots 0-49 — every tail entry
 # was r3-driver-recorded or is local-strict green, but none will have an r4
 # row; the r4-recorded block (this window) demotes to the tail in exchange,

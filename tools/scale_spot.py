@@ -176,6 +176,7 @@ def main() -> None:
         contamination_report,
         dsir_selection_report,
         embedding_pair_topk,
+        ivfpq_ann_topk,
         exact_substr_report,
         line_dedup_report,
         minhash_pairs,
@@ -233,6 +234,8 @@ def main() -> None:
         # r4b: PQ ANN — training is two linear scans (assignment map +
         # bounded mean agg), encode/ADC are in-row; expect ~linear
         "pq_ann_topk": (pq_ann_topk, (1, mult_hi), "embeddings"),
+        # r4b: IVF-PQ — same fixed training cost + probed (pruned) scan
+        "ivfpq_ann_topk": (ivfpq_ann_topk, (1, mult_hi), "embeddings"),
     }
     report: dict = {"metric": "sf1_spot_check", "unit": "sec", "base_rows": BASE,
                     "mult_hi": mult_hi, "cpus": cpus}
