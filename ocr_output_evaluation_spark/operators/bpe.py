@@ -151,3 +151,106 @@ def bpe_vocab(trained: DataFrame) -> DataFrame:
     return trained.select(
         "word", F.size(F.split("seq", " ")).cast("long").alias("n_tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece training (X44) — completes the tokenizer family (BPE X36,
+# unigram-LM X41, WordPiece here). Reference analog: none (training-data
+# layer, SURVEY §2.13).
+#
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer per Wu et al.
+# 2016 §4.1 / Devlin et al. 2019) differs from BPE in ONE place: the merge
+# argmax. BPE takes the most FREQUENT adjacent pair; WordPiece takes the
+# pair maximizing the unigram-LM likelihood gain
+#
+#     score(a, b) = count(ab) / (count(a) * count(b))
+#
+# over the CURRENT segmentation — a cohesion ratio, so a rare pair whose
+# halves only ever occur together beats a frequent pair of promiscuous
+# units. (The "##" continuation glyph is a display convention for the
+# learned pieces, not part of the selection loop; symbols here are plain
+# substrings, as in X36.)
+#
+# Exact replayability (the X29/X39/X40 quantize-the-loop-state trick): the
+# ratio is never computed in floats. Both engines rank by the BIGINT
+#
+#     nano_score = (count(ab) * 10^9) DIV (count(a) * count(b))
+#
+# — positive-integer truncating division, identical in Spark (`div`) and
+# DuckDB (`//`) — with (a, b) ascending tie-break on quantized collisions.
+# The selected trajectory is therefore bit-identical in both engines and
+# the whole trainer unrolls as SQL CTEs exactly like X36's. At 10^9-scale
+# unit counts the products approach BIGINT range; production would widen
+# the arithmetic to DECIMAL(38,0) — at that point the corpus is large
+# enough that quantization collisions are the least of one's worries.
+#
+# Scale shape: identical to train_bpe (every step vocabulary-scale over
+# the distinct-word frame) plus one extra map-side-combined agg per step
+# (the per-symbol unit census) and two joins of the pair frame against
+# that census — the census is at most |alphabet| + n_merges rows, so both
+# joins broadcast it.
+# ---------------------------------------------------------------------------
+_WP_SCALE = 1_000_000_000
+
+
+def train_wordpiece(
+    words: DataFrame, n_merges: int
+) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Iterative WordPiece training over a (word, wcount) frame.
+
+    Returns (trained frame (word, wcount, seq), ordered merge list) exactly
+    like train_bpe; only the per-step argmax differs (likelihood score,
+    see module comment). Words must be non-empty strings.
+    """
+    w = words.select(
+        "word", "wcount", F.concat_ws(" ", F.split("word", "")).alias("seq")
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        w = w.localCheckpoint()
+        syms = F.split("seq", " ")
+        n = F.size(syms)
+        units = (
+            w.select("wcount", F.explode(syms).alias("s"))
+            .groupBy("s")
+            .agg(F.sum("wcount").cast("long").alias("ucnt"))
+        )
+        pairs = w.select(
+            "wcount",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(syms, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+                    F.slice(syms, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+                )
+            ).alias("p"),
+        )
+        pc = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wcount").cast("long").alias("cnt"))
+        )
+        scored = (
+            pc.join(
+                F.broadcast(units.select(F.col("s").alias("a"),
+                                         F.col("ucnt").alias("ua"))),
+                "a",
+            )
+            .join(
+                F.broadcast(units.select(F.col("s").alias("b"),
+                                         F.col("ucnt").alias("ub"))),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                F.expr(
+                    f"(cnt * CAST({_WP_SCALE} AS BIGINT)) div (ua * ub)"
+                ).alias("score"),
+            )
+        )
+        best = scored.orderBy(F.col("score").desc(), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        w = w.withColumn("seq", _apply_merge(F.col("seq"), a, b))
+    return w.localCheckpoint(), merges

@@ -3719,6 +3719,140 @@ ORDER BY b.lang
 """
 
 
+_WP_ENCODE_MERGES = 8
+
+
+def wordpiece_encode_report(spark, sf):
+    """WordPiece encode (X44, operators/bpe.py train_wordpiece): the BERT
+    tokenizer's trainer — identical loop to X36's BPE except the per-step
+    argmax maximizes the unigram-likelihood score count(ab)/(count(a)*
+    count(b)) instead of raw pair frequency, computed as the exact BIGINT
+    nano-score (cnt*10^9) div (ua*ub) so both engines pick bit-identical
+    merges (positive truncating division: Spark ``div`` == DuckDB ``//``).
+    The ``merges`` column pins the full 8-step training TRAJECTORY in the
+    oracle hash; per-lang WordPiece token counts come from the same
+    broadcast vocab map-back as X36."""
+    from .functions.ngram import word_tokens
+    from .operators.bpe import bpe_vocab, train_wordpiece, word_frequencies
+
+    d = t(spark, sf, "documents")
+    trained, merges = train_wordpiece(
+        word_frequencies(d, "text"), _WP_ENCODE_MERGES
+    )
+    vocab = bpe_vocab(trained)
+    dw = (
+        d.select("lang", F.explode(word_tokens(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok = (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_tok")).cast("long").alias("wp_tokens"),
+        )
+    )
+    base = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nw = F.coalesce(F.col("n_words"), F.lit(0).cast("long"))
+    wt = F.coalesce(F.col("wp_tokens"), F.lit(0).cast("long"))
+    return (
+        base.join(F.broadcast(tok), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            nw.alias("n_words"),
+            wt.alias("wp_tokens"),
+            F.when(nw > 0, F.round(wt / nw, 6)).alias("tokens_per_word"),
+            F.lit(" ".join(a + b for a, b in merges)).alias("merges"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _wp_trainer_ctes(n_merges: int = _WP_ENCODE_MERGES) -> str:
+    """Unrolled-CTE replay of the full iterative WordPiece trainer — the
+    _bpe_trainer_ctes chain plus, per merge i, a u{i} per-symbol unit
+    census; m{i} ranks by the exact nano-score (cnt*10^9) // (ua*ub)
+    (DuckDB sums into HUGEINT so the product can't overflow where Spark's
+    ANSI mode would instead abort loudly — at oracle scale both stay well
+    inside BIGINT), tie-break (a, b) asc. Saturation handling is X36's:
+    empty m{i} LEFT JOIN ... ON TRUE makes the fold a no-op."""
+    steps = []
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        steps.append(rf"""u{i} AS MATERIALIZED (
+  SELECT tok AS s, sum(wc) AS ucnt
+  FROM (SELECT string_split(seq, ' ') AS ss, wc FROM w{p}), UNNEST(ss) AS t(tok)
+  GROUP BY tok
+),
+p{i} AS MATERIALIZED (
+  SELECT s[j] AS a, s[j + 1] AS b, sum(wc) AS cnt
+  FROM (SELECT string_split(seq, ' ') AS s, wc FROM w{p}),
+       UNNEST(range(1, len(s))) AS r(j)
+  GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (
+  SELECT p.a, p.b FROM p{i} p
+  JOIN u{i} ua ON ua.s = p.a
+  JOIN u{i} ub ON ub.s = p.b
+  ORDER BY (p.cnt * 1000000000) // (ua.ucnt * ub.ucnt) DESC, p.a, p.b
+  LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT word, wc,
+         list_reduce(string_split(seq, ' '),
+           (acc, x) -> CASE WHEN split_part(acc, ' ', -1) = m.a AND x = m.b
+                            THEN acc || x ELSE acc || ' ' || x END) AS seq
+  FROM w{p} LEFT JOIN m{i} m ON TRUE
+)""")
+    return rf"""norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{{L}} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+words AS (
+  SELECT tok AS word, count(*) AS wc
+  FROM (SELECT string_split(t, ' ') AS w FROM norm WHERE length(t) > 0),
+       UNNEST(w) AS u(tok)
+  GROUP BY tok
+),
+w0 AS (SELECT word, wc, array_to_string(string_split(word, ''), ' ') AS seq FROM words),
+{",".join(steps)},
+vocab AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok FROM w{n_merges})"""
+
+
+def _oracle_wordpiece_encode(n_merges: int = _WP_ENCODE_MERGES) -> str:
+    merge_parts = ", ".join(
+        f"(SELECT a || b FROM m{i})" for i in range(1, n_merges + 1)
+    )
+    return rf"""
+WITH {_wp_trainer_ctes(n_merges)},
+docw AS (
+  SELECT lang, tok AS word, count(*) AS c
+  FROM (SELECT lang, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0),
+       UNNEST(w) AS u(tok)
+  GROUP BY lang, tok
+),
+tokc AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(sum(c * n_tok) AS BIGINT) AS wp_tokens
+  FROM docw JOIN vocab USING (word) GROUP BY lang
+),
+base AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+mstr AS (SELECT concat_ws(' ', {merge_parts}) AS merges)
+SELECT b.lang, b.n_docs,
+       coalesce(n_words, 0) AS n_words,
+       coalesce(wp_tokens, 0) AS wp_tokens,
+       CASE WHEN coalesce(n_words, 0) > 0
+            THEN round(wp_tokens * 1.0 / n_words, 6) END AS tokens_per_word,
+       (SELECT merges FROM mstr) AS merges
+FROM base b LEFT JOIN tokc USING (lang)
+ORDER BY b.lang
+"""
+
+
 def bpe_packing_report(spark, sf):
     """Sequence packing over REAL BPE token counts (X36 -> X28, closing the
     tokenizer loop VERDICT r3 item 5 asked for): the iterative trainer's
@@ -4391,8 +4525,8 @@ FROM p GROUP BY user_id
 #   - tail: r3-recorded stalwarts sitting out one round (back in r5).
 # NEVER insert a new query mid-dict: append after the rotation block and
 # demote a recorded-last-round stalwart to the tail instead.
-# r5 rotation (due at round start): swap the 35-entry tail below
-# (quality_buckets … enrich_union_stats) into slots 0-49 — every tail entry
+# r5 rotation (due at round start): swap the 36-entry tail below
+# (user_sessions … enrich_union_stats) into slots 0-49 — every tail entry
 # was r3-driver-recorded or is local-strict green, but none will have an r4
 # row; the r4-recorded block (this window) demotes to the tail in exchange,
 # keeping the every-other-round driver-row guarantee.
@@ -4436,6 +4570,7 @@ QUERIES = {
     "unigram_tokenizer_report": unigram_tokenizer_report,
     "pq_ann_topk": pq_ann_topk,
     "ivfpq_ann_topk": ivfpq_ann_topk,
+    "wordpiece_encode_report": wordpiece_encode_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -4453,8 +4588,8 @@ QUERIES = {
     "classifier_report": classifier_report,
     "split_report": split_report,
     "token_budget_report": token_budget_report,
-    "user_sessions": user_sessions,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "user_sessions": user_sessions,
     "packing_report": packing_report,
     "quality_buckets": quality_buckets,
     "value_counts_lang": value_counts_lang,
@@ -4501,6 +4636,7 @@ ORACLES = {
     "mixing_report": ORACLE_MIXING_REPORT,
     "bpe_merge_report": ORACLE_BPE_MERGE_REPORT,
     "bpe_encode_report": _oracle_bpe_encode(),
+    "wordpiece_encode_report": _oracle_wordpiece_encode(),
     "exact_substr_report": ORACLE_EXACT_SUBSTR_REPORT,
     "bpe_packing_report": _oracle_bpe_packing(),
     "exact_substr_keep_one_report": ORACLE_EXACT_SUBSTR_KEEP_ONE,

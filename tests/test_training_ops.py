@@ -487,3 +487,99 @@ def test_gopher_rules_single_exchange(spark, sf_dir):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, plan  # hash rollup exchange + orderBy range
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# X44 WordPiece trainer
+# ---------------------------------------------------------------------------
+def _wp_model(words: list[tuple[str, int]], n_merges: int):
+    """Pure-python replay of operators/bpe.py train_wordpiece: per step,
+    weighted unit census + weighted adjacent-pair counts over the current
+    segmentation, argmax of the quantized BIGINT nano-score
+    (cnt*10^9)//(ua*ub) with (a, b) asc tie-break, leftmost-non-overlap
+    merge application (append-without-separator fold twin)."""
+    seqs = {w: list(w) for w, _ in words}
+    wc = dict(words)
+    merges = []
+    for _ in range(n_merges):
+        units: dict[str, int] = {}
+        pairs: dict[tuple[str, str], int] = {}
+        for w, seq in seqs.items():
+            for s in seq:
+                units[s] = units.get(s, 0) + wc[w]
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + wc[w]
+        if not pairs:
+            break
+        best = min(
+            pairs,
+            key=lambda p: (-(pairs[p] * 10**9 // (units[p[0]] * units[p[1]])),
+                           p[0], p[1]),
+        )
+        merges.append(best)
+        a, b = best
+        for w, seq in seqs.items():
+            out = [seq[0]]
+            for x in seq[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            seqs[w] = out
+    return merges, {w: " ".join(s) for w, s in seqs.items()}
+
+
+def test_train_wordpiece_cohesion_beats_frequency(spark):
+    """The defining WordPiece-vs-BPE divergence, hand-traced: pair (a,q)
+    is most FREQUENT (cnt 40) but its units are promiscuous
+    (u_a=50, u_q=80 -> score 40e9/4000 = 1e7); pair (x,y) is rare (cnt 3)
+    but perfectly cohesive (u_x=u_y=3 -> score 3e9/9 ~ 3.3e8). BPE merges
+    (a,q) first; WordPiece must merge (x,y) first."""
+    from ocr_output_evaluation_spark.operators.bpe import (
+        train_bpe,
+        train_wordpiece,
+    )
+
+    words = spark.createDataFrame(
+        [("ab", 10), ("aq", 40), ("bq", 40), ("xy", 3)],
+        "word string, wcount long",
+    )
+    _, wp = train_wordpiece(words, 2)
+    _, bp = train_bpe(words, 2)
+    assert wp[0] == ("x", "y")
+    assert bp[0] == ("a", "q")
+    assert wp == [("x", "y"), ("a", "q")]
+
+
+def test_train_wordpiece_python_model_replay(spark):
+    """Full-trajectory parity vs the pure-python model on the Sennrich
+    corpus: every merge (8 steps of census -> nano-score argmax -> fold)
+    and every final segmentation identical. First merge hand-checked:
+    (i,d) cnt=3 u_i=3 u_d=3 -> score 3.33e8 beats (e,s) cnt=9 u_e=17
+    u_s=9 -> 5.88e7 — cohesion over frequency again."""
+    from ocr_output_evaluation_spark.operators.bpe import train_wordpiece
+
+    corpus = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    words = spark.createDataFrame(corpus, "word string, wcount long")
+    trained, merges = train_wordpiece(words, 8)
+    exp_merges, exp_seqs = _wp_model(corpus, 8)
+    assert merges[0] == ("i", "d")
+    assert merges == exp_merges
+    assert {r.word: r.seq for r in trained.collect()} == exp_seqs
+
+
+def test_wordpiece_encode_map_back_broadcasts(spark, sf_dir):
+    """Plan pin (X44): like X36 — the learned vocab and the per-step unit
+    census join as BROADCAST hash joins; nothing corpus-scale ever
+    sort-merge-shuffles."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ocr_output_evaluation_spark.queries import wordpiece_encode_report
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        wordpiece_encode_report(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
