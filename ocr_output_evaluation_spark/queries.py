@@ -2069,6 +2069,113 @@ ORDER BY n.lang
 """
 
 
+def bloom_contamination_report(spark, sf):
+    """Bloom-prefiltered decontamination (X45, operators/bloom.py): the
+    same contamination semantics as X21 (`contamination_report`) behind a
+    scan-side Bloom bitmap cull — 10 bits/key, k=7 md5-seeded positions,
+    pure-codegen bit tests, so the corpus pays NO join or shuffle for the
+    ~99% of grams the bitmap rejects; only bloom survivors reach the
+    exact-verify broadcast join. A Bloom prefilter cannot change results
+    (no false negatives by construction; false positives die in the exact
+    verify), and because positions are md5-derived DuckDB replays the
+    bitmap as a position set: n_candidates / n_bloom_fp are ORACLE-PINNED
+    exactly, not just the final counts. Production twin: xxhash64
+    positions (the minhash_pairs_md5 pattern). Adds to X21's per-lang
+    report: total bloom candidates, exact hits, and the measured
+    false-positive count."""
+    from .operators.bloom import bloom_contamination_scores
+
+    d = _spread(t(spark, sf, "documents"))
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    sc = bloom_contamination_scores(d, bench, "text", "doc_id", n=4)
+    return (
+        d.select("doc_id", "lang")
+        .join(sc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_grams") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_scored"),
+            F.sum(F.when(F.col("overlap") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("n_cand").cast("long").alias("n_candidates"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+            (F.sum("n_cand") - F.sum("n_hits"))
+            .cast("long")
+            .alias("n_bloom_fp"),
+            _r(F.avg("overlap")).alias("avg_overlap"),
+        )
+        .orderBy("lang")
+    )
+
+
+# The bloom layer replayed as a position SET: a bitmap bit (word w, bit b)
+# is set iff some (key, seed) hashed to pos = 64*w + b, so "all k seeded
+# bits set" == "all k seeded positions in the DISTINCT position set".
+# m sizing mirrors operators/bloom.py bloom_m_bits exactly (integer ceil).
+ORACLE_BLOOM_CONTAMINATION_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gs
+  FROM toks, UNNEST(range(1, len(w) - 2)) AS u(i)
+  WHERE len(w) >= 4
+),
+keyed AS MATERIALIZED (SELECT doc_id, substr(md5(gs), 1, 16) AS g FROM grams),
+bench AS MATERIALIZED (SELECT DISTINCT g FROM keyed WHERE doc_id % 97 = 0),
+mb AS (SELECT 64 * ((greatest(count(*), 1) * 10 + 63) // 64) AS m FROM bench),
+positions AS MATERIALIZED (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || b.g), 1, 15))::BIGINT
+                  % (SELECT m FROM mb) AS pos
+  FROM bench b, UNNEST(range(7)) AS s(j)
+),
+probe AS (
+  SELECT k.doc_id, k.g,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k.g), 1, 15))::BIGINT
+         % (SELECT m FROM mb) AS pos
+  FROM keyed k, UNNEST(range(7)) AS s(j)
+),
+cand AS MATERIALIZED (
+  SELECT doc_id, g
+  FROM probe p LEFT JOIN positions ps ON ps.pos = p.pos
+  GROUP BY doc_id, g
+  HAVING count(ps.pos) = 7
+),
+scored AS (
+  SELECT k.doc_id,
+         count(*)   AS n_grams,
+         count(c.g) AS n_cand,
+         count(b.g) AS n_hits
+  FROM keyed k
+  LEFT JOIN cand  c ON c.doc_id = k.doc_id AND c.g = k.g
+  LEFT JOIN bench b ON b.g = k.g
+  GROUP BY k.doc_id
+)
+SELECT n.lang,
+       count(*) AS n_docs,
+       CAST(count(s.doc_id) AS BIGINT) AS n_scored,
+       CAST(coalesce(sum(CASE WHEN s.n_hits * 1.0 / s.n_grams >= 0.5
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged,
+       CAST(coalesce(sum(s.n_cand), 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(s.n_hits), 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(sum(s.n_cand - s.n_hits), 0) AS BIGINT) AS n_bloom_fp,
+       round(avg(s.n_hits * 1.0 / s.n_grams), 6) AS avg_overlap
+FROM norm n LEFT JOIN scored s USING (doc_id)
+GROUP BY n.lang
+ORDER BY n.lang
+"""
+
+
 def repetition_report(spark, sf):
     """Gopher-style repetition quality signals, per lang: mean duplicate-
     word fraction (1 - distinct/total tokens — in-row expressions, no
@@ -4525,8 +4632,8 @@ FROM p GROUP BY user_id
 #   - tail: r3-recorded stalwarts sitting out one round (back in r5).
 # NEVER insert a new query mid-dict: append after the rotation block and
 # demote a recorded-last-round stalwart to the tail instead.
-# r5 rotation (due at round start): swap the 36-entry tail below
-# (user_sessions … enrich_union_stats) into slots 0-49 — every tail entry
+# r5 rotation (due at round start): swap the 37-entry tail below
+# (token_budget_report … enrich_union_stats) into slots 0-49 — every tail entry
 # was r3-driver-recorded or is local-strict green, but none will have an r4
 # row; the r4-recorded block (this window) demotes to the tail in exchange,
 # keeping the every-other-round driver-row guarantee.
@@ -4571,6 +4678,7 @@ QUERIES = {
     "pq_ann_topk": pq_ann_topk,
     "ivfpq_ann_topk": ivfpq_ann_topk,
     "wordpiece_encode_report": wordpiece_encode_report,
+    "bloom_contamination_report": bloom_contamination_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -4587,8 +4695,8 @@ QUERIES = {
     "mixing_report": mixing_report,
     "classifier_report": classifier_report,
     "split_report": split_report,
-    "token_budget_report": token_budget_report,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "token_budget_report": token_budget_report,
     "user_sessions": user_sessions,
     "packing_report": packing_report,
     "quality_buckets": quality_buckets,
@@ -4629,6 +4737,7 @@ QUERIES = {
 
 ORACLES = {
     "contamination_report": ORACLE_CONTAMINATION_REPORT,
+    "bloom_contamination_report": ORACLE_BLOOM_CONTAMINATION_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
