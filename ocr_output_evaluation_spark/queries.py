@@ -2176,6 +2176,280 @@ ORDER BY n.lang
 """
 
 
+def hll_distinct_report(spark, sf):
+    """HyperLogLog distinct-gram cardinality per lang (X46,
+    operators/hll.py) next to the exact count it approximates: the
+    mergeable sketch a 100 TB corpus uses where exact countDistinct's
+    shuffle (bytes ~ cardinality) is unaffordable — the HLL leg's shuffle
+    is at most langs x 256 (bucket, max-rho) smallints regardless of how
+    many grams exist, and duplicates are free (no distinct pass; max is
+    idempotent). md5-derived bucket/rank + exact-decimal harmonic sums
+    make the WHOLE estimate replayable in DuckDB, so the sketch itself
+    sits behind the strict value-identity gate (unlike
+    approx_count_distinct, which is fenced off it — operators/stats.py).
+    The exact leg exists for the rel_err comparison column; production
+    keeps only the sketch."""
+    from .operators.hll import hll_estimate, hll_registers
+    from .operators.decontaminate import _gram_key
+    from .functions.ngram import word_ngrams
+
+    d = _spread(t(spark, sf, "documents"))
+    grams = d.select(
+        "lang", F.explode(word_ngrams(F.col("text"), 4)).alias("_g")
+    ).select("lang", _gram_key(F.col("_g")).alias("_gram"))
+    exact = grams.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gram_instances"),
+        F.countDistinct("_gram").alias("n_exact"),
+    )
+    est = hll_estimate(hll_registers(grams, "_gram", ["lang"], b=8), ["lang"], b=8)
+    ex = F.col("n_exact").cast("double")
+    return (
+        exact.join(est, "lang")
+        .select(
+            "lang",
+            "n_gram_instances",
+            "n_exact",
+            "n_buckets_hit",
+            _r(F.col("n_hll")).alias("n_hll"),
+            F.when(F.col("n_exact") > 0, _r(F.abs(F.col("n_hll") - ex) / ex))
+            .alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
+
+
+# The HLL layer replayed exactly: md5 bucket/rank (operators/hll.py
+# _sql_bucket/_sql_rho twins), integer 2^(62-rho) register terms summed as
+# DECIMAL(38,0) (the 256-register sum passes BIGINT), and the final
+# harmonic/linear-counting arithmetic written operand-for-operand as the
+# Spark expression with every literal cast to DOUBLE (DuckDB parses bare
+# decimal literals as DECIMAL, whose division rules differ from IEEE).
+ORACLE_HLL_DISTINCT_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+grams AS MATERIALIZED (
+  SELECT lang,
+         substr(md5(array_to_string(w[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')), 1, 16) AS g
+  FROM toks, UNNEST(range(1, len(w) - 2)) AS u(i)
+  WHERE len(w) >= 4
+),
+exact AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_gram_instances,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_exact
+  FROM grams GROUP BY lang
+),
+regs AS (
+  SELECT lang,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b,
+         max(CASE WHEN length(ltrim(substr(md5('r:' || g), 1, 15), '0')) = 0 THEN 61
+             ELSE (15 - length(ltrim(substr(md5('r:' || g), 1, 15), '0'))) * 4
+                  + CASE substr(ltrim(substr(md5('r:' || g), 1, 15), '0'), 1, 1)
+                      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                      ELSE 0 END + 1 END) AS r
+  FROM grams GROUP BY lang, b
+),
+hll AS (
+  SELECT lang,
+         count(*) AS nreg,
+         CAST(sum(CAST(1::BIGINT << (62 - r) AS DECIMAL(38,0)))
+              + CAST(256 - count(*) AS DECIMAL(38,0))
+                * CAST(4611686018427387904 AS DECIMAL(38,0)) AS DOUBLE) AS s
+  FROM regs GROUP BY lang
+),
+fin AS (
+  SELECT lang, nreg,
+         CASE WHEN 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+                   * 256.0::DOUBLE * 256.0::DOUBLE * 4611686018427387904.0::DOUBLE / s
+                   <= 2.5::DOUBLE * 256.0::DOUBLE
+                AND 256 - nreg > 0
+              THEN 256.0::DOUBLE * ln(256.0::DOUBLE / CAST(256 - nreg AS DOUBLE))
+              ELSE 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+                   * 256.0::DOUBLE * 256.0::DOUBLE * 4611686018427387904.0::DOUBLE / s
+              END AS est
+  FROM hll
+)
+SELECT e.lang,
+       e.n_gram_instances,
+       e.n_exact,
+       CAST(f.nreg AS BIGINT) AS n_buckets_hit,
+       round(f.est, 6) AS n_hll,
+       round(abs(f.est - CAST(e.n_exact AS DOUBLE))
+             / CAST(e.n_exact AS DOUBLE), 6) AS rel_err
+FROM exact e JOIN fin f USING (lang)
+ORDER BY e.lang
+"""
+
+
+def cms_heavy_hitters_report(spark, sf):
+    """Count-Min-sketch heavy hitters (X47, operators/cms.py): top-20
+    tokens by SKETCH-estimated frequency next to their exact counts and
+    the per-key overestimate. The sketch is a d=4 x w=1024 cell frame —
+    config-bounded, built by one map-side-combined sum over the instance
+    stream (the corpus never shuffles keys) — collected once and probed
+    as a pure least-of-element_at expression: the estimate leg has NO
+    join at all. Counts are integer sums, so the whole sketch replays
+    exactly in DuckDB with no rounding anywhere. The exact leg exists for
+    the overest comparison column; production keeps only the sketch.
+    Total order (n_cms desc, tok asc) makes the LIMIT deterministic."""
+    from .operators.cms import cms_estimate, cms_sketch, collect_cms
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    toks = d.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    cells = collect_cms(cms_sketch(toks, "tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .select(
+            "tok",
+            "n_exact",
+            cms_estimate(F.col("tok"), cells).cast("long").alias("n_cms"),
+        )
+        .withColumn("overest", (F.col("n_cms") - F.col("n_exact")).cast("long"))
+        .orderBy(F.desc("n_cms"), "tok")
+        .limit(20)
+    )
+
+
+# The sketch replayed cell-for-cell: md5 positions (operators/cms.py
+# cms_position twin), integer instance counts per (row, pos), min over the
+# d probed cells — every value an exact integer, nothing rounded.
+ORACLE_CMS_HEAVY_HITTERS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+inst AS MATERIALIZED (
+  SELECT tok FROM norm, UNNEST(string_split(t, ' ')) AS u(tok)
+  WHERE length(t) > 0
+),
+cells AS MATERIALIZED (
+  SELECT j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 1024 AS pos,
+         count(*) AS cnt
+  FROM inst, UNNEST(range(4)) AS s(j)
+  GROUP BY j, pos
+),
+exact AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM inst GROUP BY tok
+),
+probe AS (
+  SELECT e.tok, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || e.tok), 1, 15))::BIGINT % 1024 AS pos
+  FROM exact e, UNNEST(range(4)) AS s(j)
+),
+est AS (
+  SELECT p.tok, CAST(min(c.cnt) AS BIGINT) AS n_cms
+  FROM probe p JOIN cells c ON c.j = p.j AND c.pos = p.pos
+  GROUP BY p.tok
+)
+SELECT e.tok, e.n_exact, s.n_cms, s.n_cms - e.n_exact AS overest
+FROM exact e JOIN est s USING (tok)
+ORDER BY s.n_cms DESC, e.tok
+LIMIT 20
+"""
+
+_BM25_TERMS = ["hash", "join", "stream", "vector"]
+
+
+def bm25_search_report(spark, sf):
+    """Okapi BM25 top-10 retrieval (X48, operators/bm25.py) for a fixed
+    4-term query over the corpus: per-term tf and dl are IN-ROW
+    expressions (no explode, no join anywhere — the only exchanges are a
+    1-row stats agg and the TakeOrdered top-k), corpus statistics (N,
+    total_dl, per-term df) come from ONE map-side-combined agg embedded
+    back as int literals, and per-term float scores add in fixed written
+    order so DuckDB replays the doubles bit-for-bit. Ordered by the
+    ROUNDED score with a doc_id tiebreak — total, engine-stable."""
+    from .operators.bm25 import bm25_scored
+
+    d = _spread(t(spark, sf, "documents"))
+    scored = bm25_scored(d, "text", "doc_id", _BM25_TERMS, keep_cols=["lang"])
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "dl",
+            "n_terms_matched",
+            _r(F.col("_bm25")).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+def _oracle_bm25() -> str:
+    """BM25 replayed operand-for-operand: same idf/tf/length-norm formula
+    with every literal spelled identically (2.2 stays 2.2, never k1+1)
+    and every intermediate cast to DOUBLE (DuckDB bare decimal literals
+    are DECIMAL, whose arithmetic differs from IEEE)."""
+    tfs = ",\n         ".join(
+        f"coalesce(len(list_filter(tk.w, x -> x = '{t}')), 0) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN b.tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = "\n         + ".join(
+        f"ln((CAST(s.n - s.df{i} AS DOUBLE) + 0.5::DOUBLE)"
+        f" / (CAST(s.df{i} AS DOUBLE) + 0.5::DOUBLE) + 1.0::DOUBLE)"
+        f" * (CAST(b.tf{i} AS DOUBLE) * 2.2::DOUBLE)"
+        f" / (CAST(b.tf{i} AS DOUBLE) + 1.2::DOUBLE * (0.25::DOUBLE"
+        f" + 0.75::DOUBLE * (CAST(b.dl AS DOUBLE)"
+        f" / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{{L}} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+base AS MATERIALIZED (
+  SELECT n.doc_id, n.lang,
+         coalesce(len(tk.w), 0) AS dl,
+         {tfs}
+  FROM norm n LEFT JOIN toks tk USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS tot,
+         {dfs}
+  FROM base
+),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         CAST(b.dl AS BIGINT) AS dl,
+         CAST({matched} AS BIGINT) AS n_terms_matched,
+         {terms} AS raw
+  FROM base b, stats s
+)
+SELECT doc_id, lang, dl, n_terms_matched, round(raw, 6) AS bm25
+FROM scored
+ORDER BY round(raw, 6) DESC, doc_id
+LIMIT 10
+"""
+
+
 def repetition_report(spark, sf):
     """Gopher-style repetition quality signals, per lang: mean duplicate-
     word fraction (1 - distinct/total tokens — in-row expressions, no
@@ -4632,8 +4906,8 @@ FROM p GROUP BY user_id
 #   - tail: r3-recorded stalwarts sitting out one round (back in r5).
 # NEVER insert a new query mid-dict: append after the rotation block and
 # demote a recorded-last-round stalwart to the tail instead.
-# r5 rotation (due at round start): swap the 37-entry tail below
-# (token_budget_report … enrich_union_stats) into slots 0-49 — every tail entry
+# r5 rotation (due at round start): swap the 40-entry tail below
+# (mixing_report … enrich_union_stats) into slots 0-49 — every tail entry
 # was r3-driver-recorded or is local-strict green, but none will have an r4
 # row; the r4-recorded block (this window) demotes to the tail in exchange,
 # keeping the every-other-round driver-row guarantee.
@@ -4679,6 +4953,9 @@ QUERIES = {
     "ivfpq_ann_topk": ivfpq_ann_topk,
     "wordpiece_encode_report": wordpiece_encode_report,
     "bloom_contamination_report": bloom_contamination_report,
+    "hll_distinct_report": hll_distinct_report,
+    "cms_heavy_hitters_report": cms_heavy_hitters_report,
+    "bm25_search_report": bm25_search_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -4692,10 +4969,10 @@ QUERIES = {
     "repetition_report": repetition_report,
     "pii_scrub_report": pii_scrub_report,
     "domain_cap_report": domain_cap_report,
+    # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
     "mixing_report": mixing_report,
     "classifier_report": classifier_report,
     "split_report": split_report,
-    # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
     "token_budget_report": token_budget_report,
     "user_sessions": user_sessions,
     "packing_report": packing_report,
@@ -4738,6 +5015,9 @@ QUERIES = {
 ORACLES = {
     "contamination_report": ORACLE_CONTAMINATION_REPORT,
     "bloom_contamination_report": ORACLE_BLOOM_CONTAMINATION_REPORT,
+    "hll_distinct_report": ORACLE_HLL_DISTINCT_REPORT,
+    "cms_heavy_hitters_report": ORACLE_CMS_HEAVY_HITTERS,
+    "bm25_search_report": _oracle_bm25(),
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

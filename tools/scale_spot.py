@@ -173,7 +173,10 @@ def _semdedup_np_spot(spark, sf_dir: str):
 def main() -> None:
     from ocr_output_evaluation_spark.queries import (
         asof_attribution_report,
+        bm25_search_report,
+        cms_heavy_hitters_report,
         contamination_report,
+        hll_distinct_report,
         dsir_selection_report,
         embedding_pair_topk,
         ivfpq_ann_topk,
@@ -236,6 +239,15 @@ def main() -> None:
         "pq_ann_topk": (pq_ann_topk, (1, mult_hi), "embeddings"),
         # r4b: IVF-PQ — same fixed training cost + probed (pruned) scan
         "ivfpq_ann_topk": (ivfpq_ann_topk, (1, mult_hi), "embeddings"),
+        # r4c sketches: the HLL/CMS legs shuffle only config-bounded cell
+        # frames (langs x 256 registers / 4 x 1024 counters) whatever n —
+        # wall time must track the SCAN, i.e. stay ~linear; the exact
+        # comparison legs (countDistinct / per-token counts) are the only
+        # data-bounded parts. BM25 is two scans + a 1-row agg: ~linear.
+        "hll_distinct_report": (hll_distinct_report, (1, mult_hi), "documents"),
+        "cms_heavy_hitters_report": (
+            cms_heavy_hitters_report, (1, mult_hi), "documents"),
+        "bm25_search_report": (bm25_search_report, (1, mult_hi), "documents"),
     }
     report: dict = {"metric": "sf1_spot_check", "unit": "sec", "base_rows": BASE,
                     "mult_hi": mult_hi, "cpus": cpus}
