@@ -19,6 +19,7 @@ external data) with the same schemas and the same *relative* structure as
   planted tight pairs, so exact all-pairs top-25 has stable structure.
 
 Usage: python tools/scale_spot.py            # both scales + JSON line
+       python tools/scale_spot.py name ...   # only the named queries
        SPARK_GRAFT_SPOT_MULT=10 ...          # override the hi multiplier
 """
 
@@ -173,10 +174,12 @@ def _semdedup_np_spot(spark, sf_dir: str):
 def main() -> None:
     from ocr_output_evaluation_spark.queries import (
         asof_attribution_report,
+        bloom_contamination_report,
         bm25_search_report,
         cms_heavy_hitters_report,
         contamination_report,
         hll_distinct_report,
+        wordpiece_encode_report,
         dsir_selection_report,
         embedding_pair_topk,
         ivfpq_ann_topk,
@@ -248,7 +251,22 @@ def main() -> None:
         "cms_heavy_hitters_report": (
             cms_heavy_hitters_report, (1, mult_hi), "documents"),
         "bm25_search_report": (bm25_search_report, (1, mult_hi), "documents"),
+        # r4c: bloom prefilter — bitmap build is one map-side bit_or over
+        # the small benchmark frame; the probe is scan-fused codegen, so the
+        # pass must scale with the SCAN (~linear), like contamination_report
+        "bloom_contamination_report": (
+            bloom_contamination_report, (1, mult_hi), "documents"),
+        # r4c: wordpiece trainer — vocabulary-scale like the unigram/BPE
+        # trainers (fixed 500-word spot vocab), expect far-sublinear
+        "wordpiece_encode_report": (
+            wordpiece_encode_report, (1, mult_hi), "documents"),
     }
+    only = set(sys.argv[1:])
+    if only:
+        unknown = only - set(qfns)
+        if unknown:
+            raise SystemExit(f"unknown spot queries: {sorted(unknown)}")
+        qfns = {k: v for k, v in qfns.items() if k in only}
     report: dict = {"metric": "sf1_spot_check", "unit": "sec", "base_rows": BASE,
                     "mult_hi": mult_hi, "cpus": cpus}
     all_mults = sorted({m for _, ms, _ in qfns.values() for m in ms})
