@@ -2450,6 +2450,64 @@ LIMIT 10
 """
 
 
+def pmi_collocations_report(spark, sf):
+    """Top-20 adjacent word pairs by PMI (X50, operators/pmi.py): the
+    phrase-mining / boilerplate-audit statistic over the documents table.
+    Every input to ln() is a ratio of exact integer counts spelled
+    operand-for-operand identically in the oracle, so the doubles match
+    bit-for-bit modulo 1 ulp of ln and the 6dp-rounded ranking is
+    hash-exact. min_count=3 at this sf (the production default is higher;
+    the floor exists to kill the hapax-pair degenerate ranking either
+    way). Total order (pmi desc, w1, w2) makes the LIMIT deterministic."""
+    from .operators.pmi import pmi_collocations
+
+    d = _spread(t(spark, sf, "documents"))
+    return pmi_collocations(d, "text", min_count=3, top_k=20)
+
+
+# PMI replayed exactly: same norm/tokenize CTEs as the other text oracles,
+# vocabulary-scale count frames, and the quotient written with the same
+# association ((c12*T)*T)/((B*c1)*c2) with every factor cast to DOUBLE.
+ORACLE_PMI_COLLOCATIONS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+totals AS (
+  SELECT CAST(sum(len(w)) AS BIGINT) AS tot_tokens,
+         CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS tot_bigrams
+  FROM toks
+),
+uni AS MATERIALIZED (
+  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+  FROM toks, UNNEST(w) AS u(tok) GROUP BY tok
+),
+pairs AS (
+  SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2,
+         CAST(count(*) AS BIGINT) AS c12
+  FROM toks, UNNEST(range(1, len(w))) AS s(i)
+  GROUP BY w1, w2
+  HAVING count(*) >= 3
+)
+SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+       round(ln(((CAST(p.c12 AS DOUBLE) * CAST(t.tot_tokens AS DOUBLE))
+                 * CAST(t.tot_tokens AS DOUBLE))
+                / ((CAST(t.tot_bigrams AS DOUBLE) * CAST(u1.c AS DOUBLE))
+                   * CAST(u2.c AS DOUBLE))), 6) AS pmi
+FROM pairs p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2
+CROSS JOIN totals t
+ORDER BY pmi DESC, p.w1, p.w2
+LIMIT 20
+"""
+
+
 def repetition_report(spark, sf):
     """Gopher-style repetition quality signals, per lang: mean duplicate-
     word fraction (1 - distinct/total tokens — in-row expressions, no
@@ -4956,6 +5014,7 @@ QUERIES = {
     "hll_distinct_report": hll_distinct_report,
     "cms_heavy_hitters_report": cms_heavy_hitters_report,
     "bm25_search_report": bm25_search_report,
+    "pmi_collocations_report": pmi_collocations_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -4966,10 +5025,10 @@ QUERIES = {
     "contamination_report": contamination_report,
     "line_dedup_report": line_dedup_report,
     "bpe_merge_report": bpe_merge_report,
-    "repetition_report": repetition_report,
     "pii_scrub_report": pii_scrub_report,
     "domain_cap_report": domain_cap_report,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "repetition_report": repetition_report,
     "mixing_report": mixing_report,
     "classifier_report": classifier_report,
     "split_report": split_report,
@@ -5018,6 +5077,7 @@ ORACLES = {
     "hll_distinct_report": ORACLE_HLL_DISTINCT_REPORT,
     "cms_heavy_hitters_report": ORACLE_CMS_HEAVY_HITTERS,
     "bm25_search_report": _oracle_bm25(),
+    "pmi_collocations_report": ORACLE_PMI_COLLOCATIONS,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
