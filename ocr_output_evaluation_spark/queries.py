@@ -2450,6 +2450,79 @@ LIMIT 10
 """
 
 
+def tfidf_pair_report(spark, sf):
+    """Top-15 document pairs by tf-idf cosine over the df-capped term
+    space (X49, operators/tfidf.py) — the sparse/lexical sibling of the
+    dense embedding cosine family, via an inverted-index postings
+    self-join. Weights are nano-quantized BIGINTs so dots and norms are
+    exact integer sums (order-independent → hash-exact oracle); only the
+    final dot/(sqrt·sqrt) is a double, IEEE-identical on both engines.
+    max_df = 70% of the corpus exercises the published stop-term lever.
+    Total order (cosine desc, id_a, id_b) makes the LIMIT deterministic."""
+    from .operators.tfidf import tfidf_pair_topk
+
+    d = _spread(t(spark, sf, "documents"))
+    n = d.count()
+    return tfidf_pair_topk(d, "text", "doc_id", max_df=int(n * 0.7), top_k=15)
+
+
+# The tf-idf layer replayed exactly: same norm/tokenize CTEs, idf as
+# round(ln(N/df)*1e9) BIGINT, wq via truncating integer division (DuckDB
+# // ≡ Spark div for nonnegative BIGINTs), exact integer dot/norm sums,
+# and the final cosine spelled dot / (sqrt(ssa) * sqrt(ssb)).
+ORACLE_TFIDF_PAIR_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+n_docs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks, UNNEST(w) AS u(tok) GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+idf AS (
+  SELECT d.term, d.df,
+         CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)) * 1e9)
+              AS BIGINT) AS idf_n9
+  FROM dfreq d CROSS JOIN n_docs n
+  WHERE d.df <= (SELECT CAST(floor(CAST(n AS DOUBLE) * 0.7) AS BIGINT) FROM n_docs)
+),
+post AS MATERIALIZED (
+  SELECT t.doc_id, t.term, i.df, (t.tf * i.idf_n9) // 10000 AS wq
+  FROM tf t JOIN idf i USING (term)
+  WHERE (t.tf * i.idf_n9) // 10000 > 0
+),
+norms AS (
+  SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS ss FROM post GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared_terms,
+         CAST(sum(a.wq * b.wq) AS BIGINT) AS dot_q
+  FROM post a JOIN post b ON a.term = b.term AND a.doc_id < b.doc_id
+  WHERE a.df >= 2
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.id_a, d.id_b, d.n_shared_terms, d.dot_q,
+       round(CAST(d.dot_q AS DOUBLE)
+             / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))),
+             6) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+ORDER BY cosine DESC, d.id_a, d.id_b
+LIMIT 15
+"""
+
+
 def pmi_collocations_report(spark, sf):
     """Top-20 adjacent word pairs by PMI (X50, operators/pmi.py): the
     phrase-mining / boilerplate-audit statistic over the documents table.
@@ -5015,6 +5088,7 @@ QUERIES = {
     "cms_heavy_hitters_report": cms_heavy_hitters_report,
     "bm25_search_report": bm25_search_report,
     "pmi_collocations_report": pmi_collocations_report,
+    "tfidf_pair_report": tfidf_pair_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -5025,10 +5099,10 @@ QUERIES = {
     "contamination_report": contamination_report,
     "line_dedup_report": line_dedup_report,
     "bpe_merge_report": bpe_merge_report,
-    "pii_scrub_report": pii_scrub_report,
     "domain_cap_report": domain_cap_report,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
     "repetition_report": repetition_report,
+    "pii_scrub_report": pii_scrub_report,
     "mixing_report": mixing_report,
     "classifier_report": classifier_report,
     "split_report": split_report,
@@ -5078,6 +5152,7 @@ ORACLES = {
     "cms_heavy_hitters_report": ORACLE_CMS_HEAVY_HITTERS,
     "bm25_search_report": _oracle_bm25(),
     "pmi_collocations_report": ORACLE_PMI_COLLOCATIONS,
+    "tfidf_pair_report": ORACLE_TFIDF_PAIR_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
