@@ -2450,6 +2450,104 @@ LIMIT 10
 """
 
 
+def kn_perplexity_report(spark, sf):
+    """Interpolated Kneser-Ney bigram LM trained in-engine, scoring its
+    own training corpus (the X33/CCNet pattern), reported per lang (X51,
+    operators/knlm.py): n_docs, total_bigrams, mean/min/max perplexity.
+    Every count is exact; per-bigram-type log10 probabilities are nano
+    BIGINTs so per-doc sums are order-independent; the per-lang mean uses
+    the exact-cents half-up integral division recipe. Docs with < 2
+    tokens have no bigrams and drop out (X13's NULL class)."""
+    from .operators.knlm import kn_doc_scores, train_kn_bigram
+
+    d = _spread(t(spark, sf, "documents"))
+    lm = train_kn_bigram(d)
+    scores = kn_doc_scores(d, lm)
+    cents = F.sum(F.round(F.col("ppl") * 100).cast("long"))
+    n = F.count(F.lit(1))
+    return (
+        scores.groupBy("lang")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            (
+                F.expr("div(200 * sum(cast(round(ppl * 100) as long)) "
+                       "+ count(1), 2 * count(1))") / 10000.0
+            ).alias("mean_ppl"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        )
+        .orderBy("lang")
+    )
+
+
+# KN replayed exactly: the same type frame + window statistics, the
+# probability spelled in the same association with every literal cast to
+# DOUBLE, nano-quantized per-type log10, exact BIGINT per-doc sums, and
+# the cents half-up integral mean (Spark div ≡ DuckDB //).
+ORACLE_KN_PERPLEXITY_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+inst AS MATERIALIZED (
+  SELECT lang, doc_id, w[CAST(i AS INT)] AS v, w[CAST(i AS INT) + 1] AS w2
+  FROM toks, UNNEST(range(1, len(w))) AS s(i)
+),
+types AS MATERIALIZED (
+  SELECT lang, v, w2, CAST(count(*) AS BIGINT) AS c_vw
+  FROM inst GROUP BY lang, v, w2
+),
+enriched AS (
+  SELECT lang, v, w2, c_vw,
+         CAST(sum(c_vw) OVER (PARTITION BY lang, v) AS BIGINT) AS c_v,
+         CAST(count(*) OVER (PARTITION BY lang, v) AS BIGINT) AS n1p_v,
+         CAST(count(*) OVER (PARTITION BY lang, w2) AS BIGINT) AS n1ctx_w,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_types
+  FROM types
+),
+lm AS MATERIALIZED (
+  SELECT lang, v, w2,
+         CAST(round(log10(
+             (greatest(CAST(c_vw AS DOUBLE) - 0.75::DOUBLE, 0.0::DOUBLE)
+              / CAST(c_v AS DOUBLE))
+             + ((0.75::DOUBLE * CAST(n1p_v AS DOUBLE) / CAST(c_v AS DOUBLE))
+                * (CAST(n1ctx_w AS DOUBLE) / CAST(n_types AS DOUBLE)))
+         ) * 1e9) AS BIGINT) AS nano_logp
+  FROM enriched
+),
+docs AS (
+  SELECT i.lang, i.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(m.nano_logp) AS BIGINT) AS s_nano
+  FROM inst i JOIN lm m ON m.lang = i.lang AND m.v = i.v AND m.w2 = i.w2
+  GROUP BY i.lang, i.doc_id
+),
+scored AS (
+  SELECT lang, doc_id, n_bigrams,
+         round(power(10.0::DOUBLE,
+                     -(CAST(s_nano AS DOUBLE) / 1e9) / CAST(n_bigrams AS DOUBLE)),
+               2) AS ppl
+  FROM docs
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+       ((200 * CAST(sum(CAST(round(ppl * 100) AS BIGINT)) AS BIGINT)
+         + count(*)) // (2 * count(*))) / 10000.0 AS mean_ppl,
+       min(ppl) AS min_ppl,
+       max(ppl) AS max_ppl
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def tfidf_pair_report(spark, sf):
     """Top-15 document pairs by tf-idf cosine over the df-capped term
     space (X49, operators/tfidf.py) — the sparse/lexical sibling of the
@@ -5089,6 +5187,7 @@ QUERIES = {
     "bm25_search_report": bm25_search_report,
     "pmi_collocations_report": pmi_collocations_report,
     "tfidf_pair_report": tfidf_pair_report,
+    "kn_perplexity_report": kn_perplexity_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -5099,9 +5198,9 @@ QUERIES = {
     "contamination_report": contamination_report,
     "line_dedup_report": line_dedup_report,
     "bpe_merge_report": bpe_merge_report,
-    "domain_cap_report": domain_cap_report,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
     "repetition_report": repetition_report,
+    "domain_cap_report": domain_cap_report,
     "pii_scrub_report": pii_scrub_report,
     "mixing_report": mixing_report,
     "classifier_report": classifier_report,
@@ -5153,6 +5252,7 @@ ORACLES = {
     "bm25_search_report": _oracle_bm25(),
     "pmi_collocations_report": ORACLE_PMI_COLLOCATIONS,
     "tfidf_pair_report": ORACLE_TFIDF_PAIR_REPORT,
+    "kn_perplexity_report": ORACLE_KN_PERPLEXITY_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
