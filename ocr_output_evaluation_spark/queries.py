@@ -5135,11 +5135,12 @@ FROM p GROUP BY user_id
 #   - tail: r3-recorded stalwarts sitting out one round (back in r5).
 # NEVER insert a new query mid-dict: append after the rotation block and
 # demote a recorded-last-round stalwart to the tail instead.
-# r5 rotation (due at round start): swap the 40-entry tail below
-# (mixing_report … enrich_union_stats) into slots 0-49 — every tail entry
-# was r3-driver-recorded or is local-strict green, but none will have an r4
-# row; the r4-recorded block (this window) demotes to the tail in exchange,
-# keeping the every-other-round driver-row guarantee.
+# r5 rotation (due at round start): swap the 43-entry tail below
+# (repetition_report … enrich_union_stats) into slots 0-49 (it fits: 43
+# entries + the 7 window keeps below) — every tail entry was
+# r3-driver-recorded or is local-strict green, but none will have an r4
+# row; the r4-recorded block (this window) demotes to the tail in
+# exchange, keeping the every-other-round driver-row guarantee.
 QUERIES = {
     # -- slots 0-24: the r3 tail, every one green in the r3-session local
     #    strict re-run but without a driver row since r2 --

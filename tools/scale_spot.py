@@ -179,6 +179,8 @@ def main() -> None:
         cms_heavy_hitters_report,
         contamination_report,
         hll_distinct_report,
+        kn_perplexity_report,
+        pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
         embedding_pair_topk,
@@ -260,6 +262,19 @@ def main() -> None:
         # trainers (fixed 500-word spot vocab), expect far-sublinear
         "wordpiece_encode_report": (
             wordpiece_encode_report, (1, mult_hi), "documents"),
+        # r4d: PMI / KN-LM — both collapse the corpus map-side into
+        # vocabulary-scale frames (the spot vocab is fixed at 500 words,
+        # so the bigram-type frames are ~scale-invariant); expect the wall
+        # time to track the explode scans, ~linear or better. X49 tf-idf
+        # pairing is deliberately NOT spot-checked: on a FIXED-vocab corpus
+        # every doc pair shares terms, so any all-pairs lexical similarity
+        # is candidate-quadratic by data regime (real web corpora grow
+        # vocab with size, Heaps' law); its scale bound (candidates <=
+        # max_df * postings) is documented + plan-pinned instead.
+        "pmi_collocations_report": (
+            pmi_collocations_report, (1, mult_hi), "documents"),
+        "kn_perplexity_report": (
+            kn_perplexity_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
