@@ -2548,6 +2548,117 @@ ORDER BY lang
 """
 
 
+def streaming_hll_report(spark, sf):
+    """The engine's first FULLY-ORACLED streaming query: documents stream
+    through the incremental HLL sketch (streaming/pipeline.py
+    stream_hll_registers — complete-mode groupBy-max over the X46
+    bucket/rho expressions) and the final registers feed hll_estimate.
+    Because max is associative+commutative and bucket/rho are pure md5
+    functions of the CONTENT, the streaming state after availableNow
+    equals the batch sketch over the same rows — so a batch SQL oracle
+    replays a streaming computation value-for-value (unlike the
+    extraction stream, whose rows-only status is about fixture I/O, not
+    determinism). Real checkpoint, bounded await, scratch wiped per call
+    (the streaming_extraction_report discipline)."""
+    import shutil
+    import tempfile
+
+    from .functions.ngram import word_ngrams
+    from .operators.decontaminate import _gram_key
+    from .operators.hll import hll_estimate
+    from .streaming import stream_hll_registers
+
+    base = f"{tempfile.gettempdir()}/ooe_stream_hll"
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    docs = t(spark, sf, "documents")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    grams = stream.select(
+        "lang", F.explode(word_ngrams(F.col("text"), 4)).alias("_g")
+    ).select("lang", _gram_key(F.col("_g")).alias("_gram"))
+    try:
+        spark.catalog.dropTempView("ooe_stream_hll_regs")
+    except Exception:
+        pass
+    q = (
+        stream_hll_registers(grams, "_gram", ["lang"])
+        .writeStream.format("memory")
+        .queryName("ooe_stream_hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=180):
+        q.stop()
+        raise TimeoutError("streaming_hll_report: stream did not finish in 180s")
+    regs = spark.table("ooe_stream_hll_regs")
+    return (
+        hll_estimate(regs, ["lang"])
+        .select("lang", "n_buckets_hit", _r(F.col("n_hll")).alias("n_hll"))
+        .orderBy("lang")
+    )
+
+
+# The streaming sketch replayed as batch SQL: identical md5 bucket/rank,
+# exact-decimal register sums, operand-identical final arithmetic — the
+# regs/hll/fin chain of ORACLE_HLL_DISTINCT_REPORT without the exact legs.
+ORACLE_STREAMING_HLL_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+grams AS MATERIALIZED (
+  SELECT lang,
+         substr(md5(array_to_string(w[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')), 1, 16) AS g
+  FROM toks, UNNEST(range(1, len(w) - 2)) AS u(i)
+  WHERE len(w) >= 4
+),
+regs AS (
+  SELECT lang,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b,
+         max(CASE WHEN length(ltrim(substr(md5('r:' || g), 1, 15), '0')) = 0 THEN 61
+             ELSE (15 - length(ltrim(substr(md5('r:' || g), 1, 15), '0'))) * 4
+                  + CASE substr(ltrim(substr(md5('r:' || g), 1, 15), '0'), 1, 1)
+                      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                      ELSE 0 END + 1 END) AS r
+  FROM grams GROUP BY lang, b
+),
+hll AS (
+  SELECT lang,
+         count(*) AS nreg,
+         CAST(sum(CAST(1::BIGINT << (62 - r) AS DECIMAL(38,0)))
+              + CAST(256 - count(*) AS DECIMAL(38,0))
+                * CAST(4611686018427387904 AS DECIMAL(38,0)) AS DOUBLE) AS s
+  FROM regs GROUP BY lang
+),
+fin AS (
+  SELECT lang, nreg,
+         CASE WHEN 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+                   * 256.0::DOUBLE * 256.0::DOUBLE * 4611686018427387904.0::DOUBLE / s
+                   <= 2.5::DOUBLE * 256.0::DOUBLE
+                AND 256 - nreg > 0
+              THEN 256.0::DOUBLE * ln(256.0::DOUBLE / CAST(256 - nreg AS DOUBLE))
+              ELSE 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+                   * 256.0::DOUBLE * 256.0::DOUBLE * 4611686018427387904.0::DOUBLE / s
+              END AS est
+  FROM hll
+)
+SELECT lang,
+       CAST(nreg AS BIGINT) AS n_buckets_hit,
+       round(est, 6) AS n_hll
+FROM fin
+ORDER BY lang
+"""
+
+
 def tfidf_pair_report(spark, sf):
     """Top-15 document pairs by tf-idf cosine over the df-capped term
     space (X49, operators/tfidf.py) — the sparse/lexical sibling of the
@@ -5189,6 +5300,7 @@ QUERIES = {
     "pmi_collocations_report": pmi_collocations_report,
     "tfidf_pair_report": tfidf_pair_report,
     "kn_perplexity_report": kn_perplexity_report,
+    "streaming_hll_report": streaming_hll_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -5196,10 +5308,10 @@ QUERIES = {
     "ppl_bucket_report": ppl_bucket_report,
     "asof_attribution_report": asof_attribution_report,
     "range_funnel_report": range_funnel_report,
-    "contamination_report": contamination_report,
     "line_dedup_report": line_dedup_report,
     "bpe_merge_report": bpe_merge_report,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "contamination_report": contamination_report,
     "repetition_report": repetition_report,
     "domain_cap_report": domain_cap_report,
     "pii_scrub_report": pii_scrub_report,
@@ -5254,6 +5366,7 @@ ORACLES = {
     "pmi_collocations_report": ORACLE_PMI_COLLOCATIONS,
     "tfidf_pair_report": ORACLE_TFIDF_PAIR_REPORT,
     "kn_perplexity_report": ORACLE_KN_PERPLEXITY_REPORT,
+    "streaming_hll_report": ORACLE_STREAMING_HLL_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -6,6 +6,7 @@ from .pipeline import (
     stream_as_of_join,
     stream_dedup_extraction,
     stream_extraction,
+    stream_hll_registers,
     stream_warc_extraction,
     windowed_lang_counts,
 )
@@ -19,5 +20,6 @@ __all__ = [
     "windowed_lang_counts",
     "running_lang_totals",
     "stream_as_of_join",
+    "stream_hll_registers",
     "stream_warc_extraction",
 ]

@@ -457,3 +457,34 @@ def stream_warc_extraction(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_hll_registers(
+    stream: DataFrame, key_col: str, group_cols: list[str], b: int = 8
+) -> DataFrame:
+    """Streaming HyperLogLog registers (the X46 sketch over a feed): the
+    identical bucket/rho expressions feed a streaming groupBy-max, so the
+    register frame is maintained INCREMENTALLY — at most groups x 2^b
+    state rows whatever the stream's cardinality, and max is idempotent,
+    so replayed/duplicate inputs cannot perturb the sketch. Because max
+    is associative+commutative, the streaming state after any sequence of
+    micro-batches equals the batch sketch over the union of the inputs
+    (pinned against operators/hll.py in tests/test_streaming.py), and a
+    checkpoint restart resumes the registers exactly. Complete/update
+    output mode; the frame is config-bounded, so a complete-mode sink is
+    cheap. This is the streaming twin of hll_registers — per-day sketch
+    artifacts and the live feed merge via hll_merge without re-reading
+    either side."""
+    from ..operators.hll import hll_bucket, hll_rho
+
+    m = 1 << b
+    key = F.col(key_col)
+    return (
+        stream.select(
+            *group_cols,
+            hll_bucket(key, m).alias("_bucket"),
+            hll_rho(key).alias("_rho"),
+        )
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_rho").alias("_rho"))
+    )

@@ -490,3 +490,75 @@ def test_stream_as_of_join_fuzz_matches_batch(spark, tmp_path_factory, lefts, ri
         for r in as_of_join(lb, rb, ["key"], "ts", "ts", ["value"]).collect()
     )
     assert got == want
+
+
+def test_stream_hll_registers_match_batch_and_resume(spark, tmp_path):
+    """Streaming HLL (complete-mode groupBy-max) must equal the batch
+    sketch over everything seen so far — after the first wave, AND after a
+    checkpoint restart over appended files (max is associative/commutative,
+    so incremental state == batch union). Estimates then agree exactly."""
+    from ocr_output_evaluation_spark.operators.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from ocr_output_evaluation_spark.streaming import stream_hll_registers
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(f"u{i % 800}", f"g{i % 3}") for i in range(3000)]
+    rows2 = [(f"v{i % 500}", f"g{i % 3}") for i in range(2000)]
+    spark.createDataFrame(rows1, "k string, g string").write.mode("append").parquet(src)
+
+    def run_wave(name):
+        stream = spark.readStream.schema("k string, g string").parquet(src)
+        q = (
+            stream_hll_registers(stream, "k", ["g"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.g, r._bucket): r._rho
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    def batch_regs(df):
+        return {
+            (r.g, r._bucket): r._rho
+            for r in hll_registers(df, "k", ["g"]).collect()
+        }
+
+    d1 = spark.createDataFrame(rows1, "k string, g string")
+    got1 = run_wave("hll_wave1")
+    assert got1 == batch_regs(d1)
+
+    # New files arrive; restart from the SAME checkpoint: only the new
+    # rows are read, yet complete-mode state equals the batch union.
+    spark.createDataFrame(rows2, "k string, g string").write.mode("append").parquet(src)
+    d12 = d1.unionByName(spark.createDataFrame(rows2, "k string, g string"))
+    got2 = run_wave("hll_wave2")
+    assert got2 == batch_regs(d12)
+
+    # Mergeability (the per-day artifact story): sketch(part1) merged with
+    # sketch(part2) == sketch(union) == the streaming state.
+    d2 = spark.createDataFrame(rows2, "k string, g string")
+    merged = {
+        (r.g, r._bucket): r._rho
+        for r in hll_merge(
+            hll_registers(d1, "k", ["g"]), hll_registers(d2, "k", ["g"])
+        ).collect()
+    }
+    assert merged == got2
+
+    # And the estimates derived from identical registers are identical.
+    est_stream = spark.createDataFrame(
+        [(g, b, r) for (g, b), r in got2.items()], "g string, _bucket long, _rho int"
+    )
+    e1 = {r.g: r.n_hll for r in hll_estimate(est_stream, ["g"]).collect()}
+    e2 = {r.g: r.n_hll for r in hll_estimate(hll_registers(d12, "k", ["g"]), ["g"]).collect()}
+    assert e1 == e2
