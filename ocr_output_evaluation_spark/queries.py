@@ -2548,6 +2548,98 @@ ORDER BY lang
 """
 
 
+def snapshot_diff_report(spark, sf):
+    """Corpus snapshot diff (X52, operators/diff.py): snapshot B is
+    derived deterministically from the documents table (doc_id % 7 == 0
+    removed; % 5 == 0 of the survivors edited; % 11 == 0 re-added under
+    shifted ids), then ONE full-outer join + fingerprint compare
+    classifies every key. Output: per-status counts + key ranges —
+    the CDC summary an incremental crawl pass starts from."""
+    from .operators.diff import snapshot_diff
+
+    a = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    b_kept = a.filter(did % 7 != 0).withColumn(
+        "text",
+        F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    b_new = a.filter(did % 11 == 0).select(
+        (did + 1000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    b = b_kept.unionByName(b_new)
+    diff = snapshot_diff(a, b, "doc_id", ["text", "lang", "source"])
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("doc_id").alias("min_key"),
+            F.max("doc_id").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
+# The diff replayed exactly: the same derived snapshot B, the same
+# null-tagged fingerprint encoding (chr(2)||value / chr(1) for NULL,
+# chr(31) separators), one FULL OUTER join, the same status CASE.
+ORACLE_SNAPSHOT_DIFF_REPORT = r"""
+WITH a AS (
+  SELECT doc_id, text, lang, source FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text, lang, source
+  FROM documents WHERE doc_id % 11 = 0
+),
+fa AS (
+  SELECT doc_id,
+         md5(concat(
+           CASE WHEN text IS NULL THEN chr(1) ELSE chr(2) || CAST(text AS VARCHAR) END,
+           chr(31),
+           CASE WHEN lang IS NULL THEN chr(1) ELSE chr(2) || CAST(lang AS VARCHAR) END,
+           chr(31),
+           CASE WHEN source IS NULL THEN chr(1) ELSE chr(2) || CAST(source AS VARCHAR) END
+         )) AS fp_a
+  FROM a
+),
+fb AS (
+  SELECT doc_id,
+         md5(concat(
+           CASE WHEN text IS NULL THEN chr(1) ELSE chr(2) || CAST(text AS VARCHAR) END,
+           chr(31),
+           CASE WHEN lang IS NULL THEN chr(1) ELSE chr(2) || CAST(lang AS VARCHAR) END,
+           chr(31),
+           CASE WHEN source IS NULL THEN chr(1) ELSE chr(2) || CAST(source AS VARCHAR) END
+         )) AS fp_b
+  FROM b
+),
+j AS (
+  SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+         CASE WHEN fa.fp_a IS NULL THEN 'added'
+              WHEN fb.fp_b IS NULL THEN 'removed'
+              WHEN fa.fp_a = fb.fp_b THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n,
+       min(doc_id) AS min_key,
+       max(doc_id) AS max_key
+FROM j GROUP BY status
+ORDER BY status
+"""
+
+
 def streaming_hll_report(spark, sf):
     """The engine's first FULLY-ORACLED streaming query: documents stream
     through the incremental HLL sketch (streaming/pipeline.py
@@ -5301,6 +5393,7 @@ QUERIES = {
     "tfidf_pair_report": tfidf_pair_report,
     "kn_perplexity_report": kn_perplexity_report,
     "streaming_hll_report": streaming_hll_report,
+    "snapshot_diff_report": snapshot_diff_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
@@ -5308,9 +5401,9 @@ QUERIES = {
     "ppl_bucket_report": ppl_bucket_report,
     "asof_attribution_report": asof_attribution_report,
     "range_funnel_report": range_funnel_report,
-    "line_dedup_report": line_dedup_report,
     "bpe_merge_report": bpe_merge_report,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
+    "line_dedup_report": line_dedup_report,
     "contamination_report": contamination_report,
     "repetition_report": repetition_report,
     "domain_cap_report": domain_cap_report,
@@ -5367,6 +5460,7 @@ ORACLES = {
     "tfidf_pair_report": ORACLE_TFIDF_PAIR_REPORT,
     "kn_perplexity_report": ORACLE_KN_PERPLEXITY_REPORT,
     "streaming_hll_report": ORACLE_STREAMING_HLL_REPORT,
+    "snapshot_diff_report": ORACLE_SNAPSHOT_DIFF_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
