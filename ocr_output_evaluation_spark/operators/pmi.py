@@ -73,7 +73,7 @@ def pmi_collocations(
         .filter(F.col("c12") >= min_count)
     )
 
-    d = F.col  # noqa: E741 - local alias for brevity below
+    d = F.col
     joined = (
         pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")

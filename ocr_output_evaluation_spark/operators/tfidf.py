@@ -16,13 +16,19 @@ recipe):
 
     idf_n9 = round(ln(N / df) * 1e9)          (BIGINT, per term)
     wq     = div(tf * idf_n9, 10000)          (~ tf·idf * 1e5)
-    dot    = sum(wq_a * wq_b)                  (exact BIGINT)
+    dot    = sum(wq_a * wq_b)                  (exact DECIMAL(38,0))
     cosine = dot / (sqrt(ss_a) * sqrt(ss_b))   (IEEE-exact given ints)
 
-Magnitude audit (why 1e4): tf<=~1e3, idf_n9<=~ln(1e12)*1e9~2.8e10 →
-wq<=~2.8e9/1e4·tf… bounded by div to ~1e8 at extreme tf; wq² ≤ 1e16,
-and a doc has bounded distinct terms, keeping ss and dot well inside
-BIGINT. sqrt is IEEE-correctly-rounded, identical across engines.
+Magnitude audit: idf_n9 <= ln(10^12)·1e9 ≈ 2.8e10, and tf·idf_n9 stays
+inside BIGINT for any document shorter than ~3·10^8 tokens — fine. The
+SQUARES are not BIGINT-safe, though: a spam page repeating a medium-rare
+word 10^3 times has wq ≈ 1e9 per such term, and a handful of wq² ≈ 1e18
+terms overflows a 64-bit norm accumulator. So dots and norms accumulate
+as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — still exact integers,
+still order-independent, headroom to ~10^38 — and convert to double
+only at the final cosine (an exact-int → binary64 conversion is
+round-to-nearest on both engines, hence identical). sqrt is
+IEEE-correctly-rounded, identical across engines.
 
 Scale design — the inverted-index discipline:
 - the corpus explodes ONCE into (doc, term, tf) and immediately
@@ -116,8 +122,9 @@ def tfidf_pair_topk(
     post = tfidf_postings(df, text_col, id_col, max_df=max_df)
     if cache:
         post = post.persist()
+    dec = "decimal(38,0)"
     norms = post.groupBy(id_col).agg(
-        F.sum(F.col("wq") * F.col("wq")).alias("_ss")
+        F.sum(F.col("wq").cast(dec) * F.col("wq").cast(dec)).alias("_ss")
     )
     pairable = post.filter(F.col("df") >= 2).select(id_col, "term", "wq")
     a = pairable.select(
@@ -132,7 +139,7 @@ def tfidf_pair_topk(
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
-            F.sum(F.col("_wa") * F.col("_wb")).alias("dot_q"),
+            F.sum(F.col("_wa").cast(dec) * F.col("_wb").cast(dec)).alias("_dot"),
         )
     )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("_ss").alias("_ssa"))
@@ -144,9 +151,9 @@ def tfidf_pair_topk(
             "id_a",
             "id_b",
             "n_shared_terms",
-            "dot_q",
+            F.col("_dot").cast("double").alias("dot_q"),
             F.round(
-                F.col("dot_q").cast("double")
+                F.col("_dot").cast("double")
                 / (
                     F.sqrt(F.col("_ssa").cast("double"))
                     * F.sqrt(F.col("_ssb").cast("double"))

@@ -2802,18 +2802,20 @@ post AS MATERIALIZED (
   WHERE (t.tf * i.idf_n9) // 10000 > 0
 ),
 norms AS (
-  SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS ss FROM post GROUP BY doc_id
+  SELECT doc_id, sum(CAST(wq AS HUGEINT) * CAST(wq AS HUGEINT)) AS ss
+  FROM post GROUP BY doc_id
 ),
 dots AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(count(*) AS BIGINT) AS n_shared_terms,
-         CAST(sum(a.wq * b.wq) AS BIGINT) AS dot_q
+         sum(CAST(a.wq AS HUGEINT) * CAST(b.wq AS HUGEINT)) AS dot_h
   FROM post a JOIN post b ON a.term = b.term AND a.doc_id < b.doc_id
   WHERE a.df >= 2
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT d.id_a, d.id_b, d.n_shared_terms, d.dot_q,
-       round(CAST(d.dot_q AS DOUBLE)
+SELECT d.id_a, d.id_b, d.n_shared_terms,
+       CAST(d.dot_h AS DOUBLE) AS dot_q,
+       round(CAST(d.dot_h AS DOUBLE)
              / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))),
              6) AS cosine
 FROM dots d

@@ -39,7 +39,7 @@ def _py_pairs(docs, max_df=None, top_k=100):
                 continue
             dot = sum(post[i][t] * post[j][t] for t in shared)
             cos = round(dot / (math.sqrt(float(ss[i])) * math.sqrt(float(ss[j]))), 6)
-            out.append((i, j, len(shared), dot, cos))
+            out.append((i, j, len(shared), float(dot), cos))
     out.sort(key=lambda r: (-r[4], r[0], r[1]))
     return out[:top_k]
 
