@@ -2640,6 +2640,139 @@ ORDER BY status
 """
 
 
+def pagerank_report(spark, sf):
+    """PageRank link-graph centrality (X53, operators/pagerank.py): a
+    deterministic link graph is synthesised in-row from the documents
+    table (doc_id % 4 out-links each, targets md5-derived over the
+    dense 0..N-1 id space, self-loops dropped — so ~1/4 of nodes are
+    dangling and exercise the redistribution path), then 5 exact
+    integer nano-rank power iterations. Output: the top-20 nodes by
+    final rank with their degrees — the fetch-frontier /
+    sampling-weight head a crawl pipeline consumes."""
+    from .operators.pagerank import pagerank
+
+    docs = t(spark, sf, "documents")
+    n = docs.count()  # 1-row query vector; doc_ids dense 0..n-1 (TESTDATA)
+    did = F.col("doc_id")
+    gen = docs.filter(did % 4 != 0).select(
+        did.alias("src"),
+        F.explode(F.sequence(F.lit(1), (did % 4).cast("int"))).alias("j"),
+    )
+    raw = gen.select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("src").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    edges = raw.filter(F.col("dst") != F.col("src"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    ranks = pagerank(nodes, edges, n_iters=5)
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    indeg = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("i")
+    )
+    return (
+        ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
+        .join(indeg, ranks["node"] == indeg["dst"], "left")
+        .select(
+            "node",
+            "rank_nano",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce(F.col("i"), F.lit(0)).cast("long").alias("in_deg"),
+        )
+        .orderBy(F.desc("rank_nano"), "node")
+        .limit(20)
+    )
+
+
+def _pagerank_oracle(n_iters: int = 5) -> str:
+    """The whole trajectory replayed: the same md5-derived edges, then
+    every power iteration unrolled as MATERIALIZED CTEs (the X36/X41
+    discipline) — contributions r // o, map-side-sum incoming mass,
+    dangling mass redistributed div N, the exact integer damping step.
+    All-BIGINT arithmetic, so the hash covers all 5 iterations."""
+    parts = [
+        "WITH nn AS MATERIALIZED (",
+        "  SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
+        "),",
+        "gen AS MATERIALIZED (",
+        "  SELECT doc_id AS src,",
+        "         unnest(generate_series(1, CAST(doc_id % 4 AS BIGINT))) AS j",
+        "  FROM documents WHERE doc_id % 4 <> 0",
+        "),",
+        "ed AS MATERIALIZED (",
+        "  SELECT src, dst FROM (",
+        "    SELECT src,",
+        "           ('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||",
+        "             CAST(j AS VARCHAR)), 1, 6))::BIGINT",
+        "             % (SELECT n FROM nn) AS dst",
+        "    FROM gen",
+        "  ) WHERE dst <> src",
+        "),",
+        "od AS MATERIALIZED (",
+        "  SELECT src, CAST(count(*) AS BIGINT) AS o FROM ed GROUP BY src",
+        "),",
+        "r0 AS MATERIALIZED (",
+        "  SELECT doc_id AS node, CAST(1000000000 AS BIGINT) AS r",
+        "  FROM documents",
+        "),",
+    ]
+    for it in range(1, n_iters + 1):
+        p = it - 1
+        parts += [
+            f"i{it} AS MATERIALIZED (",
+            f"  SELECT e.dst, CAST(sum(r.r // o.o) AS BIGINT) AS inc",
+            f"  FROM ed e JOIN r{p} r ON e.src = r.node",
+            f"  JOIN od o ON e.src = o.src",
+            f"  GROUP BY e.dst",
+            f"),",
+            f"g{it} AS MATERIALIZED (",
+            f"  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang",
+            f"  FROM r{p} WHERE node NOT IN (SELECT src FROM od)",
+            f"),",
+            f"r{it} AS MATERIALIZED (",
+            f"  SELECT d.doc_id AS node,",
+            f"         CAST(150000000 + (85 * (coalesce(i.inc, 0)",
+            f"           + (SELECT dang FROM g{it}) // (SELECT n FROM nn)))",
+            f"           // 100 AS BIGINT) AS r",
+            f"  FROM documents d LEFT JOIN i{it} i ON d.doc_id = i.dst",
+            f"),",
+        ]
+    parts += [
+        "ideg AS MATERIALIZED (",
+        "  SELECT dst, CAST(count(*) AS BIGINT) AS i FROM ed GROUP BY dst",
+        ")",
+        f"SELECT r.node, r.r AS rank_nano,",
+        "       CAST(coalesce(o.o, 0) AS BIGINT) AS out_deg,",
+        "       CAST(coalesce(i.i, 0) AS BIGINT) AS in_deg",
+        f"FROM r{n_iters} r",
+        "LEFT JOIN od o ON r.node = o.src",
+        "LEFT JOIN ideg i ON r.node = i.dst",
+        "ORDER BY rank_nano DESC, node LIMIT 20",
+    ]
+    return "\n".join(parts)
+
+
+ORACLE_PAGERANK_REPORT = _pagerank_oracle()
+
+
 def streaming_hll_report(spark, sf):
     """The engine's first FULLY-ORACLED streaming query: documents stream
     through the incremental HLL sketch (streaming/pipeline.py
@@ -2749,6 +2882,72 @@ SELECT lang,
 FROM fin
 ORDER BY lang
 """
+
+
+def streaming_cms_report(spark, sf):
+    """The second fully-oracled streaming query: document tokens stream
+    through the incremental Count-Min sketch (streaming/pipeline.py
+    stream_cms_cells — complete-mode groupBy-count over in-row-exploded
+    (row, md5-position) probes) and the final d x w cell frame answers
+    the heavy-hitter probe. Counts are associative integer sums and the
+    file source + checkpoint contract counts each row exactly once, so
+    the streaming state after availableNow equals the batch cms_sketch
+    over the same rows — a batch SQL oracle replays the streaming
+    computation value-for-value (the streaming_hll_report argument, for
+    a NON-idempotent fold: HLL's max forgives replays, CMS's sum leans
+    on exactly-once instead — the pair documents both halves of the
+    streaming-sketch contract). Real checkpoint, bounded await, scratch
+    wiped per call (the streaming_extraction_report discipline)."""
+    import shutil
+    import tempfile
+
+    from .functions.ngram import word_tokens
+    from .operators.cms import cms_estimate, collect_cms
+    from .streaming import stream_cms_cells
+
+    base = f"{tempfile.gettempdir()}/ooe_stream_cms"
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    docs = t(spark, sf, "documents")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    toks_s = stream.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    try:
+        spark.catalog.dropTempView("ooe_stream_cms_cells")
+    except Exception:
+        pass
+    q = (
+        stream_cms_cells(toks_s, "tok")
+        .writeStream.format("memory")
+        .queryName("ooe_stream_cms_cells")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=180):
+        q.stop()
+        raise TimeoutError("streaming_cms_report: stream did not finish in 180s")
+    cells = collect_cms(spark.table("ooe_stream_cms_cells"))
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .select(
+            "tok",
+            "n_exact",
+            cms_estimate(F.col("tok"), cells).cast("long").alias("n_cms"),
+        )
+        .withColumn("overest", (F.col("n_cms") - F.col("n_exact")).cast("long"))
+        .orderBy(F.desc("n_cms"), "tok")
+        .limit(20)
+    )
+
+
+# The streaming sketch replays as EXACTLY the batch sketch (sum is
+# associative/commutative + exactly-once ingestion), so the oracle is the
+# batch CMS oracle verbatim — that identity IS the claim under test.
+ORACLE_STREAMING_CMS_REPORT = ORACLE_CMS_HEAVY_HITTERS
 
 
 def tfidf_pair_report(spark, sf):
@@ -5396,15 +5595,22 @@ QUERIES = {
     "kn_perplexity_report": kn_perplexity_report,
     "streaming_hll_report": streaming_hll_report,
     "snapshot_diff_report": snapshot_diff_report,
+    "pagerank_report": pagerank_report,
+    "streaming_cms_report": streaming_cms_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
     "quantile_gate_report": quantile_gate_report,
     "ppl_bucket_report": ppl_bucket_report,
     "asof_attribution_report": asof_attribution_report,
+    # -- tail: r3-recorded stalwarts rotated out this round (back in r5);
+    #    bpe_merge_report demoted when pagerank_report landed (the r4
+    #    trainer rows bpe_encode/wordpiece_encode cover the BPE loop),
+    #    range_funnel_report when streaming_cms_report landed (X35's
+    #    r4 delta was docs-only; asof_attribution keeps the temporal-join
+    #    family's window row) --
     "range_funnel_report": range_funnel_report,
     "bpe_merge_report": bpe_merge_report,
-    # -- tail: r3-recorded stalwarts rotated out this round (back in r5) --
     "line_dedup_report": line_dedup_report,
     "contamination_report": contamination_report,
     "repetition_report": repetition_report,
@@ -5463,6 +5669,8 @@ ORACLES = {
     "kn_perplexity_report": ORACLE_KN_PERPLEXITY_REPORT,
     "streaming_hll_report": ORACLE_STREAMING_HLL_REPORT,
     "snapshot_diff_report": ORACLE_SNAPSHOT_DIFF_REPORT,
+    "pagerank_report": ORACLE_PAGERANK_REPORT,
+    "streaming_cms_report": ORACLE_STREAMING_CMS_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

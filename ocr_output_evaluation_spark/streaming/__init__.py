@@ -6,6 +6,7 @@ from .pipeline import (
     stream_as_of_join,
     stream_dedup_extraction,
     stream_extraction,
+    stream_cms_cells,
     stream_hll_registers,
     stream_warc_extraction,
     windowed_lang_counts,
@@ -20,6 +21,7 @@ __all__ = [
     "windowed_lang_counts",
     "running_lang_totals",
     "stream_as_of_join",
+    "stream_cms_cells",
     "stream_hll_registers",
     "stream_warc_extraction",
 ]

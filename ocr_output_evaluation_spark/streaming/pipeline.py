@@ -488,3 +488,40 @@ def stream_hll_registers(
         .groupBy(*group_cols, "_bucket")
         .agg(F.max("_rho").alias("_rho"))
     )
+
+
+def stream_cms_cells(stream: DataFrame, key_col: str, d: int = 4, w: int = 1024):
+    """Streaming Count-Min cells (the X47 sketch over a feed): each key
+    instance expands IN-ROW to its d (row, position) probes — one
+    explode of a d-element struct array, NOT a d-way self-union of the
+    source (the self-union starvation trap, tests/test_streaming.py) —
+    and a streaming groupBy-count maintains the cell frame
+    incrementally: at most d*w state rows (config-bounded, ~4 KB)
+    whatever the stream's volume. Counts are associative+commutative
+    sums, so the streaming state after any sequence of micro-batches
+    equals the batch cms_sketch over the union of the inputs; unlike
+    HLL's idempotent max, SUM does need each row counted exactly once —
+    which the file source + checkpoint contract provides (offsets
+    committed per batch; a restart from the same checkpoint reads only
+    unseen files — pinned by the resume drill). Complete output mode;
+    the frame is config-bounded, so a complete-mode sink is cheap.
+    Streaming twin of operators/cms.py cms_sketch; per-day sketch
+    artifacts and the live feed roll up via cms_merge (elementwise sum)
+    without re-reading either side."""
+    from ..operators.cms import cms_position
+
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("_row"), cms_position(key, j, w).alias("_pos")
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        stream.select(F.explode(pairs).alias("_p"))
+        .select("_p._row", "_p._pos")
+        .groupBy("_row", "_pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )

@@ -562,3 +562,66 @@ def test_stream_hll_registers_match_batch_and_resume(spark, tmp_path):
     e1 = {r.g: r.n_hll for r in hll_estimate(est_stream, ["g"]).collect()}
     e2 = {r.g: r.n_hll for r in hll_estimate(hll_registers(d12, "k", ["g"]), ["g"]).collect()}
     assert e1 == e2
+
+
+def test_stream_cms_cells_match_batch_and_resume(spark, tmp_path):
+    """Streaming CMS (complete-mode groupBy-count over in-row probes)
+    must equal the batch sketch over everything seen so far — after the
+    first wave, AND after a checkpoint restart over appended files (sum
+    is associative/commutative and the checkpoint guarantees each row
+    counts exactly once — the non-idempotent half of the streaming-
+    sketch contract, vs HLL's replay-forgiving max)."""
+    from ocr_output_evaluation_spark.operators.cms import cms_merge, cms_sketch
+    from ocr_output_evaluation_spark.streaming import stream_cms_cells
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(f"u{i % 90}",) for i in range(1500)]
+    rows2 = [(f"v{i % 60}",) for i in range(900)]
+    spark.createDataFrame(rows1, "k string").write.mode("append").parquet(src)
+
+    def run_wave(name):
+        stream = spark.readStream.schema("k string").parquet(src)
+        q = (
+            stream_cms_cells(stream, "k", d=4, w=64)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r._row, r._pos): r._cnt
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    def batch_cells(df):
+        return {
+            (r._row, r._pos): r._cnt
+            for r in cms_sketch(df, "k", d=4, w=64).collect()
+        }
+
+    d1 = spark.createDataFrame(rows1, "k string")
+    got1 = run_wave("cms_wave1")
+    assert got1 == batch_cells(d1)
+
+    # New files arrive; restart from the SAME checkpoint: only the new
+    # rows are read, yet the complete-mode cells equal the batch union —
+    # nothing double-counted across the restart.
+    spark.createDataFrame(rows2, "k string").write.mode("append").parquet(src)
+    d2 = spark.createDataFrame(rows2, "k string")
+    d12 = d1.unionByName(d2)
+    got2 = run_wave("cms_wave2")
+    assert got2 == batch_cells(d12)
+
+    # Mergeability: sketch(part1) + sketch(part2) elementwise ==
+    # sketch(union) == the streaming state.
+    merged = {
+        (r._row, r._pos): r._cnt
+        for r in cms_merge(
+            cms_sketch(d1, "k", d=4, w=64), cms_sketch(d2, "k", d=4, w=64)
+        ).collect()
+    }
+    assert merged == got2
