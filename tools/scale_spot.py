@@ -180,6 +180,7 @@ def main() -> None:
         contamination_report,
         hll_distinct_report,
         kn_perplexity_report,
+        pagerank_report,
         pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
@@ -275,6 +276,11 @@ def main() -> None:
             pmi_collocations_report, (1, mult_hi), "documents"),
         "kn_perplexity_report": (
             kn_perplexity_report, (1, mult_hi), "documents"),
+        # r4e: PageRank — per iteration: an edge-scale join + a node-scale
+        # rollup, edges/node fixed (~1.5) and iterations fixed (5), so
+        # wall time must stay ~linear in n; super-linear would mean an
+        # iteration join or the dangling anti-join grew with n^2
+        "pagerank_report": (pagerank_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
