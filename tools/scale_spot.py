@@ -171,6 +171,58 @@ def _semdedup_np_spot(spark, sf_dir: str):
     return semantic_dupes_np(asg, "embedding", "vec_id", tau=0.9)
 
 
+_LSH_SPOT_CACHE: dict = {}
+
+
+def _lshindex_delta_spot(spark, sf_dir: str):
+    """X54's scale claim is that everything after the one-time build is
+    DELTA-scale — so the build over snapshot A runs UNTIMED (persisted +
+    materialized before the clock starts), and the measured leg is only
+    diff -> incremental update -> probe. Delta fraction is fixed (~30%
+    of docs changed/added/removed by the X52 derivation rules), so the
+    timed leg still grows ~linearly with n — but from a far smaller
+    constant than any rebuild; a super-linear factor would mean the
+    probe join or the bucket census left the delta/bucket regime."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.operators.diff import snapshot_diff
+    from ocr_output_evaluation_spark.operators.lshindex import (
+        lsh_index_build,
+        lsh_index_probe,
+        lsh_index_update,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.withColumnRenamed(docs.columns[0], "doc_id")
+    did = F.col("doc_id")
+    b_kept = docs.filter(did % 7 != 0).withColumn(
+        "text",
+        F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    b_new = docs.filter(did % 11 == 0).select(
+        (did + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    b = b_kept.unionByName(b_new)
+    if sf_dir not in _LSH_SPOT_CACHE:
+        i0, s0 = lsh_index_build(docs, "text", "doc_id")
+        i0, s0 = i0.persist(), s0.persist()
+        i0.count(), s0.count()
+        _LSH_SPOT_CACHE[sf_dir] = (i0, s0)
+    # warm run pays the build+persist; best-of-2 reuses the persisted
+    # index, so the recorded time is the delta leg alone
+    index0, sigs0 = _LSH_SPOT_CACHE[sf_dir]
+    d = snapshot_diff(docs, b, "doc_id", ["text"])
+    drop_ids = d.filter(F.col("status").isin("removed", "changed")).select("doc_id")
+    up_ids = d.filter(F.col("status").isin("added", "changed")).select("doc_id")
+    upserts = b.join(F.broadcast(up_ids), "doc_id")
+    index1, sigs1 = lsh_index_update(index0, sigs0, drop_ids, upserts, "text", "doc_id")
+    return lsh_index_probe(index1, sigs1, upserts, "text", "doc_id")
+
+
 def main() -> None:
     from ocr_output_evaluation_spark.queries import (
         asof_attribution_report,
@@ -281,6 +333,9 @@ def main() -> None:
         # wall time must stay ~linear in n; super-linear would mean an
         # iteration join or the dangling anti-join grew with n^2
         "pagerank_report": (pagerank_report, (1, mult_hi), "documents"),
+        # r4e: X54 — build(A) untimed; the timed leg is diff+update+probe
+        # only (the delta flow a monthly snapshot actually pays)
+        "lshindex_delta": (_lshindex_delta_spot, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
