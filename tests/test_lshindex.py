@@ -90,3 +90,64 @@ def test_update_plan_broadcasts_delta(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: random edit scripts (disjoint removed/changed/added id
+# sets, including empty deltas and full wipes) must keep
+# update(build(A), delta) == build(B) frame-identical
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+FAST = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+@settings(**FAST)
+@given(
+    n=st.integers(1, 10),
+    ops=st.lists(st.sampled_from(["keep", "rm", "edit"]), min_size=1, max_size=10),
+    n_add=st.integers(0, 3),
+)
+def test_update_equals_rebuild_fuzz(spark, n, ops, n_add):
+    a_rows = [(i, f"{BASE} variant number {i}") for i in range(n)]
+    b_rows, drop, ups = [], [], []
+    for i, _ in enumerate(a_rows):
+        op = ops[i % len(ops)]
+        if op == "keep":
+            b_rows.append(a_rows[i])
+        elif op == "rm":
+            drop.append((i,))
+        else:
+            row = (i, f"{BASE} variant number {i} edited")
+            b_rows.append(row)
+            drop.append((i,))
+            ups.append(row)
+    for j in range(n_add):
+        row = (1000 + j, f"{BASE} fresh doc {j}")
+        b_rows.append(row)
+        ups.append(row)
+    a = _docs(spark, a_rows)
+    b = _docs(spark, b_rows) if b_rows else _docs(spark, []).limit(0)
+    idx0, sig0 = lsh_index_build(a, "text", "doc_id")
+    drop_df = (
+        spark.createDataFrame(drop, "doc_id long")
+        if drop
+        else spark.createDataFrame([], "doc_id long")
+    )
+    ups_df = (
+        _docs(spark, ups)
+        if ups
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    idx1, sig1 = lsh_index_update(idx0, sig0, drop_df, ups_df, "text", "doc_id")
+    idx_r, sig_r = lsh_index_build(b, "text", "doc_id")
+    assert sorted(map(tuple, idx1.collect())) == sorted(map(tuple, idx_r.collect()))
+    assert sorted(map(tuple, sig1.collect())) == sorted(map(tuple, sig_r.collect()))

@@ -106,3 +106,45 @@ def test_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # top-k tail is a TakeOrderedAndProject, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: random graphs (multi-edges, dangling nodes, isolated
+# nodes, empty edge sets) vs the pure-python exact-integer model
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+FAST = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+@settings(**FAST)
+@given(
+    n=st.integers(2, 12),
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=30,
+    ),
+    iters=st.integers(1, 3),
+)
+def test_pagerank_fuzz_matches_python_model(spark, n, edges, iters):
+    nodes_py = list(range(n))
+    edges_py = [(s, d) for s, d in edges if s < n and d < n and s != d]
+    nodes = spark.createDataFrame([(v,) for v in nodes_py], "node long")
+    if edges_py:
+        e = spark.createDataFrame(edges_py, "src long, dst long")
+    else:
+        e = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank(nodes, e, n_iters=iters, checkpoint=False).collect()
+    }
+    assert got == _py_pagerank(nodes_py, edges_py, n_iters=iters)
