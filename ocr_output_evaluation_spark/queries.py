@@ -2889,6 +2889,56 @@ ORDER BY query_id, index_id
 """
 
 
+def cohort_retention_report(spark, sf):
+    """Cohort retention matrix (A19): users bucketed by the DAY of their
+    first event (cohort index relative to the corpus-wide first event),
+    activity bucketed by weeks-since-own-first — the classic product /
+    crawl-freshness retention triangle, here with every bucket an EXACT
+    integer division of epoch microseconds (no calendar functions, no
+    timezone semantics to diverge between engines).
+
+    Shape: one groupBy(user) for first-events (map-side-combined min),
+    a broadcast join back onto events (user-keyed — the only corpus
+    shuffle), a 1-row corpus-min frame broadcast-attached, and the final
+    matrix groupBy is bounded by cohorts x weeks. Scale: events shuffle
+    once on user_id; everything after is user-scale then matrix-scale."""
+    ev = t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wk = 7 * 86_400 * 1_000_000
+    day = 86_400 * 1_000_000
+    per_user = ev.select(F.col("user_id"), us.alias("_us"))
+    first = per_user.groupBy("user_id").agg(F.min("_us").alias("_first"))
+    g0 = first.agg(F.min("_first").alias("_g0"))
+    j = per_user.join(first, "user_id").crossJoin(F.broadcast(g0))
+    return (
+        j.select(
+            F.expr(f"div(_first - _g0, {day})").alias("cohort_day"),
+            F.expr(f"div(_us - _first, {wk})").alias("active_week"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "active_week")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "active_week")
+    )
+
+
+ORACLE_COHORT_RETENTION_REPORT = r"""
+WITH pu AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+first AS MATERIALIZED (
+  SELECT user_id, min(us) AS f FROM pu GROUP BY user_id
+),
+g0 AS (SELECT min(f) AS g0 FROM first)
+SELECT (f.f - (SELECT g0 FROM g0)) // 86400000000 AS cohort_day,
+       (pu.us - f.f) // 604800000000 AS active_week,
+       CAST(count(DISTINCT pu.user_id) AS BIGINT) AS n_users
+FROM pu JOIN first f ON pu.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY cohort_day, active_week
+"""
+
+
 def streaming_hll_report(spark, sf):
     """The engine's first FULLY-ORACLED streaming query: documents stream
     through the incremental HLL sketch (streaming/pipeline.py
@@ -5714,20 +5764,22 @@ QUERIES = {
     "pagerank_report": pagerank_report,
     "streaming_cms_report": streaming_cms_report,
     "incremental_dedup_report": incremental_dedup_report,
+    "cohort_retention_report": cohort_retention_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
-    "quantile_gate_report": quantile_gate_report,
     "asof_attribution_report": asof_attribution_report,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5);
-    #    ppl_bucket_report demoted when incremental_dedup_report landed
-    #    (quantile_gate_report keeps the r4-touched quantile.py family's
-    #    window row);
+    #    ppl_bucket_report demoted when incremental_dedup_report landed,
+    #    quantile_gate_report when cohort_retention_report landed (both
+    #    r3-recorded; the r4 quantile.py NULL-contract change is
+    #    docstring+pytest-gated and both stay local-strict green);
     #    bpe_merge_report demoted when pagerank_report landed (the r4
     #    trainer rows bpe_encode/wordpiece_encode cover the BPE loop),
     #    range_funnel_report when streaming_cms_report landed (X35's
     #    r4 delta was docs-only; asof_attribution keeps the temporal-join
     #    family's window row) --
+    "quantile_gate_report": quantile_gate_report,
     "ppl_bucket_report": ppl_bucket_report,
     "range_funnel_report": range_funnel_report,
     "bpe_merge_report": bpe_merge_report,
@@ -5792,6 +5844,7 @@ ORACLES = {
     "pagerank_report": ORACLE_PAGERANK_REPORT,
     "streaming_cms_report": ORACLE_STREAMING_CMS_REPORT,
     "incremental_dedup_report": ORACLE_INCREMENTAL_DEDUP_REPORT,
+    "cohort_retention_report": ORACLE_COHORT_RETENTION_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
