@@ -5705,11 +5705,12 @@ FROM p GROUP BY user_id
 #   - tail: r3-recorded stalwarts sitting out one round (back in r5).
 # NEVER insert a new query mid-dict: append after the rotation block and
 # demote a recorded-last-round stalwart to the tail instead.
-# r5 rotation (due at round start): swap the 43-entry tail below
-# (repetition_report … enrich_union_stats) into slots 0-49 (it fits: 43
-# entries + the 7 window keeps below) — every tail entry was
-# r3-driver-recorded or is local-strict green, but none will have an r4
-# row; the r4-recorded block (this window) demotes to the tail in
+# r5 rotation (due at round start): swap the 49-entry tail below
+# (quantile_gate_report … enrich_union_stats) into slots 0-48 — every
+# tail entry was r3-driver-recorded (or demoted r4-new-green) but none
+# will have an r4 row; the 49th window slot keeps ONE r4-recorded
+# stalwart (suggest streaming_extraction_report: the sole rows-only
+# streaming fixture). The r4-recorded block demotes to the tail in
 # exchange, keeping the every-other-round driver-row guarantee.
 QUERIES = {
     # -- slots 0-24: the r3 tail, every one green in the r3-session local
