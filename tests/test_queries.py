@@ -419,3 +419,29 @@ def test_simhash_md5_oracle_variant_finds_planted_dups(spark):
            for r in simhash_near_dup_pairs_md5(df, "text", "doc_id", max_hamming=6).collect()}
     assert (1, 2) in got
     assert all(3 not in k for k in got)
+
+
+def test_cohort_retention_semantics(spark, sf_dir):
+    """A19: every user contributes to active_week 0 of their own cohort;
+    cell counts are positive; the matrix is totally ordered; and the
+    cohort-day-0 week-0 cell equals the number of users whose first
+    event lands on the corpus's first day."""
+    rows = QUERIES["cohort_retention_report"](spark, sf_dir).collect()
+    assert rows, "matrix must not be empty"
+    keys = [(r.cohort_day, r.active_week) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.n_users > 0 for r in rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first = ev.select("user_id", us.alias("u")).groupBy("user_id").agg(
+        F.min("u").alias("f")
+    )
+    g0 = first.agg(F.min("f")).collect()[0][0]
+    day = 86_400 * 1_000_000
+    want_day0 = first.filter((F.col("f") - g0) < day).count()
+    got = {(r.cohort_day, r.active_week): r.n_users for r in rows}
+    assert got[(0, 0)] == want_day0
+    # week-0 cells per cohort must count every user of that cohort:
+    # no cohort's later-week cell may exceed its week-0 cell
+    for (cd, aw), n in got.items():
+        assert n <= got[(cd, 0)]
