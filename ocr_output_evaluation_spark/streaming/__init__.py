@@ -8,6 +8,7 @@ from .pipeline import (
     stream_extraction,
     stream_cms_cells,
     stream_hll_registers,
+    stream_sessionize,
     stream_warc_extraction,
     windowed_lang_counts,
 )
@@ -23,5 +24,6 @@ __all__ = [
     "stream_as_of_join",
     "stream_cms_cells",
     "stream_hll_registers",
+    "stream_sessionize",
     "stream_warc_extraction",
 ]

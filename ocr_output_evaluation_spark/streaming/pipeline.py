@@ -414,6 +414,122 @@ def stream_as_of_join(
     )
 
 
+SESSION_STREAM_OUTPUT = T.StructType(
+    [
+        T.StructField("user", T.StringType(), False),
+        T.StructField("session_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("session_start_ms", T.LongType(), False),
+        T.StructField("session_end_ms", T.LongType(), False),
+    ]
+)
+
+# Per-user state: sessions emitted so far (the next ordinal base) and the
+# pending (not-yet-final) event-time buffer in epoch-ms.
+SESSION_STREAM_STATE = T.StructType(
+    [
+        T.StructField("n_emitted", T.LongType(), False),
+        T.StructField("pending_ms", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+_SESSION_GAP_MS = 30 * 60 * 1000  # default 30-min inactivity gap
+
+
+def _sessionize_stream_update(gap_ms: int):
+    """Build the per-user session state machine (gap closed over).
+
+    Finality argument: a session with last event L is emitted once the
+    watermark is STRICTLY past L + gap. Any event that could extend or
+    merge into it would need ts <= L + gap < wm, and the engine's late
+    filter drops rows strictly below the watermark — so emitted sessions
+    are provably final (the stream_as_of_join argument, applied to the
+    gap predicate). Sessions finalize in time order per user (session
+    k+1 starts > session k's last + gap), so a monotone per-user ordinal
+    counter reproduces the batch operator's 1-based session_id. Pending
+    state per user is bounded by the events inside the watermark horizon
+    plus one open session — never the user's history."""
+
+    def update(key, pdf_iter, state: GroupState):
+        (user,) = key
+        if state.exists:
+            n_emitted, pending = state.get
+            pending = list(pending)
+        else:
+            n_emitted, pending = 0, []
+        for pdf in pdf_iter:
+            pdf = pdf[pdf["ts"].notna()]
+            pending += _ms(pdf["ts"])
+        wm = state.getCurrentWatermarkMs()
+        pending.sort()
+        # split the buffer into gap-separated sessions
+        sessions: list[list[int]] = []
+        for ts in pending:
+            if sessions and ts - sessions[-1][-1] <= gap_ms:
+                sessions[-1].append(ts)
+            else:
+                sessions.append([ts])
+        out, keep = [], []
+        for s in sessions:
+            if keep or s[-1] + gap_ms >= wm:
+                keep += s  # not final yet (or after a non-final one)
+            else:
+                n_emitted += 1
+                out.append(
+                    {
+                        "user": user,
+                        "session_id": n_emitted,
+                        "n_events": len(s),
+                        "session_start_ms": s[0],
+                        "session_end_ms": s[-1],
+                    }
+                )
+        if keep:
+            state.update((n_emitted, keep))
+            # wake when the watermark can finalize the oldest open session
+            first_last = next(
+                s[-1] for s in sessions if s and s[-1] + gap_ms >= wm
+            )
+            state.setTimeoutTimestamp(max(first_last + gap_ms + 1, wm + 1))
+        elif n_emitted:
+            state.update((n_emitted, []))
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return update
+
+
+def stream_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked streaming sessionization — X15's gap-session semantics
+    under continuous arrival: one row per FINALIZED (user, session) with
+    ordinal, event count, and epoch-ms bounds, append-mode (a session
+    emits exactly once, when the watermark proves no event can extend
+    it). The streaming twin of operators/sessionize.py session_stats,
+    pytest-pinned equal to it on out-of-order drills; per-user state is
+    watermark-bounded (the buffered horizon + one open session), so hot
+    users cannot grow state with their history. ``user`` is cast to
+    string at intake (any castable key type works)."""
+    ev = events.select(
+        F.col(user_col).cast("string").alias("user"),
+        F.col(ts_col).alias("ts"),
+    ).withWatermark("ts", watermark)
+    return ev.groupBy("user").applyInPandasWithState(
+        _sessionize_stream_update(int(gap_minutes * 60_000)),
+        outputStructType=SESSION_STREAM_OUTPUT,
+        stateStructType=SESSION_STREAM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_warc_extraction(
     spark: SparkSession,
     crawl_dir: str,

@@ -625,3 +625,77 @@ def test_stream_cms_cells_match_batch_and_resume(spark, tmp_path):
         ).collect()
     }
     assert merged == got2
+
+
+def test_stream_sessionize_out_of_order_matches_batch(spark, tmp_path):
+    """Streaming gap-sessionization drill: events arrive across
+    micro-batches with event-time order violated inside the 1h watermark
+    (including a duplicate timestamp). Sessions emit append-mode exactly
+    once, when the watermark proves no event can extend them; users with
+    no further input flush via EventTimeTimeout; ordinals/counts/bounds
+    must equal the batch session_stats (X15, oracle-checked via
+    user_sessions) on the same sentinel-free data."""
+    import time as _time
+    from datetime import datetime
+
+    from ocr_output_evaluation_spark.operators.sessionize import session_stats
+    from ocr_output_evaluation_spark.streaming import stream_sessionize
+
+    B = lambda h, m: datetime(2024, 5, 1, h, m, 0)  # noqa: E731
+    SCHEMA = "user_id string, ts timestamp"
+    waves = [
+        [("u1", B(12, 10))],
+        [("u1", B(12, 0)), ("u2", B(12, 5))],     # out-of-order vs 12:10
+        [("u1", B(13, 40)), ("u1", B(13, 30)), ("u2", B(12, 5))],  # dup ts
+        [("u1", B(13, 50)), ("u2", B(14, 0))],
+        # sentinel user: pushes the watermark past every real session's
+        # extension window (17:00 > 14:30); its own session stays pending
+        [("zz", B(18, 0))],
+        [("zz", B(18, 1))],  # one more batch so the watermark is APPLIED
+    ]
+    src = str(tmp_path / "src")
+    for w in waves:
+        spark.createDataFrame(w, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_sessionize(stream, gap_minutes=30.0, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user, r.session_id, r.n_events, r.session_start_ms, r.session_end_ms)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user != "zz"
+    }
+
+    real = [r for w in waves for r in w if r[0] != "zz"]
+    batch = session_stats(
+        spark.createDataFrame(real, SCHEMA), order_tiebreak=None
+    )
+    want = {
+        (
+            r.user_id,
+            r.session_id,
+            r.n_events,
+            r.session_start_us // 1000,
+            r.session_end_us // 1000,
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    # spot the semantics: u1 has two sessions (2 then 3 events), u2 two
+    # (the duplicate-ts pair, then a singleton)
+    by_user = {}
+    for u, sid, n, s, e in sorted(got):
+        by_user.setdefault(u, []).append((sid, n))
+    assert by_user == {"u1": [(1, 2), (2, 3)], "u2": [(1, 2), (2, 1)]}
