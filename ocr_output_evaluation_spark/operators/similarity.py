@@ -384,6 +384,10 @@ def hyperplane_signatures(
 
 
 def query_bucket(spark, query: list[float], n_planes: int = 12, seed: int = 42) -> int:
+    """Deliberately the interpreted ``hyperplane_signature`` EXPRESSION,
+    not the numpy path: this is a single 1-row driver-side call (cost
+    immaterial) and routing the query through the exact expression the
+    index rows used pins bit-parity of bucket assignment by construction."""
     df = spark.createDataFrame([(query,)], "v array<double>")
     return df.select(hyperplane_signature(F.col("v"), n_planes, seed).alias("b")).collect()[0].b
 

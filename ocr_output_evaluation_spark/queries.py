@@ -2889,6 +2889,117 @@ ORDER BY query_id, index_id
 """
 
 
+def triangle_count_report(spark, sf):
+    """Degree-oriented triangle counting (X55, operators/triangles.py):
+    the synthetic link graph is the PageRank report's md5-derived edges
+    PLUS a deterministic ring lattice (i -> i+1, i -> i+2 mod N), which
+    plants one triangle per consecutive node triple — so local density
+    is guaranteed non-trivial and the hash edges differentiate the head.
+    Output: top-15 nodes by triangles-through (the link-ring / spam-farm
+    density head), totally ordered."""
+    from .operators.triangles import node_triangle_counts
+
+    docs = t(spark, sf, "documents")
+    n = docs.count()  # 1-row query vector; doc_ids dense 0..n-1 (TESTDATA)
+    did = F.col("doc_id")
+    gen = docs.filter(did % 4 != 0).select(
+        did.alias("src"),
+        F.explode(F.sequence(F.lit(1), (did % 4).cast("int"))).alias("j"),
+    )
+    hash_e = gen.select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("src").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    )
+    ring = docs.select(did.alias("src"), ((did + 1) % n).alias("dst")).unionAll(
+        docs.select(did.alias("src"), ((did + 2) % n).alias("dst"))
+    )
+    counts = node_triangle_counts(hash_e.unionAll(ring))
+    return counts.orderBy(F.desc("n_tri"), "node").limit(15)
+
+
+# The same graph and the same orientation replayed: distinct canonical
+# edges, degree census, rank = deg * 2^32 + id, wedges from the low
+# corner only, closing-edge join — every triangle counted exactly once.
+ORACLE_TRIANGLE_COUNT_REPORT = r"""
+WITH nn AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+),
+gen AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(1, CAST(doc_id % 4 AS BIGINT))) AS j
+  FROM documents WHERE doc_id % 4 <> 0
+),
+alledges AS MATERIALIZED (
+  SELECT src,
+         ('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+           CAST(j AS VARCHAR)), 1, 6))::BIGINT
+           % (SELECT n FROM nn) AS dst
+  FROM gen
+  UNION ALL
+  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id + 2) % (SELECT n FROM nn) AS dst
+  FROM documents
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM alledges WHERE src <> dst
+),
+deg AS MATERIALIZED (
+  SELECT nd, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS nd FROM und UNION ALL SELECT b AS nd FROM und)
+  GROUP BY nd
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN ra < rb THEN a ELSE b END AS u,
+         CASE WHEN ra < rb THEN b ELSE a END AS v,
+         CASE WHEN ra < rb THEN rb ELSE ra END AS rank_v
+  FROM (
+    SELECT und.a, und.b,
+           da.d * 4294967296 + und.a AS ra,
+           db.d * 4294967296 + und.b AS rb
+    FROM und
+    JOIN deg da ON da.nd = und.a
+    JOIN deg db ON db.nd = und.b
+  )
+),
+tri AS MATERIALIZED (
+  SELECT w.u AS x, w.y, w.z
+  FROM (
+    SELECT e1.u, e1.v AS y, e2.v AS z
+    FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.rank_v < e2.rank_v
+  ) w
+  JOIN o c ON c.u = w.y AND c.v = w.z
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+FROM corners GROUP BY node
+ORDER BY n_tri DESC, node LIMIT 15
+"""
+
+
 def cohort_retention_report(spark, sf):
     """Cohort retention matrix (A19): users bucketed by the DAY of their
     first event (cohort index relative to the corpus-wide first event),
@@ -5766,15 +5877,20 @@ QUERIES = {
     "streaming_cms_report": streaming_cms_report,
     "incremental_dedup_report": incremental_dedup_report,
     "cohort_retention_report": cohort_retention_report,
+    "triangle_count_report": triangle_count_report,
     # -- r3-recorded entries kept in the window: implementation touched in
     #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
     #    the bench headline suite --
-    "asof_attribution_report": asof_attribution_report,
     # -- tail: r3-recorded stalwarts rotated out this round (back in r5);
     #    ppl_bucket_report demoted when incremental_dedup_report landed,
     #    quantile_gate_report when cohort_retention_report landed (both
     #    r3-recorded; the r4 quantile.py NULL-contract change is
-    #    docstring+pytest-gated and both stay local-strict green);
+    #    docstring+pytest-gated and both stay local-strict green),
+    #    asof_attribution_report when triangle_count_report landed (its
+    #    r4 delta was an upfront-validation guard, pytest-gated; the
+    #    window is now exactly r3-tail + r4-new — every entry's driver
+    #    row is its most-informative one);
+    "asof_attribution_report": asof_attribution_report,
     #    bpe_merge_report demoted when pagerank_report landed (the r4
     #    trainer rows bpe_encode/wordpiece_encode cover the BPE loop),
     #    range_funnel_report when streaming_cms_report landed (X35's
@@ -5846,6 +5962,7 @@ ORACLES = {
     "streaming_cms_report": ORACLE_STREAMING_CMS_REPORT,
     "incremental_dedup_report": ORACLE_INCREMENTAL_DEDUP_REPORT,
     "cohort_retention_report": ORACLE_COHORT_RETENTION_REPORT,
+    "triangle_count_report": ORACLE_TRIANGLE_COUNT_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
