@@ -233,6 +233,7 @@ def main() -> None:
         hll_distinct_report,
         kn_perplexity_report,
         pagerank_report,
+        triangle_count_report,
         pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
@@ -336,6 +337,12 @@ def main() -> None:
         # r4e: X54 — build(A) untimed; the timed leg is diff+update+probe
         # only (the delta flow a monthly snapshot actually pays)
         "lshindex_delta": (_lshindex_delta_spot, (1, mult_hi), "documents"),
+        # r4e: X55 — degree orientation bounds wedges at O(m^1.5) on any
+        # graph; on this bounded-degree synthetic graph wedges are ~linear
+        # in n, so wall time must stay ~linear; super-linear would mean a
+        # hot node escaped the orientation bound
+        "triangle_count_report": (
+            triangle_count_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
