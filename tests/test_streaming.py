@@ -699,3 +699,87 @@ def test_stream_sessionize_out_of_order_matches_batch(spark, tmp_path):
     for u, sid, n, s, e in sorted(got):
         by_user.setdefault(u, []).append((sid, n))
     assert by_user == {"u1": [(1, 2), (2, 3)], "u2": [(1, 2), (2, 1)]}
+
+
+def test_stream_sessionize_checkpoint_resume(spark, tmp_path):
+    """Kill/resume for the session state machine: run availableNow over
+    the first waves, then append later waves and RESTART from the same
+    checkpoint. The restored state must carry both the pending event
+    buffer and the emitted-ordinal counter — the union of both runs'
+    emissions equals the batch session_stats, with no duplicate or
+    re-numbered sessions."""
+    import time as _time
+    from datetime import datetime
+
+    from ocr_output_evaluation_spark.operators.sessionize import session_stats
+    from ocr_output_evaluation_spark.streaming import stream_sessionize
+
+    B = lambda h, m: datetime(2024, 5, 1, h, m, 0)  # noqa: E731
+    SCHEMA = "user_id string, ts timestamp"
+    src = str(tmp_path / "src")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_sessionize(stream, gap_minutes=30.0, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    waves1 = [
+        [("u1", B(12, 0)), ("u1", B(12, 10))],
+        # sentinel pushes wm to 14:00 > 12:40: session 1 finalizes in run 1
+        [("zz", B(15, 0))],
+        [("zz", B(15, 1))],
+    ]
+    for w in waves1:
+        spark.createDataFrame(w, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    run()
+    first = [
+        (r.user, r.session_id) for r in spark.read.parquet(out_dir).collect()
+        if r.user != "zz"
+    ]
+    assert first == [("u1", 1)]
+
+    # new events AFTER the restart: u1's second session must get ordinal 2
+    # (counter restored from state), and only the new files are read
+    waves2 = [
+        [("u1", B(16, 0)), ("u1", B(16, 5))],
+        [("zz", B(19, 0))],
+        [("zz", B(19, 1))],
+    ]
+    for w in waves2:
+        spark.createDataFrame(w, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    run()
+    got = {
+        (r.user, r.session_id, r.n_events, r.session_start_ms, r.session_end_ms)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user != "zz"
+    }
+    real = [r for w in waves1 + waves2 for r in w if r[0] != "zz"]
+    want = {
+        (
+            r.user_id,
+            r.session_id,
+            r.n_events,
+            r.session_start_us // 1000,
+            r.session_end_us // 1000,
+        )
+        for r in session_stats(
+            spark.createDataFrame(real, SCHEMA), order_tiebreak=None
+        ).collect()
+    }
+    assert got == want
+    assert {s for _, s, *_ in got} == {1, 2}
