@@ -128,6 +128,28 @@ def main(argv: list[str] | None = None) -> int:
                           "(cluster: O(10^3); probes read ~13/n of them)")
     _add_common(ann)
 
+    gr = sub.add_parser("graph", help="link-graph analytics (PageRank, triangles)")
+    gr.add_argument("--edges", required=True,
+                    help="parquet edge table (directed; multi-edges honoured)")
+    gr.add_argument("--src-col", default="src")
+    gr.add_argument("--dst-col", default="dst")
+    gr.add_argument("--out", required=True, help="output root directory")
+    gr.add_argument("--what", choices=["pagerank", "triangles", "both"],
+                    default="both")
+    gr.add_argument("--iters", type=int, default=5, help="PageRank iterations")
+    _add_common(gr)
+
+    sd = sub.add_parser("snapshot-diff",
+                        help="CDC diff of two corpus snapshots (X52)")
+    sd.add_argument("--old", required=True, help="parquet snapshot A")
+    sd.add_argument("--new", required=True, help="parquet snapshot B")
+    sd.add_argument("--key", required=True)
+    sd.add_argument("--compare-cols", required=True,
+                    help="comma-separated content columns to fingerprint")
+    sd.add_argument("--out", required=True,
+                    help="output root (diff/ per-key statuses + counts.json line)")
+    _add_common(sd)
+
     fx = sub.add_parser("fixtures", help="materialize synthetic dataset")
     fx.add_argument("--out", required=True)
     fx.add_argument("--n-pages", type=int, default=10000)
@@ -225,6 +247,53 @@ def main(argv: list[str] | None = None) -> int:
                 n_cells=args.n_cells, seed=args.seed,
             )
             res["built"].append("ivf")
+    elif args.cmd == "graph":
+        from pyspark.sql import functions as F
+
+        edges = spark.read.parquet(args.edges).select(
+            F.col(args.src_col).alias("src"), F.col(args.dst_col).alias("dst")
+        )
+        res = {"out": args.out, "built": []}
+        if args.what in ("pagerank", "both"):
+            from ocr_output_evaluation_spark.operators.pagerank import pagerank
+
+            # node set = every endpoint (dangling hash targets included)
+            nodes = (
+                edges.select(F.col("src").alias("node"))
+                .unionAll(edges.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            pagerank(nodes, edges, n_iters=args.iters).write.mode(
+                "overwrite"
+            ).parquet(f"{args.out}/pagerank")
+            res["built"].append("pagerank")
+        if args.what in ("triangles", "both"):
+            from ocr_output_evaluation_spark.operators.triangles import (
+                node_triangle_counts,
+            )
+
+            node_triangle_counts(edges).write.mode("overwrite").parquet(
+                f"{args.out}/triangles"
+            )
+            res["built"].append("triangles")
+    elif args.cmd == "snapshot-diff":
+        from pyspark.sql import functions as F
+
+        from ocr_output_evaluation_spark.operators.diff import snapshot_diff
+
+        a = spark.read.parquet(args.old)
+        b = spark.read.parquet(args.new)
+        cols = [c for c in args.compare_cols.split(",") if c]
+        d = snapshot_diff(a, b, args.key, cols)
+        d.write.mode("overwrite").parquet(f"{args.out}/diff")
+        counts = {
+            r["status"]: r["n"]
+            for r in spark.read.parquet(f"{args.out}/diff")
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        res = {"out": args.out, "counts": counts}
     else:
         from ocr_output_evaluation_spark.fixtures.generate import write_fixture_set
 
