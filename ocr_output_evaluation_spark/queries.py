@@ -3000,6 +3000,165 @@ ORDER BY n_tri DESC, node LIMIT 15
 """
 
 
+def qdigest_quantile_report(spark, sf):
+    """q-digest quantile sketch (X56, operators/qdigest.py): per-lang
+    digests over n_chars (universe [0, 2048), depth 11, k=64), queried at
+    six percentiles, next to the EXACT per-lang quantiles (the X32
+    bounded-domain histogram leg) and the signed error — the mergeable-
+    sketch trio's quantile member, wholly integer and trajectory-
+    replayable (every compression decision is an integer comparison both
+    engines take identically)."""
+    from .operators.qdigest import qdigest_build, qdigest_quantiles
+
+    Q = [10, 25, 50, 75, 90, 99]
+    docs = t(spark, sf, "documents")
+    dig, tot = qdigest_build(docs, "n_chars", ["lang"], depth=11, k=64)
+    qd = qdigest_quantiles(dig, tot, ["lang"], Q, depth=11)
+    cap = (1 << 11) - 1
+    v = F.least(F.greatest(F.col("n_chars").cast("long"), F.lit(0)), F.lit(cap))
+    hist = (
+        docs.select("lang", v.alias("val"))
+        .groupBy("lang", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum_w = (
+        W.partitionBy("lang")
+        .orderBy("val")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    hist_cum = hist.withColumn("_cum", F.sum("c").over(cum_w))
+    targets = tot.select(
+        "lang",
+        F.explode(F.array(*[F.lit(q) for q in Q])).alias("q_pct"),
+        F.expr("div(q_pct * n + 99, 100)").cast("long").alias("_target"),
+    )
+    exact = (
+        hist_cum.join(F.broadcast(targets), "lang")
+        .filter(F.col("_cum") >= F.col("_target"))
+        .groupBy("lang", "q_pct")
+        .agg(F.min("val").cast("long").alias("exact_value"))
+    )
+    return (
+        qd.join(exact, ["lang", "q_pct"])
+        .select(
+            "lang",
+            "q_pct",
+            "qd_value",
+            "exact_value",
+            (F.col("qd_value") - F.col("exact_value")).cast("long").alias("err"),
+        )
+        .orderBy("lang", "q_pct")
+    )
+
+
+def _qdigest_oracle(depth: int = 11, k: int = 64) -> str:
+    """The whole digest trajectory replayed: clamped leaves, per-lang
+    thresholds, every bottom-up compression level unrolled as
+    (kids, dec, nodes) MATERIALIZED CTE triples — each absorb decision an
+    integer comparison — then the rank query and the exact histogram leg."""
+    u = 1 << depth
+    parts = [
+        "WITH leaves AS MATERIALIZED (",
+        f"  SELECT lang, {depth} AS level,",
+        f"         {u} + least(greatest(CAST(n_chars AS BIGINT), 0), {u - 1})"
+        "  AS id,",
+        "         CAST(count(*) AS BIGINT) AS cnt",
+        "  FROM documents GROUP BY 1, 2, 3",
+        "),",
+        "tot AS MATERIALIZED (",
+        "  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM leaves GROUP BY lang",
+        "),",
+        "thr AS MATERIALIZED (",
+        f"  SELECT lang, greatest(n // {k}, 1) AS t FROM tot",
+        "),",
+        f"n{depth} AS MATERIALIZED (SELECT lang, level, id, cnt FROM leaves),",
+    ]
+    for lvl in range(depth, 0, -1):
+        p = lvl - 1
+        parts += [
+            f"k{lvl} AS MATERIALIZED (",
+            f"  SELECT lang, id // 2 AS pid, CAST(sum(cnt) AS BIGINT) AS ksum",
+            f"  FROM n{lvl} WHERE level = {lvl} GROUP BY lang, pid",
+            f"),",
+            f"d{lvl} AS MATERIALIZED (",
+            f"  SELECT coalesce(kk.lang, pp.lang) AS lang,",
+            f"         coalesce(kk.pid, pp.id) AS pid,",
+            f"         coalesce(kk.ksum, 0) AS ksum,",
+            f"         coalesce(pp.cnt, 0) AS pcnt,",
+            f"         (coalesce(kk.ksum, 0) > 0 AND",
+            f"          coalesce(kk.ksum, 0) + coalesce(pp.cnt, 0) <= th.t)"
+            f" AS absorb",
+            f"  FROM k{lvl} kk",
+            f"  FULL OUTER JOIN (SELECT lang, id, cnt FROM n{lvl}"
+            f" WHERE level = {p}) pp",
+            f"    ON pp.lang = kk.lang AND pp.id = kk.pid",
+            f"  JOIN thr th ON th.lang = coalesce(kk.lang, pp.lang)",
+            f"),",
+            f"n{p} AS MATERIALIZED (",
+            f"  SELECT lang, level, id, cnt FROM n{lvl}"
+            f" WHERE level NOT IN ({lvl}, {p})",
+            f"  UNION ALL",
+            f"  SELECT lang, {p} AS level, pid AS id,",
+            f"         pcnt + CASE WHEN absorb THEN ksum ELSE 0 END AS cnt",
+            f"  FROM d{lvl}",
+            f"  WHERE pcnt + CASE WHEN absorb THEN ksum ELSE 0 END > 0",
+            f"  UNION ALL",
+            f"  SELECT c.lang, c.level, c.id, c.cnt FROM n{lvl} c",
+            f"  JOIN d{lvl} d ON d.lang = c.lang AND d.pid = c.id // 2",
+            f"  WHERE c.level = {lvl} AND NOT d.absorb",
+            f"),",
+        ]
+    parts += [
+        "dig AS MATERIALIZED (",
+        "  SELECT lang, level, id, cnt,",
+        f"         (1::BIGINT << ({depth} - level)) AS span,",
+        f"         (id - (1::BIGINT << level) + 1) * (1::BIGINT <<"
+        f" ({depth} - level)) - 1 AS r",
+        "  FROM n0",
+        "),",
+        "cum AS MATERIALIZED (",
+        "  SELECT lang, r, span, id, cnt,",
+        "         CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY r, span, id",
+        "           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c",
+        "  FROM dig",
+        "),",
+        "targets AS MATERIALIZED (",
+        "  SELECT lang, q_pct, (q_pct * n + 99) // 100 AS target",
+        "  FROM tot, UNNEST([10, 25, 50, 75, 90, 99]) AS qq(q_pct)",
+        "),",
+        "qd AS MATERIALIZED (",
+        "  SELECT c.lang, t.q_pct, CAST(min(c.r) AS BIGINT) AS qd_value",
+        "  FROM cum c JOIN targets t ON t.lang = c.lang",
+        "  WHERE c.c >= t.target GROUP BY 1, 2",
+        "),",
+        "hist AS MATERIALIZED (",
+        f"  SELECT lang, least(greatest(CAST(n_chars AS BIGINT), 0), {u - 1})"
+        "  AS val,",
+        "         CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2",
+        "),",
+        "hcum AS (",
+        "  SELECT lang, val,",
+        "         CAST(sum(c) OVER (PARTITION BY lang ORDER BY val",
+        "           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c",
+        "  FROM hist",
+        "),",
+        "exact AS (",
+        "  SELECT h.lang, t.q_pct, CAST(min(h.val) AS BIGINT) AS exact_value",
+        "  FROM hcum h JOIN targets t ON t.lang = h.lang",
+        "  WHERE h.c >= t.target GROUP BY 1, 2",
+        ")",
+        "SELECT q.lang, CAST(q.q_pct AS INT) AS q_pct, q.qd_value,",
+        "       e.exact_value,",
+        "       CAST(q.qd_value - e.exact_value AS BIGINT) AS err",
+        "FROM qd q JOIN exact e ON e.lang = q.lang AND e.q_pct = q.q_pct",
+        "ORDER BY q.lang, q.q_pct",
+    ]
+    return "\n".join(parts)
+
+
+ORACLE_QDIGEST_QUANTILE_REPORT = _qdigest_oracle()
+
+
 def cohort_retention_report(spark, sf):
     """Cohort retention matrix (A19): users bucketed by the DAY of their
     first event (cohort index relative to the corpus-wide first event),
@@ -5945,6 +6104,10 @@ QUERIES = {
     "sql_quality_matrix": sql_quality_matrix,
     "fingerprint_stats": fingerprint_stats,
     "enrich_union_stats": enrich_union_stats,
+    # -- born-in-tail (r4 late additions after the window froze at
+    #    r3-tail + r4-new): local-strict green this round, r5 driver rows
+    #    via the rotation --
+    "qdigest_quantile_report": qdigest_quantile_report,
 }
 
 ORACLES = {
@@ -5963,6 +6126,7 @@ ORACLES = {
     "incremental_dedup_report": ORACLE_INCREMENTAL_DEDUP_REPORT,
     "cohort_retention_report": ORACLE_COHORT_RETENTION_REPORT,
     "triangle_count_report": ORACLE_TRIANGLE_COUNT_REPORT,
+    "qdigest_quantile_report": ORACLE_QDIGEST_QUANTILE_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
