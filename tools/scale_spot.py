@@ -234,6 +234,7 @@ def main() -> None:
         kn_perplexity_report,
         pagerank_report,
         triangle_count_report,
+        qdigest_quantile_report,
         pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
@@ -343,6 +344,11 @@ def main() -> None:
         # hot node escaped the orientation bound
         "triangle_count_report": (
             triangle_count_report, (1, mult_hi), "documents"),
+        # r4e: X56 — build is one map-side leaf census; the 11-level
+        # compression loop runs on the config-bounded node frame whatever
+        # n, so wall time must track the scan (~linear or flatter)
+        "qdigest_quantile_report": (
+            qdigest_quantile_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
