@@ -3000,6 +3000,36 @@ ORDER BY n_tri DESC, node LIMIT 15
 """
 
 
+def zorder_key_report(spark, sf):
+    """Z-order layout key (X57, sources/zorder.py): the Morton
+    interleave of (n_chars, doc_id) — pure unrolled bit arithmetic, the
+    write-order key behind multi-dimensional file pruning. Top-20 by
+    key; the layout/pruning claim itself is pytest-measured
+    (tests/test_zorder.py) since file statistics aren't SQL."""
+    from .sources.zorder import morton_key
+
+    docs = t(spark, sf, "documents")
+    z = morton_key(F.col("n_chars"), F.col("doc_id"), bits=12)
+    return (
+        docs.select("doc_id", "n_chars", z.alias("z_key"))
+        .orderBy(F.desc("z_key"), "doc_id")
+        .limit(20)
+    )
+
+
+def _zorder_oracle() -> str:
+    from .sources.zorder import morton_key_sql
+
+    return (
+        "SELECT doc_id, n_chars, "
+        + morton_key_sql("n_chars", "doc_id", bits=12)
+        + " AS z_key\nFROM documents ORDER BY z_key DESC, doc_id LIMIT 20"
+    )
+
+
+ORACLE_ZORDER_KEY_REPORT = _zorder_oracle()
+
+
 def qdigest_quantile_report(spark, sf):
     """q-digest quantile sketch (X56, operators/qdigest.py): per-lang
     digests over n_chars (universe [0, 2048), depth 11, k=64), queried at
@@ -6108,6 +6138,7 @@ QUERIES = {
     #    r3-tail + r4-new): local-strict green this round, r5 driver rows
     #    via the rotation --
     "qdigest_quantile_report": qdigest_quantile_report,
+    "zorder_key_report": zorder_key_report,
 }
 
 ORACLES = {
@@ -6127,6 +6158,7 @@ ORACLES = {
     "cohort_retention_report": ORACLE_COHORT_RETENTION_REPORT,
     "triangle_count_report": ORACLE_TRIANGLE_COUNT_REPORT,
     "qdigest_quantile_report": ORACLE_QDIGEST_QUANTILE_REPORT,
+    "zorder_key_report": ORACLE_ZORDER_KEY_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
