@@ -150,6 +150,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="output root (diff/ per-key statuses + counts.json line)")
     _add_common(sd)
 
+    zo = sub.add_parser("optimize",
+                        help="rewrite a parquet table Z-order-clustered (X57)")
+    zo.add_argument("--table", required=True, help="input parquet path")
+    zo.add_argument("--cols", required=True,
+                    help="two integer columns to interleave, comma-separated")
+    zo.add_argument("--out", required=True)
+    zo.add_argument("--n-files", type=int, default=16,
+                    help="equal-width Morton-key ranges (cluster: O(task count))")
+    zo.add_argument("--bits", type=int, default=12,
+                    help="per-dimension key resolution")
+    _add_common(zo)
+
     fx = sub.add_parser("fixtures", help="materialize synthetic dataset")
     fx.add_argument("--out", required=True)
     fx.add_argument("--n-pages", type=int, default=10000)
@@ -276,6 +288,15 @@ def main(argv: list[str] | None = None) -> int:
                 f"{args.out}/triangles"
             )
             res["built"].append("triangles")
+    elif args.cmd == "optimize":
+        from ocr_output_evaluation_spark.sources.zorder import cluster_by_zorder
+
+        c1, c2 = [c for c in args.cols.split(",") if c][:2]
+        cluster_by_zorder(
+            spark.read.parquet(args.table), c1, c2, args.out,
+            n_files=args.n_files, bits=args.bits,
+        )
+        res = {"out": args.out, "cols": [c1, c2], "n_files": args.n_files}
     elif args.cmd == "snapshot-diff":
         from pyspark.sql import functions as F
 

@@ -72,3 +72,28 @@ def test_snapshot_diff_cli(spark, tmp_path, capsys):
         r.k: r.status for r in spark.read.parquet(f"{out}/diff").collect()
     }
     assert statuses == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_optimize_cli_zorder(spark, tmp_path, capsys):
+    import json as _json
+
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i % 50, (i * 37) % 50) for i in range(1000)], "x long, y long"
+    ).write.parquet(src)
+    out = str(tmp_path / "z")
+    assert (
+        jobs.main(
+            ["optimize", "--table", src, "--cols", "x,y", "--out", out,
+             "--n-files", "8", "--bits", "6"]
+        )
+        == 0
+    )
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["cols"] == ["x", "y"]
+    rd = spark.read.parquet(out)
+    assert rd.count() == 1000
+    assert "z_bucket" in rd.columns
+    assert rd.selectExpr("sum(x)").collect() == spark.read.parquet(
+        src
+    ).selectExpr("sum(x)").collect()
