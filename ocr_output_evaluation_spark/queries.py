@@ -3000,6 +3000,120 @@ ORDER BY n_tri DESC, node LIMIT 15
 """
 
 
+def hits_report(spark, sf):
+    """HITS hubs & authorities (X58, operators/hits.py) over the same
+    md5-derived deterministic link graph as the PageRank report: 4 exact
+    max-normalized iterations in micro fixed-point; top-15 by authority
+    (the endorsed-content head; the hub column separates directory-style
+    nodes), totally ordered."""
+    from .operators.hits import hits
+
+    docs = t(spark, sf, "documents")
+    n = docs.count()  # 1-row query vector; doc_ids dense 0..n-1 (TESTDATA)
+    did = F.col("doc_id")
+    gen = docs.filter(did % 4 != 0).select(
+        did.alias("src"),
+        F.explode(F.sequence(F.lit(1), (did % 4).cast("int"))).alias("j"),
+    )
+    edges = gen.select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("src").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    ).filter(F.col("dst") != F.col("src"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return (
+        hits(nodes, edges, n_iters=4)
+        .orderBy(F.desc("authority_micro"), "node")
+        .limit(15)
+    )
+
+
+def _hits_oracle(n_iters: int = 4) -> str:
+    """Every half-iteration unrolled: raw sums, the 1-row max, the exact
+    micro-scaled division — all BIGINT, trajectory in the hash."""
+    parts = [
+        "WITH nn AS MATERIALIZED (",
+        "  SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
+        "),",
+        "gen AS MATERIALIZED (",
+        "  SELECT doc_id AS src,",
+        "         unnest(generate_series(1, CAST(doc_id % 4 AS BIGINT))) AS j",
+        "  FROM documents WHERE doc_id % 4 <> 0",
+        "),",
+        "ed AS MATERIALIZED (",
+        "  SELECT src, dst FROM (",
+        "    SELECT src,",
+        "           ('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||",
+        "             CAST(j AS VARCHAR)), 1, 6))::BIGINT",
+        "             % (SELECT n FROM nn) AS dst",
+        "    FROM gen",
+        "  ) WHERE dst <> src",
+        "),",
+        "h0 AS MATERIALIZED (",
+        "  SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS h FROM documents",
+        "),",
+    ]
+    for it in range(1, n_iters + 1):
+        p = it - 1
+        parts += [
+            f"ar{it} AS MATERIALIZED (",
+            f"  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS raw",
+            f"  FROM ed e JOIN h{p} h ON e.src = h.node GROUP BY e.dst",
+            f"),",
+            f"am{it} AS MATERIALIZED (",
+            f"  SELECT greatest(CAST(max(raw) AS BIGINT), 1) AS m FROM ar{it}",
+            f"),",
+            f"a{it} AS MATERIALIZED (",
+            f"  SELECT d.doc_id AS node,",
+            f"         CAST(coalesce(r.raw, 0) * 1000000",
+            f"           // (SELECT m FROM am{it}) AS BIGINT) AS a",
+            f"  FROM documents d LEFT JOIN ar{it} r ON d.doc_id = r.dst",
+            f"),",
+            f"hr{it} AS MATERIALIZED (",
+            f"  SELECT e.src, CAST(sum(a.a) AS BIGINT) AS raw",
+            f"  FROM ed e JOIN a{it} a ON e.dst = a.node GROUP BY e.src",
+            f"),",
+            f"hm{it} AS MATERIALIZED (",
+            f"  SELECT greatest(CAST(max(raw) AS BIGINT), 1) AS m FROM hr{it}",
+            f"),",
+            f"h{it} AS MATERIALIZED (",
+            f"  SELECT d.doc_id AS node,",
+            f"         CAST(coalesce(r.raw, 0) * 1000000",
+            f"           // (SELECT m FROM hm{it}) AS BIGINT) AS h",
+            f"  FROM documents d LEFT JOIN hr{it} r ON d.doc_id = r.src",
+            f"),",
+        ]
+    parts += [
+        "fin AS (",
+        f"  SELECT a{n_iters}.node, a{n_iters}.a AS authority_micro,",
+        f"         h{n_iters}.h AS hub_micro",
+        f"  FROM a{n_iters} JOIN h{n_iters} ON h{n_iters}.node = a{n_iters}.node",
+        ")",
+        "SELECT node, authority_micro, hub_micro FROM fin",
+        "ORDER BY authority_micro DESC, node LIMIT 15",
+    ]
+    return "\n".join(parts)
+
+
+ORACLE_HITS_REPORT = _hits_oracle()
+
+
 def zorder_key_report(spark, sf):
     """Z-order layout key (X57, sources/zorder.py): the Morton
     interleave of (n_chars, doc_id) — pure unrolled bit arithmetic, the
@@ -6139,6 +6253,7 @@ QUERIES = {
     #    via the rotation --
     "qdigest_quantile_report": qdigest_quantile_report,
     "zorder_key_report": zorder_key_report,
+    "hits_report": hits_report,
 }
 
 ORACLES = {
@@ -6159,6 +6274,7 @@ ORACLES = {
     "triangle_count_report": ORACLE_TRIANGLE_COUNT_REPORT,
     "qdigest_quantile_report": ORACLE_QDIGEST_QUANTILE_REPORT,
     "zorder_key_report": ORACLE_ZORDER_KEY_REPORT,
+    "hits_report": ORACLE_HITS_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
