@@ -107,3 +107,79 @@ def pagerank(
             ranks = ranks.localCheckpoint()
     ej.unpersist()
     return ranks.select("node", F.col("r").alias("rank_nano"))
+
+
+def trustrank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 5,
+    node_col: str = "node",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """X59 — TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, VLDB):
+    personalized PageRank whose teleport vector is a TRUSTED SEED SET —
+    the published spam-demotion pass for web corpora (trust flows out of
+    vetted hosts along links; link farms unreachable from seeds starve).
+    Reference analog: none — rebuild-only (SURVEY §2.13).
+
+    Same exact-integer discipline as :func:`pagerank`, with ONE unit of
+    total mass (10^9 nano) so seed-set size doesn't change scale:
+
+        r_0(v)   = div(10^9, |S|) for v in S else 0
+        r_t+1(v) = [v in S] * div(15 * 10^9, 100 * |S|)
+                   + div(85 * (inc_v + [v in S] * div(D_t, |S|)), 100)
+
+    — teleport AND dangling mass return to the seeds only (the paper's
+    static trust vector). Per-iteration work is identical to PageRank's
+    (edge-scale join, map-side-combined sum, node-scale rejoin, 1-row
+    dangling broadcast); the seed frame is broadcast (small by
+    construction — a vetted list)."""
+    n_seeds = seeds.count()  # 1-row query vector (sanctioned collect)
+    if n_seeds == 0:
+        raise ValueError("trustrank: empty seed set")
+    sd = F.broadcast(seeds.select(F.col(seeds.columns[0]).alias("node")))
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    ej = edges.join(outdeg, "src").persist()
+    is_seed = F.col("_s").isNotNull()
+    nodes_tag = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(sd.withColumn("_s", F.lit(1)), "node", "left")
+    )
+    ranks = nodes_tag.select(
+        "node",
+        F.when(is_seed, F.lit(10**9 // n_seeds)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    teleport = (15 * 10**9) // (100 * n_seeds)
+    for _ in range(n_iters):
+        contrib = ej.join(ranks, ej["src"] == ranks["node"]).select(
+            F.col("dst"), F.expr("div(r, o)").alias("c")
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("inc"))
+        dang = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        )
+        ranks = (
+            nodes_tag.join(inc, F.col("node") == inc["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"div({DAMPING_NANO_NUM} * (coalesce(inc, 0L)"
+                        f" + if(_s is not null, div(dang, {n_seeds}L), 0L))"
+                        f", 100)"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    ej.unpersist()
+    return ranks.select("node", F.col("r").alias("trust_nano"))

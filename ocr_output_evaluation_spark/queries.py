@@ -3000,6 +3000,133 @@ ORDER BY n_tri DESC, node LIMIT 15
 """
 
 
+def trustrank_report(spark, sf):
+    """TrustRank (X59, operators/pagerank.py trustrank): personalized
+    PageRank from the deterministic trusted seed set doc_id % 50 == 0
+    over the same md5-derived link graph — the published spam-demotion
+    pass (trust starves link neighborhoods unreachable from vetted
+    hosts). Top-15 by trust with seed membership, totally ordered."""
+    from .operators.pagerank import trustrank
+
+    docs = t(spark, sf, "documents")
+    n = docs.count()  # 1-row query vector; doc_ids dense 0..n-1 (TESTDATA)
+    did = F.col("doc_id")
+    gen = docs.filter(did % 4 != 0).select(
+        did.alias("src"),
+        F.explode(F.sequence(F.lit(1), (did % 4).cast("int"))).alias("j"),
+    )
+    edges = gen.select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("src").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    ).filter(F.col("dst") != F.col("src"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    seeds = docs.filter(did % 50 == 0).select(F.col("doc_id").alias("node"))
+    tr = trustrank(nodes, edges, seeds, n_iters=5)
+    return (
+        tr.withColumn(
+            "is_seed", (F.col("node") % 50 == 0).cast("int")
+        )
+        .orderBy(F.desc("trust_nano"), "node")
+        .limit(15)
+    )
+
+
+def _trustrank_oracle(n_iters: int = 5) -> str:
+    """Seed-personalized teleport + seeds-only dangling return, all 5
+    iterations unrolled — the pagerank oracle with the trust vector."""
+    parts = [
+        "WITH nn AS MATERIALIZED (",
+        "  SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
+        "),",
+        "ns AS MATERIALIZED (",
+        "  SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
+        "  WHERE doc_id % 50 = 0",
+        "),",
+        "gen AS MATERIALIZED (",
+        "  SELECT doc_id AS src,",
+        "         unnest(generate_series(1, CAST(doc_id % 4 AS BIGINT))) AS j",
+        "  FROM documents WHERE doc_id % 4 <> 0",
+        "),",
+        "ed AS MATERIALIZED (",
+        "  SELECT src, dst FROM (",
+        "    SELECT src,",
+        "           ('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||",
+        "             CAST(j AS VARCHAR)), 1, 6))::BIGINT",
+        "             % (SELECT n FROM nn) AS dst",
+        "    FROM gen",
+        "  ) WHERE dst <> src",
+        "),",
+        "od AS MATERIALIZED (",
+        "  SELECT src, CAST(count(*) AS BIGINT) AS o FROM ed GROUP BY src",
+        "),",
+        "r0 AS MATERIALIZED (",
+        "  SELECT doc_id AS node,",
+        "         CAST(CASE WHEN doc_id % 50 = 0",
+        "           THEN 1000000000 // (SELECT n FROM ns) ELSE 0 END",
+        "           AS BIGINT) AS r",
+        "  FROM documents",
+        "),",
+    ]
+    for it in range(1, n_iters + 1):
+        p = it - 1
+        parts += [
+            f"i{it} AS MATERIALIZED (",
+            f"  SELECT e.dst, CAST(sum(r.r // o.o) AS BIGINT) AS inc",
+            f"  FROM ed e JOIN r{p} r ON e.src = r.node",
+            f"  JOIN od o ON e.src = o.src",
+            f"  GROUP BY e.dst",
+            f"),",
+            f"g{it} AS MATERIALIZED (",
+            f"  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang",
+            f"  FROM r{p} WHERE node NOT IN (SELECT src FROM od)",
+            f"),",
+            f"r{it} AS MATERIALIZED (",
+            f"  SELECT d.doc_id AS node,",
+            f"         CAST(CASE WHEN d.doc_id % 50 = 0",
+            f"             THEN 15000000000 // (100 * (SELECT n FROM ns))",
+            f"             ELSE 0 END",
+            f"           + (85 * (coalesce(i.inc, 0)",
+            f"             + CASE WHEN d.doc_id % 50 = 0",
+            f"               THEN (SELECT dang FROM g{it})",
+            f"                 // (SELECT n FROM ns)",
+            f"               ELSE 0 END))",
+            f"           // 100 AS BIGINT) AS r",
+            f"  FROM documents d LEFT JOIN i{it} i ON d.doc_id = i.dst",
+            f"),",
+        ]
+    parts += [
+        "fin AS (",
+        f"  SELECT node, r AS trust_nano,",
+        "         CAST(CASE WHEN node % 50 = 0 THEN 1 ELSE 0 END AS INT)"
+        " AS is_seed",
+        f"  FROM r{n_iters}",
+        ")",
+        "SELECT node, trust_nano, is_seed FROM fin",
+        "ORDER BY trust_nano DESC, node LIMIT 15",
+    ]
+    return "\n".join(parts)
+
+
+ORACLE_TRUSTRANK_REPORT = _trustrank_oracle()
+
+
 def hits_report(spark, sf):
     """HITS hubs & authorities (X58, operators/hits.py) over the same
     md5-derived deterministic link graph as the PageRank report: 4 exact
@@ -6254,6 +6381,7 @@ QUERIES = {
     "qdigest_quantile_report": qdigest_quantile_report,
     "zorder_key_report": zorder_key_report,
     "hits_report": hits_report,
+    "trustrank_report": trustrank_report,
 }
 
 ORACLES = {
@@ -6275,6 +6403,7 @@ ORACLES = {
     "qdigest_quantile_report": ORACLE_QDIGEST_QUANTILE_REPORT,
     "zorder_key_report": ORACLE_ZORDER_KEY_REPORT,
     "hits_report": ORACLE_HITS_REPORT,
+    "trustrank_report": ORACLE_TRUSTRANK_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

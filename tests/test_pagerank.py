@@ -148,3 +148,79 @@ def test_pagerank_fuzz_matches_python_model(spark, n, edges, iters):
         for r in pagerank(nodes, e, n_iters=iters, checkpoint=False).collect()
     }
     assert got == _py_pagerank(nodes_py, edges_py, n_iters=iters)
+
+
+# ---------------------------------------------------------------------------
+# X59 TrustRank: python model, spam-starvation semantics, fuzz
+# ---------------------------------------------------------------------------
+from ocr_output_evaluation_spark.operators.pagerank import trustrank  # noqa: E402
+
+
+def _py_trustrank(nodes, edges, seeds, n_iters=5):
+    ns = len(seeds)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    ranks = {v: (10**9 // ns if v in seeds else 0) for v in nodes}
+    tp = (15 * 10**9) // (100 * ns)
+    for _ in range(n_iters):
+        inc = {}
+        for s, d in edges:
+            inc[d] = inc.get(d, 0) + ranks[s] // out[s]
+        dang = sum(r for v, r in ranks.items() if v not in out)
+        ranks = {
+            v: (tp if v in seeds else 0)
+            + 85 * (inc.get(v, 0) + (dang // ns if v in seeds else 0)) // 100
+            for v in nodes
+        }
+    return ranks
+
+
+def _run_tr(spark, nodes_py, edges_py, seeds_py, n_iters=5):
+    nodes = spark.createDataFrame([(v,) for v in nodes_py], "node long")
+    edges = (
+        spark.createDataFrame(edges_py, "src long, dst long")
+        if edges_py
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    seeds = spark.createDataFrame([(v,) for v in seeds_py], "node long")
+    return {
+        r["node"]: r["trust_nano"]
+        for r in trustrank(nodes, edges, seeds, n_iters=n_iters).collect()
+    }
+
+
+def test_trustrank_matches_python_model(spark):
+    nodes = list(range(8))
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (0, 2), (2, 3)]
+    got = _run_tr(spark, nodes, edges, [0])
+    assert got == _py_trustrank(nodes, edges, {0}, 5)
+
+
+def test_trustrank_starves_unreachable_spam(spark):
+    # 0 -> 1 trusted island; 5 <-> 6 a link farm unreachable from seeds:
+    # the farm must hold EXACTLY zero trust, whatever its internal links
+    got = _run_tr(spark, [0, 1, 5, 6], [(0, 1), (5, 6), (6, 5)], [0])
+    assert got[5] == 0 and got[6] == 0
+    assert got[0] > 0 and got[1] > 0
+
+
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@settings(**FAST)
+@given(
+    n=st.integers(2, 10),
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    ),
+    seed_pick=st.integers(0, 9),
+)
+def test_trustrank_fuzz_matches_python_model(spark, n, edges, seed_pick):
+    nodes = list(range(n))
+    ep = [(s, d) for s, d in edges if s < n and d < n and s != d]
+    seeds = {seed_pick % n}
+    got = _run_tr(spark, nodes, ep, seeds, n_iters=3)
+    assert got == _py_trustrank(nodes, ep, seeds, 3)
