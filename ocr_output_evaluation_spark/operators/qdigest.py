@@ -69,6 +69,20 @@ def qdigest_build(
         .withColumn("level", F.lit(depth))
         .select(*group_cols, "level", "id", "cnt")
     )
+    return qdigest_compress(leaves, group_cols, depth=depth, k=k)
+
+
+def qdigest_compress(
+    leaves: DataFrame,
+    group_cols: list[str],
+    depth: int = DEPTH_DEFAULT,
+    k: int = K_DEFAULT,
+) -> tuple[DataFrame, DataFrame]:
+    """Compress a pre-built leaf census (group..., level, id, cnt) — a
+    deterministic pure function of (leaves, N, k), shared by the batch
+    build and the streaming leaf census (streaming/pipeline.py
+    stream_qdigest_leaves), so stream-then-compress equals batch build
+    exactly."""
     totals = leaves.groupBy(*group_cols).agg(
         F.sum("cnt").cast("long").alias("n")
     )
@@ -178,6 +192,12 @@ def qdigest_quantiles(
         "q_pct",
         F.expr("div(q_pct * n + 99, 100)").cast("long").alias("_target"),
     )
+    # digest and totals may share one source lineage (e.g. both derived
+    # from a streamed leaf census); a join of window output against
+    # shared attribute ids trips Spark's conflicting-reference
+    # resolution. toDF re-aliases every column with FRESH exprIds, making
+    # the broadcast side lineage-independent.
+    targets = targets.toDF(*targets.columns)
     j = with_right.join(F.broadcast(targets), group_cols).filter(
         F.col("_cum") >= F.col("_target")
     )

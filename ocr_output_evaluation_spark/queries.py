@@ -3241,6 +3241,98 @@ def _hits_oracle(n_iters: int = 4) -> str:
 ORACLE_HITS_REPORT = _hits_oracle()
 
 
+def streaming_quantile_report(spark, sf):
+    """The third fully-oracled streaming query: per-lang n_chars leaves
+    stream through the incremental q-digest census
+    (streaming/pipeline.py stream_qdigest_leaves — complete-mode
+    groupBy-count, state bounded by the UNIVERSE) and the final census is
+    compressed + rank-queried at read time. Counts are exactly-once
+    associative sums (the streaming_cms_report contract) and compression
+    is a deterministic pure function of the census, so stream-then-
+    compress equals the batch digest — the batch q-digest oracle replays
+    the streaming computation verbatim. Output shape == the batch
+    qdigest_quantile_report (incl. the exact-histogram err leg)."""
+    import shutil
+    import tempfile
+
+    from .operators.qdigest import qdigest_compress, qdigest_quantiles
+
+    Q = [10, 25, 50, 75, 90, 99]
+    base = f"{tempfile.gettempdir()}/ooe_stream_qd"
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    docs = t(spark, sf, "documents")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    from .streaming import stream_qdigest_leaves
+
+    try:
+        spark.catalog.dropTempView("ooe_stream_qd_leaves")
+    except Exception:
+        pass
+    q = (
+        stream_qdigest_leaves(stream, "n_chars", ["lang"], depth=11)
+        .writeStream.format("memory")
+        .queryName("ooe_stream_qd_leaves")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=180):
+        q.stop()
+        raise TimeoutError(
+            "streaming_quantile_report: stream did not finish in 180s"
+        )
+    leaves = (
+        spark.table("ooe_stream_qd_leaves")
+        .withColumn("level", F.lit(11))
+        .select("lang", "level", "id", "cnt")
+    )
+    dig, tot = qdigest_compress(leaves, ["lang"], depth=11, k=64)
+    qd = qdigest_quantiles(dig, tot, ["lang"], Q, depth=11)
+    cap = (1 << 11) - 1
+    v = F.least(F.greatest(F.col("n_chars").cast("long"), F.lit(0)), F.lit(cap))
+    hist = (
+        docs.select("lang", v.alias("val"))
+        .groupBy("lang", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum_w = (
+        W.partitionBy("lang")
+        .orderBy("val")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    hist_cum = hist.withColumn("_cum", F.sum("c").over(cum_w))
+    # exact-leg targets recomputed from docs (identical values to `tot` —
+    # every doc lands on one leaf) so the two join legs have DISJOINT
+    # lineages: sharing `tot` across both trips Spark's conflicting-
+    # reference resolution on the window + memory-table shape
+    tot2 = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    targets = tot2.select(
+        "lang",
+        F.explode(F.array(*[F.lit(x) for x in Q])).alias("q_pct"),
+        F.expr("div(q_pct * n + 99, 100)").cast("long").alias("_target"),
+    )
+    exact = (
+        hist_cum.join(F.broadcast(targets), "lang")
+        .filter(F.col("_cum") >= F.col("_target"))
+        .groupBy("lang", "q_pct")
+        .agg(F.min("val").cast("long").alias("exact_value"))
+    )
+    return (
+        qd.join(exact, ["lang", "q_pct"])
+        .select(
+            "lang",
+            "q_pct",
+            "qd_value",
+            "exact_value",
+            (F.col("qd_value") - F.col("exact_value")).cast("long").alias("err"),
+        )
+        .orderBy("lang", "q_pct")
+    )
+
+
 def zorder_key_report(spark, sf):
     """Z-order layout key (X57, sources/zorder.py): the Morton
     interleave of (n_chars, doc_id) — pure unrolled bit arithmetic, the
@@ -3428,6 +3520,11 @@ def _qdigest_oracle(depth: int = 11, k: int = 64) -> str:
 
 
 ORACLE_QDIGEST_QUANTILE_REPORT = _qdigest_oracle()
+
+# Stream-then-compress == batch build (exactly-once sums + deterministic
+# compression), so the batch q-digest oracle replays the STREAMING
+# quantile report verbatim — that identity is the claim under test.
+ORACLE_STREAMING_QUANTILE_REPORT = ORACLE_QDIGEST_QUANTILE_REPORT
 
 
 def cohort_retention_report(spark, sf):
@@ -6382,6 +6479,7 @@ QUERIES = {
     "zorder_key_report": zorder_key_report,
     "hits_report": hits_report,
     "trustrank_report": trustrank_report,
+    "streaming_quantile_report": streaming_quantile_report,
 }
 
 ORACLES = {
@@ -6404,6 +6502,7 @@ ORACLES = {
     "zorder_key_report": ORACLE_ZORDER_KEY_REPORT,
     "hits_report": ORACLE_HITS_REPORT,
     "trustrank_report": ORACLE_TRUSTRANK_REPORT,
+    "streaming_quantile_report": ORACLE_STREAMING_QUANTILE_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -414,6 +414,37 @@ def stream_as_of_join(
     )
 
 
+def stream_qdigest_leaves(
+    stream: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    depth: int = 11,
+):
+    """Streaming q-digest LEAF census (the X56 sketch over a feed): the
+    clamped leaf-id expression feeds a complete-mode groupBy-count, so
+    per-group state is bounded by the UNIVERSE (<= 2^depth rows — config,
+    not data) whatever the stream's volume. Counts are
+    associative+commutative sums with exactly-once ingestion (the
+    stream_cms_cells contract), so the streaming census equals the batch
+    leaf census over the union of inputs — and because q-digest
+    COMPRESSION is a deterministic pure function of (leaves, N, k)
+    (operators/qdigest.py), compressing the streamed census at read time
+    yields exactly the batch digest: streaming quantiles whose whole
+    trajectory replays as batch SQL. Third member of the fully-oracled
+    streaming-sketch family (HLL: idempotent max; CMS: exactly-once sum;
+    q-digest: exactly-once sum + deterministic post-fold)."""
+    cap = (1 << depth) - 1
+    v = F.col(value_col).cast("long")
+    clamped = F.least(F.greatest(v, F.lit(0)), F.lit(cap))
+    return (
+        stream.select(
+            *group_cols, (F.lit(1 << depth) + clamped).alias("id")
+        )
+        .groupBy(*group_cols, "id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 SESSION_STREAM_OUTPUT = T.StructType(
     [
         T.StructField("user", T.StringType(), False),

@@ -783,3 +783,68 @@ def test_stream_sessionize_checkpoint_resume(spark, tmp_path):
     }
     assert got == want
     assert {s for _, s, *_ in got} == {1, 2}
+
+
+def test_stream_qdigest_leaves_match_batch_and_resume(spark, tmp_path):
+    """Streaming q-digest leaf census: equals the batch census after the
+    first wave AND after a checkpoint restart over appended files; and
+    because compression is a deterministic pure function of the census,
+    compressing the streamed state yields the batch digest exactly."""
+    from pyspark.sql import functions as F
+
+    from ocr_output_evaluation_spark.operators.qdigest import (
+        qdigest_build,
+        qdigest_compress,
+    )
+    from ocr_output_evaluation_spark.streaming import stream_qdigest_leaves
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(f"g{i % 2}", (i * 13) % 300) for i in range(1200)]
+    rows2 = [(f"g{i % 2}", (i * 7) % 500) for i in range(800)]
+    SCHEMA = "g string, v long"
+    spark.createDataFrame(rows1, SCHEMA).write.mode("append").parquet(src)
+
+    def run_wave(name):
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            stream_qdigest_leaves(stream, "v", ["g"], depth=9)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    def batch_leaves(df):
+        cap = (1 << 9) - 1
+        v = F.least(F.greatest(F.col("v"), F.lit(0)), F.lit(cap))
+        return (
+            df.select("g", (F.lit(1 << 9) + v).alias("id"))
+            .groupBy("g", "id")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    d1 = spark.createDataFrame(rows1, SCHEMA)
+    got1 = run_wave("qd_wave1")
+    assert {(r.g, r.id): r.cnt for r in got1.collect()} == {
+        (r.g, r.id): r.cnt for r in batch_leaves(d1).collect()
+    }
+
+    spark.createDataFrame(rows2, SCHEMA).write.mode("append").parquet(src)
+    d12 = d1.unionByName(spark.createDataFrame(rows2, SCHEMA))
+    got2 = run_wave("qd_wave2")
+    assert {(r.g, r.id): r.cnt for r in got2.collect()} == {
+        (r.g, r.id): r.cnt for r in batch_leaves(d12).collect()
+    }
+
+    # compress the streamed census -> must equal the batch-built digest
+    leaves = got2.withColumn("level", F.lit(9)).select("g", "level", "id", "cnt")
+    dig_s, _ = qdigest_compress(leaves, ["g"], depth=9, k=16)
+    dig_b, _ = qdigest_build(d12, "v", ["g"], depth=9, k=16)
+    assert sorted(map(tuple, dig_s.collect())) == sorted(
+        map(tuple, dig_b.collect())
+    )
