@@ -6460,13 +6460,16 @@ FROM p GROUP BY user_id
 #   - tail: r3-recorded stalwarts sitting out one round (back in r5).
 # NEVER insert a new query mid-dict: append after the rotation block and
 # demote a recorded-last-round stalwart to the tail instead.
-# r5 rotation (due at round start): swap the 49-entry tail below
-# (quantile_gate_report … enrich_union_stats) into slots 0-48 — every
-# tail entry was r3-driver-recorded (or demoted r4-new-green) but none
-# will have an r4 row; the 49th window slot keeps ONE r4-recorded
-# stalwart (suggest streaming_extraction_report: the sole rows-only
-# streaming fixture). The r4-recorded block demotes to the tail in
-# exchange, keeping the every-other-round driver-row guarantee.
+# r5 rotation (due at round start): the tail below has grown to 56
+# entries (quantile_gate_report … enrich_union_stats plus the 6
+# born-in-tail r4 late additions qdigest/zorder/hits/trustrank/
+# streaming_quantile/drift_psi). Rotate the born-in-tail six into the
+# FIRST slots (born-round rows were impossible for them — the window
+# was frozen at r3-tail + r4-new), then as many r3-recorded tail
+# stalwarts as fit the remaining 44 slots (prioritize those whose last
+# driver row is oldest); the r4-recorded window demotes in exchange.
+# The every-other-round guarantee bends for one round (50-slot window,
+# 106 entries) — note the overflow explicitly in the r5 docs.
 QUERIES = {
     # -- slots 0-24: the r3 tail, every one green in the r3-session local
     #    strict re-run but without a driver row since r2 --

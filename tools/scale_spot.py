@@ -235,6 +235,8 @@ def main() -> None:
         pagerank_report,
         triangle_count_report,
         qdigest_quantile_report,
+        hits_report,
+        trustrank_report,
         pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
@@ -349,6 +351,10 @@ def main() -> None:
         # n, so wall time must track the scan (~linear or flatter)
         "qdigest_quantile_report": (
             qdigest_quantile_report, (1, mult_hi), "documents"),
+        # r4f: X58/X59 — same per-iteration shape as PageRank (edge-scale
+        # join + node-scale rollup + 1-row broadcasts); expect ~linear
+        "hits_report": (hits_report, (1, mult_hi), "documents"),
+        "trustrank_report": (trustrank_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
