@@ -3241,6 +3241,133 @@ def _hits_oracle(n_iters: int = 4) -> str:
 ORACLE_HITS_REPORT = _hits_oracle()
 
 
+def kcore_report(spark, sf):
+    """k-core decomposition (X61, operators/kcore.py) at k=5 over the
+    md5+ring link graph (the X55 graph — ring guarantees degree >= 4,
+    hash edges decide who clears 5, so ~6% of nodes peel with cascades):
+    top-15 core nodes by in-core degree, with the core size and the
+    IN-PLAN convergence certificate on every row."""
+    from .operators.kcore import k_core
+
+    docs = t(spark, sf, "documents")
+    n = docs.count()  # 1-row query vector; doc_ids dense 0..n-1 (TESTDATA)
+    did = F.col("doc_id")
+    gen = docs.filter(did % 4 != 0).select(
+        did.alias("src"),
+        F.explode(F.sequence(F.lit(1), (did % 4).cast("int"))).alias("j"),
+    )
+    hash_e = gen.select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("src").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    ).filter(F.col("dst") != F.col("src"))
+    ring = docs.select(did.alias("src"), ((did + 1) % n).alias("dst")).unionAll(
+        docs.select(did.alias("src"), ((did + 2) % n).alias("dst"))
+    )
+    core, meta = k_core(hash_e.unionAll(ring), k=5, n_rounds=8)
+    return (
+        core.crossJoin(F.broadcast(meta))
+        .select(
+            "node",
+            "core_deg",
+            F.col("n_after_last").alias("n_core"),
+            (F.col("n_before_last") == F.col("n_after_last"))
+            .cast("int")
+            .alias("converged"),
+        )
+        .orderBy(F.desc("core_deg"), "node")
+        .limit(15)
+    )
+
+
+def _kcore_oracle(k: int = 5, n_rounds: int = 8) -> str:
+    """Peeling replayed: canonical undirected edges, then every round's
+    (degree census, keep set, surviving edges) unrolled — deletion order
+    is irrelevant to the fixpoint, so no tie-breaking is needed anywhere;
+    the convergence certificate rides in the hash."""
+    parts = [
+        "WITH nn AS MATERIALIZED (",
+        "  SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
+        "),",
+        "gen AS (",
+        "  SELECT doc_id AS src,",
+        "         unnest(generate_series(1, CAST(doc_id % 4 AS BIGINT))) AS j",
+        "  FROM documents WHERE doc_id % 4 <> 0",
+        "),",
+        "alledges AS MATERIALIZED (",
+        "  SELECT src,",
+        "         ('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||",
+        "           CAST(j AS VARCHAR)), 1, 6))::BIGINT",
+        "           % (SELECT n FROM nn) AS dst",
+        "  FROM gen",
+        "  UNION ALL",
+        "  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst",
+        "  FROM documents",
+        "  UNION ALL",
+        "  SELECT doc_id AS src, (doc_id + 2) % (SELECT n FROM nn) AS dst",
+        "  FROM documents",
+        "),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b",
+        "  FROM alledges WHERE src <> dst",
+        "),",
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts += [
+            f"d{r} AS MATERIALIZED (",
+            f"  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (",
+            f"    SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p}",
+            f"  ) GROUP BY node",
+            f"),",
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {k}),",
+            f"e{r} AS MATERIALIZED (",
+            f"  SELECT e.a, e.b FROM e{p} e",
+            f"  JOIN k{r} ka ON ka.node = e.a",
+            f"  JOIN k{r} kb ON kb.node = e.b",
+            f"),",
+        ]
+    parts += [
+        "fd AS MATERIALIZED (",
+        f"  SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (",
+        f"    SELECT a AS node FROM e{n_rounds}",
+        f"    UNION ALL SELECT b AS node FROM e{n_rounds}",
+        f"  ) GROUP BY node HAVING count(*) >= {k}",
+        "),",
+        "meta AS (",
+        f"  SELECT (SELECT CAST(count(*) AS BIGINT) FROM d{n_rounds})"
+        " AS n_before,",
+        "         (SELECT CAST(count(*) AS BIGINT) FROM fd) AS n_after",
+        ")",
+        "SELECT fd.node, fd.core_deg,",
+        "       m.n_after AS n_core,",
+        "       CAST(CASE WHEN m.n_before = m.n_after THEN 1 ELSE 0 END"
+        " AS INT) AS converged",
+        "FROM fd, meta m",
+        "ORDER BY core_deg DESC, node LIMIT 15",
+    ]
+    return "\n".join(parts)
+
+
+ORACLE_KCORE_REPORT = _kcore_oracle()
+
+
 def drift_psi_report(spark, sf):
     """Distribution drift between corpus snapshots (X60): the Population
     Stability Index — the standard production drift monitor (banking
@@ -6601,6 +6728,7 @@ QUERIES = {
     "trustrank_report": trustrank_report,
     "streaming_quantile_report": streaming_quantile_report,
     "drift_psi_report": drift_psi_report,
+    "kcore_report": kcore_report,
 }
 
 ORACLES = {
@@ -6625,6 +6753,7 @@ ORACLES = {
     "trustrank_report": ORACLE_TRUSTRANK_REPORT,
     "streaming_quantile_report": ORACLE_STREAMING_QUANTILE_REPORT,
     "drift_psi_report": ORACLE_DRIFT_PSI_REPORT,
+    "kcore_report": ORACLE_KCORE_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
