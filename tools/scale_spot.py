@@ -237,6 +237,7 @@ def main() -> None:
         qdigest_quantile_report,
         hits_report,
         trustrank_report,
+        kcore_report,
         pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
@@ -355,6 +356,9 @@ def main() -> None:
         # join + node-scale rollup + 1-row broadcasts); expect ~linear
         "hits_report": (hits_report, (1, mult_hi), "documents"),
         "trustrank_report": (trustrank_report, (1, mult_hi), "documents"),
+        # r4f: X61 — 8 peeling rounds, each a degree census + two keyed
+        # semi-joins over a SHRINKING edge set; expect ~linear
+        "kcore_report": (kcore_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
