@@ -3241,6 +3241,93 @@ def _hits_oracle(n_iters: int = 4) -> str:
 ORACLE_HITS_REPORT = _hits_oracle()
 
 
+def robots_policy_report(spark, sf):
+    """Robots-policy filter (X62, functions/robots.py): URLs synthesized
+    deterministically from documents (host = source, path = /p/<doc_id>)
+    against a planted per-host rule set exercising the RFC 9309
+    longest-match semantics — every host Disallows /p/1 but Allows the
+    longer /p/12, and every third host (by name length) Disallows /p/
+    wholesale, so verdicts hinge on prefix-length argmax and the
+    Allow-wins tie rule. Output: per-host compliance counts."""
+    from .functions.robots import robots_verdicts
+
+    docs = t(spark, sf, "documents")
+    urls = docs.select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("/p/"), F.col("doc_id").cast("string")).alias("path"),
+        "doc_id",
+    )
+    hosts = docs.select(F.col("source").alias("host")).distinct()
+    rules = (
+        hosts.select("host", F.lit("/p/1").alias("prefix"), F.lit(0).alias("allow"))
+        .unionByName(
+            hosts.select(
+                "host", F.lit("/p/12").alias("prefix"), F.lit(1).alias("allow")
+            )
+        )
+        .unionByName(
+            hosts.filter(F.length("host") % 3 == 0).select(
+                "host", F.lit("/p/").alias("prefix"), F.lit(0).alias("allow")
+            )
+        )
+    )
+    v = robots_verdicts(urls, rules)
+    return (
+        v.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum("allowed").cast("long").alias("n_allowed"),
+            F.sum(1 - F.col("allowed")).cast("long").alias("n_denied"),
+        )
+        .orderBy("host")
+    )
+
+
+# The REP decision replayed: same synthetic urls/rules, longest-match
+# via row_number (length DESC, allow DESC — the argmax-with-Allow-wins
+# twin of Spark's max(struct(len, allow))), default-allow on no match.
+ORACLE_ROBOTS_POLICY_REPORT = r"""
+WITH urls AS MATERIALIZED (
+  SELECT source AS host,
+         '/p/' || CAST(doc_id AS VARCHAR) AS path,
+         doc_id
+  FROM documents
+),
+hosts AS (SELECT DISTINCT source AS host FROM documents),
+rules AS MATERIALIZED (
+  SELECT host, '/p/1' AS prefix, 0 AS allow FROM hosts
+  UNION ALL
+  SELECT host, '/p/12' AS prefix, 1 AS allow FROM hosts
+  UNION ALL
+  SELECT host, '/p/' AS prefix, 0 AS allow FROM hosts
+  WHERE length(host) % 3 = 0
+),
+best AS MATERIALIZED (
+  SELECT host, doc_id, l, a FROM (
+    SELECT u.host, u.doc_id,
+           length(r.prefix) AS l, r.allow AS a,
+           row_number() OVER (
+             PARTITION BY u.host, u.doc_id
+             ORDER BY length(r.prefix) DESC, r.allow DESC
+           ) AS rn
+    FROM urls u
+    JOIN rules r ON r.host = u.host AND starts_with(u.path, r.prefix)
+  ) WHERE rn = 1
+),
+verd AS (
+  SELECT u.host,
+         CAST(coalesce(b.a, 1) AS INT) AS allowed
+  FROM urls u LEFT JOIN best b
+    ON b.host = u.host AND b.doc_id = u.doc_id
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(allowed) AS BIGINT) AS n_allowed,
+       CAST(sum(1 - allowed) AS BIGINT) AS n_denied
+FROM verd GROUP BY host ORDER BY host
+"""
+
+
 def kcore_report(spark, sf):
     """k-core decomposition (X61, operators/kcore.py) at k=5 over the
     md5+ring link graph (the X55 graph — ring guarantees degree >= 4,
@@ -6729,6 +6816,7 @@ QUERIES = {
     "streaming_quantile_report": streaming_quantile_report,
     "drift_psi_report": drift_psi_report,
     "kcore_report": kcore_report,
+    "robots_policy_report": robots_policy_report,
 }
 
 ORACLES = {
@@ -6754,6 +6842,7 @@ ORACLES = {
     "streaming_quantile_report": ORACLE_STREAMING_QUANTILE_REPORT,
     "drift_psi_report": ORACLE_DRIFT_PSI_REPORT,
     "kcore_report": ORACLE_KCORE_REPORT,
+    "robots_policy_report": ORACLE_ROBOTS_POLICY_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
