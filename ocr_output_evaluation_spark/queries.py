@@ -3241,6 +3241,51 @@ def _hits_oracle(n_iters: int = 4) -> str:
 ORACLE_HITS_REPORT = _hits_oracle()
 
 
+def chunking_report(spark, sf):
+    """Passage chunking (X63, operators/chunking.py): the stride grid
+    (window 24, stride 16 — consecutive chunks overlap by 8 tokens) over
+    documents doc_id < 40, emitting per-chunk position, token count, and
+    content fingerprint — the exact frame a retrieval/pretraining corpus
+    build writes out. Totally ordered; row-local, shuffle-free."""
+    from .operators.chunking import chunk_documents
+
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    ch = chunk_documents(docs, "text", "doc_id", window=24, stride=16)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+ORACLE_CHUNKING_REPORT = r"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 40
+),
+g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(0,
+           CASE WHEN len(toks) > 24
+                THEN (len(toks) - 24 + 16 - 1) // 16 ELSE 0 END)) AS ci
+  FROM d WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id,
+         CAST(ci AS BIGINT) AS chunk_idx,
+         CAST(ci * 16 + 1 AS BIGINT) AS start_tok,
+         list_slice(toks, ci * 16 + 1, ci * 16 + 24) AS piece
+  FROM g
+)
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(len(piece) AS BIGINT) AS n_tokens,
+       md5(array_to_string(piece, ' ')) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 def robots_policy_report(spark, sf):
     """Robots-policy filter (X62, functions/robots.py): URLs synthesized
     deterministically from documents (host = source, path = /p/<doc_id>)
@@ -6817,6 +6862,7 @@ QUERIES = {
     "drift_psi_report": drift_psi_report,
     "kcore_report": kcore_report,
     "robots_policy_report": robots_policy_report,
+    "chunking_report": chunking_report,
 }
 
 ORACLES = {
@@ -6843,6 +6889,7 @@ ORACLES = {
     "drift_psi_report": ORACLE_DRIFT_PSI_REPORT,
     "kcore_report": ORACLE_KCORE_REPORT,
     "robots_policy_report": ORACLE_ROBOTS_POLICY_REPORT,
+    "chunking_report": ORACLE_CHUNKING_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
