@@ -6719,16 +6719,17 @@ FROM p GROUP BY user_id
 #   - tail: r3-recorded stalwarts sitting out one round (back in r5).
 # NEVER insert a new query mid-dict: append after the rotation block and
 # demote a recorded-last-round stalwart to the tail instead.
-# r5 rotation (due at round start): the tail below has grown to 56
-# entries (quantile_gate_report … enrich_union_stats plus the 6
-# born-in-tail r4 late additions qdigest/zorder/hits/trustrank/
-# streaming_quantile/drift_psi). Rotate the born-in-tail six into the
+# r5 rotation (due at round start): the tail below has grown to 59
+# entries (quantile_gate_report … enrich_union_stats plus the NINE
+# born-in-tail r4 late additions: qdigest_quantile / zorder_key /
+# hits / trustrank / streaming_quantile / drift_psi / kcore /
+# robots_policy / chunking). Rotate the born-in-tail nine into the
 # FIRST slots (born-round rows were impossible for them — the window
 # was frozen at r3-tail + r4-new), then as many r3-recorded tail
-# stalwarts as fit the remaining 44 slots (prioritize those whose last
+# stalwarts as fit the remaining 41 slots (prioritize those whose last
 # driver row is oldest); the r4-recorded window demotes in exchange.
 # The every-other-round guarantee bends for one round (50-slot window,
-# 106 entries) — note the overflow explicitly in the r5 docs.
+# 109 entries) — note the overflow explicitly in the r5 docs.
 QUERIES = {
     # -- slots 0-24: the r3 tail, every one green in the r3-session local
     #    strict re-run but without a driver row since r2 --
