@@ -232,6 +232,7 @@ def main() -> None:
         contamination_report,
         hll_distinct_report,
         kn_perplexity_report,
+        cohort_retention_report,
         pagerank_report,
         triangle_count_report,
         qdigest_quantile_report,
@@ -359,6 +360,10 @@ def main() -> None:
         # r4f: X61 — 8 peeling rounds, each a degree census + two keyed
         # semi-joins over a SHRINKING edge set; expect ~linear
         "kcore_report": (kcore_report, (1, mult_hi), "documents"),
+        # r4f: A19 — one user-keyed shuffle + a matrix-bounded agg; the
+        # retention matrix must scale with the events scan, ~linear
+        "cohort_retention_report": (
+            cohort_retention_report, (1, mult_hi), "events"),
     }
     only = set(sys.argv[1:])
     if only:
