@@ -719,7 +719,9 @@ def lang_id_report(spark, sf):
     )
 
 
-def _oracle_lang_id() -> str:
+def _langid_pred_sql() -> tuple[str, str]:
+    """-> (hit-count select columns, argmax CASE): the DuckDB twin of
+    ``lang_id_scores`` — shared by the accuracy and confusion oracles."""
     hits = {
         lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ws)})\b'))"
         for lang, ws in STOPWORDS.items()
@@ -734,6 +736,11 @@ def _oracle_lang_id() -> str:
         cond = " AND ".join(f"{h[lang]} >= {r}" for r in rest) or "TRUE"
         chain += f"            WHEN {cond} THEN '{lang}'\n"
     chain += "       END"
+    return cols, chain
+
+
+def _oracle_lang_id() -> str:
+    cols, chain = _langid_pred_sql()
     return f"""
 WITH s AS (
   SELECT lang,
@@ -747,6 +754,93 @@ SELECT lang, count(*) AS n_docs,
        count(CASE WHEN pred IS NULL THEN 1 END) AS n_no_signal
 FROM p GROUP BY lang
 """
+
+
+def langid_confusion_report(spark, sf):
+    """Classifier evaluation for the language-ID heuristic (A20): exact
+    per-class tp/fp/fn and precision/recall/F1 as parts-per-million
+    integers via the half-up integral-division recipe — the confusion-
+    matrix layer every evaluation engine needs beyond raw accuracy
+    (lang_id_report). fp comes from the PREDICTED marginal (n_pred - tp),
+    so the whole computation is two map-side-combined aggs + a 5-row
+    join; NULL metrics where a denominator is zero (ANSI-guarded)."""
+    d = t(spark, sf, "documents")
+    p = d.withColumn("pred", lang_id_scores(F.col("text"))["lang_pred"])
+    truth = p.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.count(F.when(F.col("pred") == F.col("lang"), 1))
+        .cast("long")
+        .alias("tp"),
+    )
+    predf = (
+        p.filter(F.col("pred").isNotNull())
+        .groupBy(F.col("pred").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    )
+    j = (
+        truth.join(predf, "lang", "left")
+        .fillna(0, ["n_pred"])
+        .withColumn("fp", (F.col("n_pred") - F.col("tp")).cast("long"))
+        .withColumn("fn", (F.col("n_true") - F.col("tp")).cast("long"))
+    )
+
+    def ppm(num: str, den: str):
+        return F.when(
+            F.expr(f"({den}) > 0"),
+            F.expr(f"div(2 * ({num}) * 1000000 + ({den}), 2 * ({den}))"),
+        ).cast("long")
+
+    return j.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        ppm("tp", "tp + fp").alias("precision_ppm"),
+        ppm("tp", "tp + fn").alias("recall_ppm"),
+        ppm("2 * tp", "2 * tp + fp + fn").alias("f1_ppm"),
+    ).orderBy("lang")
+
+
+def _oracle_langid_confusion() -> str:
+    cols, chain = _langid_pred_sql()
+    ppm = (
+        lambda num, den: f"CASE WHEN {den} > 0 THEN "
+        f"CAST((2 * ({num}) * 1000000 + ({den})) // (2 * ({den})) AS BIGINT)"
+        f" END"
+    )
+    return f"""
+WITH s AS (
+  SELECT lang,
+         {cols}
+  FROM documents
+), p AS (
+  SELECT lang, {chain} AS pred FROM s
+),
+truth AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_true,
+         CAST(count(CASE WHEN pred = lang THEN 1 END) AS BIGINT) AS tp
+  FROM p GROUP BY lang
+),
+predf AS (
+  SELECT pred AS lang, CAST(count(*) AS BIGINT) AS n_pred
+  FROM p WHERE pred IS NOT NULL GROUP BY pred
+),
+j AS (
+  SELECT t.lang, t.tp,
+         coalesce(pf.n_pred, 0) - t.tp AS fp,
+         t.n_true - t.tp AS fn
+  FROM truth t LEFT JOIN predf pf ON pf.lang = t.lang
+)
+SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       {ppm('tp', 'tp + fp')} AS precision_ppm,
+       {ppm('tp', 'tp + fn')} AS recall_ppm,
+       {ppm('2 * tp', '2 * tp + fp + fn')} AS f1_ppm
+FROM j ORDER BY lang
+"""
+
+
+ORACLE_LANGID_CONFUSION = _oracle_langid_confusion()
 
 
 def quality_scores(spark, sf):
@@ -6720,16 +6814,16 @@ FROM p GROUP BY user_id
 # NEVER insert a new query mid-dict: append after the rotation block and
 # demote a recorded-last-round stalwart to the tail instead.
 # r5 rotation (due at round start): the tail below has grown to 59
-# entries (quantile_gate_report … enrich_union_stats plus the NINE
+# entries (quantile_gate_report … enrich_union_stats plus the TEN
 # born-in-tail r4 late additions: qdigest_quantile / zorder_key /
 # hits / trustrank / streaming_quantile / drift_psi / kcore /
-# robots_policy / chunking). Rotate the born-in-tail nine into the
+# robots_policy / chunking / langid_confusion). Rotate them into the
 # FIRST slots (born-round rows were impossible for them — the window
 # was frozen at r3-tail + r4-new), then as many r3-recorded tail
-# stalwarts as fit the remaining 41 slots (prioritize those whose last
+# stalwarts as fit the remaining 40 slots (prioritize those whose last
 # driver row is oldest); the r4-recorded window demotes in exchange.
 # The every-other-round guarantee bends for one round (50-slot window,
-# 109 entries) — note the overflow explicitly in the r5 docs.
+# 110 entries) — note the overflow explicitly in the r5 docs.
 QUERIES = {
     # -- slots 0-24: the r3 tail, every one green in the r3-session local
     #    strict re-run but without a driver row since r2 --
@@ -6864,6 +6958,7 @@ QUERIES = {
     "kcore_report": kcore_report,
     "robots_policy_report": robots_policy_report,
     "chunking_report": chunking_report,
+    "langid_confusion_report": langid_confusion_report,
 }
 
 ORACLES = {
@@ -6891,6 +6986,7 @@ ORACLES = {
     "kcore_report": ORACLE_KCORE_REPORT,
     "robots_policy_report": ORACLE_ROBOTS_POLICY_REPORT,
     "chunking_report": ORACLE_CHUNKING_REPORT,
+    "langid_confusion_report": ORACLE_LANGID_CONFUSION,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

