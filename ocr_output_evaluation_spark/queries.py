@@ -6392,6 +6392,121 @@ ORDER BY f.lang
 """
 
 
+def calibration_report(spark, sf):
+    """Calibration / reliability buckets + ECE for the in-engine
+    classifier (A21 — pairs with A20's confusion metrics to complete the
+    evaluation family): predicted probabilities micro-quantized
+    (round(p*1e6) BIGINT — exact order-independent sums), hundred
+    equal-width (0.01) reliability buckets (non-empty bins reported), per-bucket mean-predicted vs
+    mean-label as truncating/half-up integral divisions, and the
+    Expected Calibration Error (Naeini et al. 2015; Guo et al. 2017) as
+    an exact weighted integer mean riding every row. Training is
+    bit-identical to classifier_report (same 3 replayable gradient
+    steps)."""
+    from .functions.text import punct_ratio, stopword_ratio
+    from .operators.classifier import logreg_score, logreg_train
+
+    d = t(spark, sf, "documents")
+    feats = d.select(
+        "lang",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        stopword_ratio(F.col("text"), "en").alias("x1"),
+        punct_ratio(F.col("text")).alias("x2"),
+        F.least(F.length("text").cast("double") / F.lit(500.0), F.lit(1.0)).alias(
+            "x3"
+        ),
+    ).cache()
+    try:
+        wrow = logreg_train(feats, ["x1", "x2", "x3"], "y", lr=0.5, steps=3).first()
+    finally:
+        feats.unpersist()
+    w = spark.range(1).select(
+        *[F.lit(float(wrow[c])).alias(c) for c in ("b", "w1", "w2", "w3")]
+    )
+    scored = logreg_score(feats, w, ["x1", "x2", "x3"])
+    s2 = scored.select(
+        (F.col("y") == 1.0).cast("long").alias("pos"),
+        F.round(F.col("_p") * F.lit(1000000.0)).cast("long").alias("pm"),
+    )
+    bk = (
+        s2.select(
+            F.least(F.expr("div(pm, 10000)"), F.lit(99)).alias("bucket"),
+            "pos",
+            "pm",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("pm").cast("long").alias("sum_pm"),
+        )
+    )
+    m = (
+        bk.withColumn("mean_pred_micro", F.expr("div(sum_pm, n)").cast("long"))
+        .withColumn(
+            "mean_label_micro",
+            F.expr("div(2 * n_pos * 1000000 + n, 2 * n)").cast("long"),
+        )
+        .withColumn(
+            "gap_micro",
+            F.abs(F.col("mean_pred_micro") - F.col("mean_label_micro")).cast(
+                "long"
+            ),
+        )
+    )
+    return (
+        m.withColumn(
+            "ece_micro",
+            F.expr("div(sum(gap_micro * n) OVER (), sum(n) OVER ())").cast(
+                "long"
+            ),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            "mean_pred_micro",
+            "mean_label_micro",
+            "gap_micro",
+            "ece_micro",
+        )
+        .orderBy("bucket")
+    )
+
+
+# Reuse the classifier oracle's replayable training prefix (everything
+# through w3) and swap the report tail for the calibration buckets.
+ORACLE_CALIBRATION_REPORT = (
+    ORACLE_CLASSIFIER_REPORT.split("SELECT f.lang,")[0]
+    + r""", scored AS (
+  SELECT f.y,
+         CAST(round(1.0/(1.0+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3)))
+              * 1000000) AS BIGINT) AS pm
+  FROM f, w3 w
+),
+bk AS (
+  SELECT least(pm // 10000, 99) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(pm) AS BIGINT) AS sum_pm
+  FROM scored GROUP BY bucket
+),
+m AS (
+  SELECT bucket, n, n_pos,
+         CAST(sum_pm // n AS BIGINT) AS mean_pred_micro,
+         CAST((2 * n_pos * 1000000 + n) // (2 * n) AS BIGINT)
+           AS mean_label_micro
+  FROM bk
+)
+SELECT bucket, n, n_pos, mean_pred_micro, mean_label_micro,
+       CAST(abs(mean_pred_micro - mean_label_micro) AS BIGINT) AS gap_micro,
+       CAST(sum(abs(mean_pred_micro - mean_label_micro) * n) OVER ()
+            // sum(n) OVER () AS BIGINT) AS ece_micro
+FROM m ORDER BY bucket
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops (r3 wave 3): splits, token budgets, quantile gates
 # ---------------------------------------------------------------------------
@@ -6814,16 +6929,17 @@ FROM p GROUP BY user_id
 # NEVER insert a new query mid-dict: append after the rotation block and
 # demote a recorded-last-round stalwart to the tail instead.
 # r5 rotation (due at round start): the tail below has grown to 59
-# entries (quantile_gate_report … enrich_union_stats plus the TEN
+# entries (quantile_gate_report … enrich_union_stats plus the ELEVEN
 # born-in-tail r4 late additions: qdigest_quantile / zorder_key /
 # hits / trustrank / streaming_quantile / drift_psi / kcore /
-# robots_policy / chunking / langid_confusion). Rotate them into the
+# robots_policy / chunking / langid_confusion / calibration). Rotate
+# them into the
 # FIRST slots (born-round rows were impossible for them — the window
 # was frozen at r3-tail + r4-new), then as many r3-recorded tail
-# stalwarts as fit the remaining 40 slots (prioritize those whose last
+# stalwarts as fit the remaining 39 slots (prioritize those whose last
 # driver row is oldest); the r4-recorded window demotes in exchange.
 # The every-other-round guarantee bends for one round (50-slot window,
-# 110 entries) — note the overflow explicitly in the r5 docs.
+# 111 entries) — note the overflow explicitly in the r5 docs.
 QUERIES = {
     # -- slots 0-24: the r3 tail, every one green in the r3-session local
     #    strict re-run but without a driver row since r2 --
@@ -6959,6 +7075,7 @@ QUERIES = {
     "robots_policy_report": robots_policy_report,
     "chunking_report": chunking_report,
     "langid_confusion_report": langid_confusion_report,
+    "calibration_report": calibration_report,
 }
 
 ORACLES = {
@@ -6987,6 +7104,7 @@ ORACLES = {
     "robots_policy_report": ORACLE_ROBOTS_POLICY_REPORT,
     "chunking_report": ORACLE_CHUNKING_REPORT,
     "langid_confusion_report": ORACLE_LANGID_CONFUSION,
+    "calibration_report": ORACLE_CALIBRATION_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -507,3 +507,21 @@ def test_langid_confusion_identities(spark, sf_dir):
                 2 * (2 * r.tp + r.fp + r.fn)
             )
             assert r.f1_ppm == want
+
+
+def test_calibration_identities(spark, sf_dir):
+    """A21: Σn == corpus size, n_pos <= n per bin, ECE equals the exact
+    weighted integer mean of the per-bin gaps, identical on every row."""
+    from ocr_output_evaluation_spark.queries import calibration_report
+
+    rows = calibration_report(spark, sf_dir).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n for r in rows) == n_docs
+    assert all(0 <= r.n_pos <= r.n for r in rows)
+    want_ece = sum(r.gap_micro * r.n for r in rows) // sum(r.n for r in rows)
+    assert all(r.ece_micro == want_ece for r in rows)
+    assert all(
+        r.gap_micro == abs(r.mean_pred_micro - r.mean_label_micro)
+        for r in rows
+    )
