@@ -6917,102 +6917,36 @@ FROM p GROUP BY user_id
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
 # so every entry gets a driver row at least every other round.
-# r4 rotation (VERDICT r3 item 1):
-#   - slots 0-24: the 25 entries with no r3 driver row (the r3 tail),
-#     embedding_pair_topk FIRST — its blocking logic changed in r3 and it
-#     deserves a round-current driver row;
-#   - next: queries NEW this round (driver row in their birth round);
-#   - remaining window: r3-recorded entries re-verified, prioritizing those
-#     whose implementation changed this round (quantile/asof/bpe) and the
-#     training-data reports added to the bench headline suite;
-#   - tail: r3-recorded stalwarts sitting out one round (back in r5).
-# NEVER insert a new query mid-dict: append after the rotation block and
-# demote a recorded-last-round stalwart to the tail instead.
-# r5 rotation (due at round start): the tail below has grown to 59
-# entries (quantile_gate_report … enrich_union_stats plus the ELEVEN
-# born-in-tail r4 late additions: qdigest_quantile / zorder_key /
-# hits / trustrank / streaming_quantile / drift_psi / kcore /
-# robots_policy / chunking / langid_confusion / calibration). Rotate
-# them into the
-# FIRST slots (born-round rows were impossible for them — the window
-# was frozen at r3-tail + r4-new), then as many r3-recorded tail
-# stalwarts as fit the remaining 39 slots (prioritize those whose last
-# driver row is oldest); the r4-recorded window demotes in exchange.
-# The every-other-round guarantee bends for one round (50-slot window,
-# 111 entries) — note the overflow explicitly in the r5 docs.
+# r5 rotation (EXECUTED at round start, per the plan recorded in r4):
+#   - slots 0-10: the eleven born-in-tail r4 late additions (qdigest …
+#     calibration) — first-ever driver rows;
+#   - next: queries NEW in r5 (driver row in their birth round), inserted
+#     as they land, each demoting the last stalwart into the overflow tail;
+#   - remaining slots: r3-recorded stalwarts (oldest driver rows first);
+#   - tail: the 50 r4-recorded entries + an explicitly-documented overflow
+#     block (window 50, registry 111 — the every-other-round guarantee
+#     bends this round; see the overflow comment inside the dict).
+# NEVER insert a new query mid-dict outside the marked insertion point.
 QUERIES = {
-    # -- slots 0-24: the r3 tail, every one green in the r3-session local
-    #    strict re-run but without a driver row since r2 --
-    "embedding_pair_topk": embedding_pair_topk,
-    "band_filter_fallback": band_filter_fallback,
-    "challenging_docs": challenging_docs,
-    "ivf_ann_topk": ivf_ann_topk,
-    "ann_index_topk": ann_index_topk,
-    "embedding_near_dup_report": embedding_near_dup_report,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "top_docs_by_len": top_docs_by_len,
-    "corr_trend": corr_trend,
-    "per_group_sample": per_group_sample,
-    "deterministic_sample_50": deterministic_sample_50,
-    "union_distinct_keys": union_distinct_keys,
-    "events_hourly": events_hourly,
-    "conf_scale_normalize": conf_scale_normalize,
-    "order_gaps_lag": order_gaps_lag,
-    "rollup_nation_totals": rollup_nation_totals,
-    "group_moment_stats": group_moment_stats,
-    "threshold_buckets": threshold_buckets,
-    "validity_classes": validity_classes,
-    "top_langs_per_source": top_langs_per_source,
-    "value_histogram": value_histogram,
-    "event_dow_matrix": event_dow_matrix,
-    # -- new in r4 (inserted here as they land; one r3-recorded window
-    #    entry demoted to the tail per insertion to hold the window at 50) --
-    "bpe_encode_report": bpe_encode_report,
-    "exact_substr_report": exact_substr_report,
-    "bpe_packing_report": bpe_packing_report,
-    "exact_substr_keep_one_report": exact_substr_keep_one_report,
-    "gopher_rules_report": gopher_rules_report,
-    "dsir_selection_report": dsir_selection_report,
-    "semdedup_report": semdedup_report,
-    "unigram_tokenizer_report": unigram_tokenizer_report,
-    "pq_ann_topk": pq_ann_topk,
-    "ivfpq_ann_topk": ivfpq_ann_topk,
-    "wordpiece_encode_report": wordpiece_encode_report,
-    "bloom_contamination_report": bloom_contamination_report,
-    "hll_distinct_report": hll_distinct_report,
-    "cms_heavy_hitters_report": cms_heavy_hitters_report,
-    "bm25_search_report": bm25_search_report,
-    "pmi_collocations_report": pmi_collocations_report,
-    "tfidf_pair_report": tfidf_pair_report,
-    "kn_perplexity_report": kn_perplexity_report,
-    "streaming_hll_report": streaming_hll_report,
-    "snapshot_diff_report": snapshot_diff_report,
-    "pagerank_report": pagerank_report,
-    "streaming_cms_report": streaming_cms_report,
-    "incremental_dedup_report": incremental_dedup_report,
-    "cohort_retention_report": cohort_retention_report,
-    "triangle_count_report": triangle_count_report,
-    # -- r3-recorded entries kept in the window: implementation touched in
-    #    r4 (quantile NULL contract, asof validation, bpe) or newly part of
-    #    the bench headline suite --
-    # -- tail: r3-recorded stalwarts rotated out this round (back in r5);
-    #    ppl_bucket_report demoted when incremental_dedup_report landed,
-    #    quantile_gate_report when cohort_retention_report landed (both
-    #    r3-recorded; the r4 quantile.py NULL-contract change is
-    #    docstring+pytest-gated and both stay local-strict green),
-    #    asof_attribution_report when triangle_count_report landed (its
-    #    r4 delta was an upfront-validation guard, pytest-gated; the
-    #    window is now exactly r3-tail + r4-new — every entry's driver
-    #    row is its most-informative one);
+    # -- r5 rotation, slots 0-10: the eleven born-in-tail r4 late additions
+    #    (qdigest … calibration) — their first-ever driver rows; born-round
+    #    rows were impossible (the r4 window was frozen at r3-tail + r4-new) --
+    "qdigest_quantile_report": qdigest_quantile_report,
+    "zorder_key_report": zorder_key_report,
+    "hits_report": hits_report,
+    "trustrank_report": trustrank_report,
+    "streaming_quantile_report": streaming_quantile_report,
+    "drift_psi_report": drift_psi_report,
+    "kcore_report": kcore_report,
+    "robots_policy_report": robots_policy_report,
+    "chunking_report": chunking_report,
+    "langid_confusion_report": langid_confusion_report,
+    "calibration_report": calibration_report,
+    # -- new in r5 land HERE (driver row in their birth round); each insertion
+    #    demotes the LAST stalwart below into the overflow tail --
+    # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
+    #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
-    #    bpe_merge_report demoted when pagerank_report landed (the r4
-    #    trainer rows bpe_encode/wordpiece_encode cover the BPE loop),
-    #    range_funnel_report when streaming_cms_report landed (X35's
-    #    r4 delta was docs-only; asof_attribution keeps the temporal-join
-    #    family's window row) --
     "quantile_gate_report": quantile_gate_report,
     "ppl_bucket_report": ppl_bucket_report,
     "range_funnel_report": range_funnel_report,
@@ -7040,42 +6974,89 @@ QUERIES = {
     "streaming_extraction_report": streaming_extraction_report,
     "customers_without_orders": customers_without_orders,
     "dup_clusters": dup_clusters,
-    "training_export_summary": training_export_summary,
     "parts_above_type_avg": parts_above_type_avg,
     "extraction_report": extraction_report,
     "train_lm": train_lm,
     "perplexity_report": perplexity_report,
-    "media_features_report": media_features_report,
-    "media_frame_sample_report": media_frame_sample_report,
     "token_stats": token_stats,
     "lang_id_report": lang_id_report,
     "exact_dup_stats": exact_dup_stats,
     "ngram_jaccard_small": ngram_jaccard_small,
-    "minhash_pairs": minhash_pairs,
-    "simhash_pairs": simhash_pairs,
     "simhash_pairs_md5": simhash_pairs_md5,
     "embedding_topk": embedding_topk,
-    "lsh_ann_topk": lsh_ann_topk,
     "salted_source_stats": salted_source_stats,
+    # -- tail: the 50 r4-recorded entries sitting out one round --
+    "embedding_pair_topk": embedding_pair_topk,
+    "band_filter_fallback": band_filter_fallback,
+    "challenging_docs": challenging_docs,
+    "ivf_ann_topk": ivf_ann_topk,
+    "ann_index_topk": ann_index_topk,
+    "embedding_near_dup_report": embedding_near_dup_report,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "top_docs_by_len": top_docs_by_len,
+    "corr_trend": corr_trend,
+    "per_group_sample": per_group_sample,
+    "deterministic_sample_50": deterministic_sample_50,
+    "union_distinct_keys": union_distinct_keys,
+    "events_hourly": events_hourly,
+    "conf_scale_normalize": conf_scale_normalize,
+    "order_gaps_lag": order_gaps_lag,
+    "rollup_nation_totals": rollup_nation_totals,
+    "group_moment_stats": group_moment_stats,
+    "threshold_buckets": threshold_buckets,
+    "validity_classes": validity_classes,
+    "top_langs_per_source": top_langs_per_source,
+    "value_histogram": value_histogram,
+    "event_dow_matrix": event_dow_matrix,
+    "bpe_encode_report": bpe_encode_report,
+    "exact_substr_report": exact_substr_report,
+    "bpe_packing_report": bpe_packing_report,
+    "exact_substr_keep_one_report": exact_substr_keep_one_report,
+    "gopher_rules_report": gopher_rules_report,
+    "dsir_selection_report": dsir_selection_report,
+    "semdedup_report": semdedup_report,
+    "unigram_tokenizer_report": unigram_tokenizer_report,
+    "pq_ann_topk": pq_ann_topk,
+    "ivfpq_ann_topk": ivfpq_ann_topk,
+    "wordpiece_encode_report": wordpiece_encode_report,
+    "bloom_contamination_report": bloom_contamination_report,
+    "hll_distinct_report": hll_distinct_report,
+    "cms_heavy_hitters_report": cms_heavy_hitters_report,
+    "bm25_search_report": bm25_search_report,
+    "pmi_collocations_report": pmi_collocations_report,
+    "tfidf_pair_report": tfidf_pair_report,
+    "kn_perplexity_report": kn_perplexity_report,
+    "streaming_hll_report": streaming_hll_report,
+    "snapshot_diff_report": snapshot_diff_report,
+    "pagerank_report": pagerank_report,
+    "streaming_cms_report": streaming_cms_report,
+    "incremental_dedup_report": incremental_dedup_report,
+    "cohort_retention_report": cohort_retention_report,
+    "triangle_count_report": triangle_count_report,
+    # -- overflow (the every-other-round guarantee bends: 50-slot window,
+    #    111 entries): eleven r3-recorded entries stay tail-side, chosen
+    #    because their driver rows are the least informative —
+    #    training_export/media_*/minhash_pairs/simhash_pairs/lsh_ann_topk
+    #    are rows-only (no_oracle) with pytest goldens and in-window md5
+    #    twins; salted_join_stats shares the salting family with in-window
+    #    salted_source_stats; sql_summary/sql_quality_matrix are SQL
+    #    passthrough views; fingerprint_stats/enrich_union_stats are
+    #    unchanged two-round-green aggs. All re-verified by
+    #    `tools/check_oracle.py --strict` (full registry) this round. --
+    "training_export_summary": training_export_summary,
+    "media_features_report": media_features_report,
+    "media_frame_sample_report": media_frame_sample_report,
+    "minhash_pairs": minhash_pairs,
+    "simhash_pairs": simhash_pairs,
+    "lsh_ann_topk": lsh_ann_topk,
     "salted_join_stats": salted_join_stats,
     "sql_summary": sql_summary,
     "sql_quality_matrix": sql_quality_matrix,
     "fingerprint_stats": fingerprint_stats,
     "enrich_union_stats": enrich_union_stats,
-    # -- born-in-tail (r4 late additions after the window froze at
-    #    r3-tail + r4-new): local-strict green this round, r5 driver rows
-    #    via the rotation --
-    "qdigest_quantile_report": qdigest_quantile_report,
-    "zorder_key_report": zorder_key_report,
-    "hits_report": hits_report,
-    "trustrank_report": trustrank_report,
-    "streaming_quantile_report": streaming_quantile_report,
-    "drift_psi_report": drift_psi_report,
-    "kcore_report": kcore_report,
-    "robots_policy_report": robots_policy_report,
-    "chunking_report": chunking_report,
-    "langid_confusion_report": langid_confusion_report,
-    "calibration_report": calibration_report,
 }
 
 ORACLES = {
