@@ -40,7 +40,12 @@ def robots_verdicts(
     Allow/Disallow line. URLs with no matching rule get allowed=1,
     rule_len=0. Duplicate identical rules are harmless (max is
     idempotent); conflicting same-length rules resolve Allow-wins
-    (RFC 9309 §2.2.2)."""
+    (RFC 9309 §2.2.2).
+
+    The verdict groups by ALL of ``urls``' columns, so ``urls`` must be
+    row-unique (give each row a doc_id/url key); exact-duplicate input
+    rows collapse to one output row — the same contract as SQL
+    ``GROUP BY ALL`` dedup."""
     r = F.broadcast(
         rules.select(
             F.col("host").alias("_rh"),

@@ -41,10 +41,11 @@ def chunk_documents(
         raise ValueError("chunk_documents: stride must be >= 1")
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
+    # ceil((n - window)/stride) from the already-computed size column —
+    # floor on a positive double is exact well past any real token count
     n_extra = F.when(
         n > window,
-        F.expr(f"div(size(split({text_col}, ' ')) - {window} + {stride} - 1,"
-               f" {stride})"),
+        F.floor((n - F.lit(window) + F.lit(stride - 1)) / F.lit(stride)),
     ).otherwise(F.lit(0))
     grid = F.sequence(F.lit(0), n_extra)
     e = (

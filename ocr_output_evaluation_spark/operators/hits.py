@@ -42,7 +42,11 @@ def hits(
     """-> (node, authority_micro, hub_micro): ``n_iters`` exact
     max-normalized HITS iterations over ``edges(src, dst)``. Nodes with
     no in-edges get authority 0; nodes with no out-edges get hub 0;
-    multi-edges carry multiplicity (as in the adjacency-matrix form)."""
+    multi-edges carry multiplicity (as in the adjacency-matrix form).
+    ``n_iters`` must be >= 1 (the fixed-unroll contract — zero
+    iterations would leave authorities undefined)."""
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     nn = nodes.select(F.col(node_col).alias("node"))
     hubs = nn.select("node", F.lit(UNIT).cast("long").alias("h"))
     auths = None

@@ -46,7 +46,11 @@ def k_core(
     ``n_rounds`` peeling rounds over the undirected simple graph under
     ``edges(src, dst)``; ``meta`` = 1-row (n_before_last, n_after_last)
     whose equality certifies convergence (the caller derives
-    ``converged``). Self-loops dropped; parallel edges collapse."""
+    ``converged``). Self-loops dropped; parallel edges collapse.
+    ``n_rounds`` must be >= 1 (the fixed-unroll contract — zero rounds
+    would leave the convergence certificate undefined)."""
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")

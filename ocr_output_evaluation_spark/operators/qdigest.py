@@ -139,7 +139,7 @@ def qdigest_compress(
 
 
 def qdigest_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Count-union of two digests (recompress with qdigest_compact if the
+    """Count-union of two digests (recompress with qdigest_compress if the
     size bound matters; quantile queries work on the raw union too)."""
     return (
         a.unionByName(b)

@@ -93,3 +93,13 @@ def test_plan_is_shuffle_free(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan  # chunking is row-local
     assert "Generate" in plan  # one explode of the start grid
+
+
+def test_dotted_column_name(spark):
+    # the grid arithmetic must come from column expressions, never from
+    # interpolating the raw column name into SQL text
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    df = df.select("doc_id", F.col("text").alias("body.text"))
+    ch = chunk_documents(df, "`body.text`", "doc_id", 3, 2).collect()
+    assert [r.chunk_idx for r in ch] == [0, 1, 2]
+    assert ch[2].chunk_text == "e f g"

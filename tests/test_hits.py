@@ -79,3 +79,12 @@ def test_hits_fuzz_matches_python_model(spark, n, edges, iters):
     got = _run(spark, nodes, ep, n_iters=iters)
     a, h = _py_hits(nodes, ep, n_iters=iters)
     assert got == {v: (a[v], h[v]) for v in nodes}
+
+
+def test_zero_iterations_rejected(spark):
+    import pytest
+
+    nodes = spark.createDataFrame([(1,)], "node long")
+    edges = spark.createDataFrame([(1, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iters"):
+        hits(nodes, edges, n_iters=0)

@@ -81,3 +81,11 @@ def test_report_shape_and_certificate(spark, sf_dir):
     assert all(r.n_core == rows[0].n_core for r in rows)
     ks = [(-r.core_deg, r.node) for r in rows]
     assert ks == sorted(ks)
+
+
+def test_zero_rounds_rejected(spark):
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_rounds"):
+        k_core(edges, k=1, n_rounds=0)

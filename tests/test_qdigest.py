@@ -106,7 +106,13 @@ def test_fuzz_trajectory_and_rank_bound(spark, values, k):
         for r in qdigest_quantiles(dig, tot, ["g"], [50], depth=depth).collect()
     }[50]
     target = math.ceil(50 * n / 100)
-    eps = (depth * n) // k + n // k + 1
+    # every surviving internal node carries <= thr counts (the compress
+    # condition), and a query point has <= depth ancestors, so the rank
+    # error is <= depth * thr — with thr = max(n//k, 1) exactly as the
+    # implementation clamps it (at n < k the clamp makes thr 1, NOT 0,
+    # so tiny groups still compress and the n/k form understates eps)
+    thr = max(n // k, 1)
+    eps = depth * thr + thr + 1
     below = sum(1 for x in clamped if x < est)
     at_or_below = sum(1 for x in clamped if x <= est)
     assert below <= target - 1 + eps
@@ -134,8 +140,9 @@ def test_merge_union_quantiles_within_bound(spark):
     n = len(allv)
     for q in (25, 50, 75):
         target = math.ceil(q * n / 100)
-        # merged error adds: 2x the single-digest bound (two-sided form)
-        eps = 2 * ((depth * n) // k + n // k + 1)
+        # merged error adds: 2x the single-digest bound (two-sided form),
+        # same depth * thr form as the fuzz test
+        eps = 2 * (depth * max(n // k, 1) + max(n // k, 1) + 1)
         below = sum(1 for x in allv if x < est[q])
         at_or_below = sum(1 for x in allv if x <= est[q])
         assert below <= target - 1 + eps
