@@ -6913,6 +6913,93 @@ FROM p GROUP BY user_id
 """
 
 
+def winnow_report(spark, sf):
+    """Winnowing fingerprint matches (X64, operators/winnow.py — Schleimer,
+    Wilkerson & Aiken 2003 MOSS local fingerprinting): k=4-gram hashes,
+    window w=4 minima (rightmost on ties), pairs ranked by DISTINCT shared
+    fingerprints with the max_df=16 boilerplate guard. Top-20 pairs with
+    per-doc sketch sizes and the fingerprint-Jaccard estimate; total order
+    (n_shared DESC, id_a, id_b) — (id_a, id_b) is unique so the LIMIT is
+    deterministic. Oracle replays the pack/min/unpack pipeline in DuckDB
+    ('0x'||substr(md5,1,10) hex cast — the X30 twin at 40 bits).
+    Reference analog: none — rebuild-only operator (SURVEY §2.13)."""
+    from .operators.winnow import winnow_fingerprints, winnow_matches
+
+    d = _spread(t(spark, sf, "documents"))
+    fps = winnow_fingerprints(d, "text", "doc_id", k=4, w=4)
+    sizes = fps.groupBy("doc_id").agg(
+        F.countDistinct("fp").cast("long").alias("nfp")
+    )
+    m = winnow_matches(fps, "doc_id", max_df=16)
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("nfp").alias("n_fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("nfp").alias("n_fp_b"))
+    denom = F.col("n_fp_a") + F.col("n_fp_b") - F.col("n_shared")
+    return (
+        m.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.when(denom > 0, _r(F.col("n_shared") / denom)).alias("overlap_frac"),
+        )
+        .orderBy(F.desc("n_shared"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+ORACLE_WINNOW_REPORT = r"""
+WITH norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+kg AS (
+  SELECT doc_id, len(w) - 3 AS nk, i AS s,
+         ('0x' || substr(md5(array_to_string(w[CAST(i + 1 AS INT):CAST(i + 4 AS INT)], ' ')), 1, 10))::BIGINT
+           * 1048576 + (1048575 - i) AS comb
+  FROM toks, UNNEST(range(0, len(w) - 3)) AS r(i)
+  WHERE len(w) - 3 >= 1 AND len(w) - 3 < 1048576
+),
+wm AS (
+  SELECT doc_id, s, nk,
+         min(comb) OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM kg
+),
+picks AS (
+  SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp
+  FROM wm WHERE s <= greatest(nk - 4, 0)
+),
+sizes AS (SELECT doc_id, count(*) AS nfp FROM picks GROUP BY doc_id),
+keepfp AS (SELECT fp FROM picks GROUP BY fp HAVING count(*) <= 16),
+v AS (SELECT p.doc_id, p.fp FROM picks p JOIN keepfp USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM v a JOIN v b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(sa.nfp AS BIGINT) AS n_fp_a,
+       CAST(sb.nfp AS BIGINT) AS n_fp_b,
+       CASE WHEN sa.nfp + sb.nfp - p.n_shared > 0
+            THEN round(p.n_shared * 1.0 / (sa.nfp + sb.nfp - p.n_shared), 6) END
+         AS overlap_frac
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+ORDER BY n_shared DESC, id_a, id_b
+LIMIT 20
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -6944,6 +7031,7 @@ QUERIES = {
     "calibration_report": calibration_report,
     # -- new in r5 land HERE (driver row in their birth round); each insertion
     #    demotes the LAST stalwart below into the overflow tail --
+    "winnow_report": winnow_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -6984,7 +7072,6 @@ QUERIES = {
     "ngram_jaccard_small": ngram_jaccard_small,
     "simhash_pairs_md5": simhash_pairs_md5,
     "embedding_topk": embedding_topk,
-    "salted_source_stats": salted_source_stats,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -7045,7 +7132,11 @@ QUERIES = {
     #    salted_source_stats; sql_summary/sql_quality_matrix are SQL
     #    passthrough views; fingerprint_stats/enrich_union_stats are
     #    unchanged two-round-green aggs. All re-verified by
-    #    `tools/check_oracle.py --strict` (full registry) this round. --
+    #    `tools/check_oracle.py --strict` (full registry) this round.
+    #    r5-new insertions demote stalwarts here (newest demotion first);
+    #    each demoted entry is r3-recorded + two-round-green + locally
+    #    strict-verified this round. --
+    "salted_source_stats": salted_source_stats,
     "training_export_summary": training_export_summary,
     "media_features_report": media_features_report,
     "media_frame_sample_report": media_frame_sample_report,
@@ -7086,6 +7177,7 @@ ORACLES = {
     "chunking_report": ORACLE_CHUNKING_REPORT,
     "langid_confusion_report": ORACLE_LANGID_CONFUSION,
     "calibration_report": ORACLE_CALIBRATION_REPORT,
+    "winnow_report": ORACLE_WINNOW_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
