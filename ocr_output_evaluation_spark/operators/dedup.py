@@ -635,3 +635,47 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def edit_similarity_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    cap: int = 500,
+) -> DataFrame:
+    """X65 — exact edit-similarity VERIFICATION of near-dup candidate pairs:
+    the second stage of Lee et al. 2022's NearDup (arXiv:2107.06499 §3.2
+    declares pairs duplicates at edit similarity >= 0.8, computed only over
+    LSH candidates). Edit similarity = 1 - lev(a, b) / max(|a|, |b|) on
+    normalize_for_scoring'd text truncated to ``cap`` chars (Levenshtein is
+    O(|a|*|b|) per pair; the cap bounds per-pair work at cap^2 — published
+    verify stages operate on bounded prefixes/sketches for the same reason).
+    Reference analog: none — rebuild-only operator (SURVEY §2.13).
+
+    Scale shape: ``pairs`` is candidate-scale (LSH-banded, max_bucket
+    guarded — a small constant per corpus row), and the two text joins
+    shuffle only (id, <=cap chars) projections, never the full documents.
+    F.levenshtein is a codegen JVM expression (no Python); DuckDB's
+    levenshtein is the cross-engine twin, so the whole verify is
+    oracle-replayable. -> (id_a, id_b, *extra pairs columns, edit_dist,
+    edit_sim); any additional columns on ``pairs`` (candidate scores,
+    band ids) pass through, so callers compose without recomputing the
+    candidate pipeline. edit_sim NULL only when BOTH capped texts are
+    empty."""
+    from ..functions.ngram import normalize_for_scoring
+
+    txt = df.select(
+        F.col(id_col),
+        F.substring(normalize_for_scoring(F.col(text_col)), 1, cap).alias("_t"),
+    )
+    j = pairs.join(
+        txt.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta")), "id_a"
+    ).join(txt.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb")), "id_b")
+    mx = F.greatest(F.length("_ta"), F.length("_tb"))
+    dist = F.levenshtein("_ta", "_tb")
+    return j.select(
+        *pairs.columns,
+        dist.cast("long").alias("edit_dist"),
+        F.when(mx > 0, 1.0 - dist / mx).alias("edit_sim"),
+    )

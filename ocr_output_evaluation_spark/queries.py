@@ -7000,6 +7000,99 @@ LIMIT 20
 """
 
 
+def neardup_verify_report(spark, sf):
+    """NearDup two-stage dedup (X65, operators/dedup.py
+    edit_similarity_pairs — Lee et al. 2022 arXiv:2107.06499 §3.2): banded
+    MinHash-LSH candidates (the md5 oracle family, threshold 0 = every
+    banded candidate) VERIFIED by exact char-level edit similarity
+    1 - lev/max(len) over 500-char normalized prefixes. Emits every
+    candidate with its signature estimate and its exact verify, so the
+    report doubles as a calibration table for the banding. F.levenshtein
+    is codegen JVM; DuckDB levenshtein is the cross-engine twin.
+    Reference analog: none — rebuild-only operator (SURVEY §2.13)."""
+    from .operators.dedup import edit_similarity_pairs
+
+    d = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    cand = minhash_lsh_pairs_md5(
+        d, "text", "doc_id", n_hashes=16, bands=4, shingle_n=5,
+        jaccard_threshold=0.0,
+    )
+    v = edit_similarity_pairs(
+        d,
+        cand.select("id_a", "id_b", _r(F.col("est_jaccard")).alias("est_jaccard")),
+        "text",
+        "doc_id",
+        cap=500,
+    )
+    return v.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "edit_dist",
+        _r(F.col("edit_sim")).alias("edit_sim"),
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_NEARDUP_VERIFY = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND length(text) >= 5
+),
+sh AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+  FROM d, UNNEST(range(1, length(text) - 3)) AS t(i)
+),
+seeds AS (SELECT UNNEST(range(0, 16)) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS h
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bandkeys AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(h, '|' ORDER BY seed)) AS bkey
+  FROM mh GROUP BY doc_id, seed // 4
+),
+good AS (
+  SELECT bk.* FROM bandkeys bk
+  JOIN (SELECT band, bkey, count(*) AS bn FROM bandkeys GROUP BY 1, 2) s
+    ON s.band = bk.band AND s.bkey = bk.bkey
+  WHERE s.bn <= 200
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM good a JOIN good b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.id_a, c.id_b, sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS n_agree
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+  GROUP BY 1, 2
+),
+norm AS (
+  SELECT doc_id,
+         substr(coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                             '\s+', ' ', 'g')), ''), 1, 500) AS t
+  FROM documents WHERE doc_id < 200
+)
+SELECT g.id_a, g.id_b,
+       round(g.n_agree / 16.0, 6) AS est_jaccard,
+       CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_dist,
+       CASE WHEN greatest(length(na.t), length(nb.t)) > 0
+            THEN round(1.0 - levenshtein(na.t, nb.t) * 1.0
+                       / greatest(length(na.t), length(nb.t)), 6) END AS edit_sim
+FROM agree g
+JOIN norm na ON na.doc_id = g.id_a
+JOIN norm nb ON nb.doc_id = g.id_b
+ORDER BY id_a, id_b
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7032,6 +7125,7 @@ QUERIES = {
     # -- new in r5 land HERE (driver row in their birth round); each insertion
     #    demotes the LAST stalwart below into the overflow tail --
     "winnow_report": winnow_report,
+    "neardup_verify_report": neardup_verify_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -7071,7 +7165,6 @@ QUERIES = {
     "exact_dup_stats": exact_dup_stats,
     "ngram_jaccard_small": ngram_jaccard_small,
     "simhash_pairs_md5": simhash_pairs_md5,
-    "embedding_topk": embedding_topk,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -7136,6 +7229,7 @@ QUERIES = {
     #    r5-new insertions demote stalwarts here (newest demotion first);
     #    each demoted entry is r3-recorded + two-round-green + locally
     #    strict-verified this round. --
+    "embedding_topk": embedding_topk,
     "salted_source_stats": salted_source_stats,
     "training_export_summary": training_export_summary,
     "media_features_report": media_features_report,
@@ -7178,6 +7272,7 @@ ORACLES = {
     "langid_confusion_report": ORACLE_LANGID_CONFUSION,
     "calibration_report": ORACLE_CALIBRATION_REPORT,
     "winnow_report": ORACLE_WINNOW_REPORT,
+    "neardup_verify_report": ORACLE_NEARDUP_VERIFY,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
