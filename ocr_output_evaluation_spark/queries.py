@@ -7093,6 +7093,83 @@ ORDER BY id_a, id_b
 """
 
 
+def blocklist_report(spark, sf):
+    """Weighted blocklist tagging (X66, operators/blocklist.py — the
+    C4 badwords / RefinedWeb weighted-blocklist family): per-doc hit
+    counts + weighted score against a planted 4-term list (one term never
+    occurring, exercising the zero path), flagged at score >= 8; per-lang
+    rollup. The 6dp mean uses the integral half-up recipe so partial-agg
+    order can't flip the hash.
+    Reference analog: none — rebuild-only operator (SURVEY §2.13)."""
+    from .operators.blocklist import blocklist_tag
+
+    terms = spark.createDataFrame(
+        [("slow", 1), ("filter", 2), ("hash", 4), ("zebra", 8)],
+        "term string, weight long",
+    )
+    d = _spread(t(spark, sf, "documents"))
+    tagged = blocklist_tag(d, "text", "doc_id", terms, threshold=8,
+                           keep_cols=("lang",))
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("flagged").cast("long").alias("flagged_docs"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+            F.sum("score").cast("long").alias("_s"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "flagged_docs",
+            "total_hits",
+            (
+                F.expr("div(2 * _s * 1000000 + n_docs, 2 * n_docs)") / F.lit(1e6)
+            ).alias("mean_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_BLOCKLIST_REPORT = r"""
+WITH terms(term, w) AS (VALUES ('slow', 1), ('filter', 2), ('hash', 4), ('zebra', 8)),
+norm AS (
+  SELECT doc_id, lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, UNNEST(string_split(t, ' ')) AS tok
+  FROM norm WHERE length(t) > 0
+),
+hits AS (
+  SELECT k.doc_id,
+         count(*) AS n_hits,
+         count(DISTINCT k.tok) AS n_terms,
+         sum(w) AS score
+  FROM toks k JOIN terms ON terms.term = k.tok
+  GROUP BY 1
+),
+per_doc AS (
+  SELECT n.doc_id, n.lang,
+         coalesce(h.n_hits, 0) AS n_hits,
+         coalesce(h.score, 0) AS score,
+         CASE WHEN coalesce(h.score, 0) >= 8 THEN 1 ELSE 0 END AS flagged
+  FROM norm n LEFT JOIN hits h USING (doc_id)
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(flagged) AS BIGINT) AS flagged_docs,
+       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       ((2 * CAST(sum(score) AS BIGINT) * 1000000 + count(*)) // (2 * count(*)))
+         / 1000000.0 AS mean_score
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7126,6 +7203,7 @@ QUERIES = {
     #    demotes the LAST stalwart below into the overflow tail --
     "winnow_report": winnow_report,
     "neardup_verify_report": neardup_verify_report,
+    "blocklist_report": blocklist_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -7164,7 +7242,6 @@ QUERIES = {
     "lang_id_report": lang_id_report,
     "exact_dup_stats": exact_dup_stats,
     "ngram_jaccard_small": ngram_jaccard_small,
-    "simhash_pairs_md5": simhash_pairs_md5,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -7229,6 +7306,7 @@ QUERIES = {
     #    r5-new insertions demote stalwarts here (newest demotion first);
     #    each demoted entry is r3-recorded + two-round-green + locally
     #    strict-verified this round. --
+    "simhash_pairs_md5": simhash_pairs_md5,
     "embedding_topk": embedding_topk,
     "salted_source_stats": salted_source_stats,
     "training_export_summary": training_export_summary,
@@ -7273,6 +7351,7 @@ ORACLES = {
     "calibration_report": ORACLE_CALIBRATION_REPORT,
     "winnow_report": ORACLE_WINNOW_REPORT,
     "neardup_verify_report": ORACLE_NEARDUP_VERIFY,
+    "blocklist_report": ORACLE_BLOCKLIST_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
