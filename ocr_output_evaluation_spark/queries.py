@@ -7170,6 +7170,139 @@ ORDER BY lang
 """
 
 
+def labelprop_report(spark, sf):
+    """Label propagation communities (X67, operators/labelprop.py —
+    Raghavan et al. 2007 deterministic synchronous variant, ties to the
+    smallest label) over the md5+ring link graph (the X55/X61 graph), 4
+    rounds: top-15 communities by size with the in-plan changed-last-round
+    convergence certificate on every row. Total order (n_members DESC,
+    label) — label is unique per community row.
+    Reference analog: none — rebuild-only operator (SURVEY §2.13)."""
+    from .operators.labelprop import label_propagation
+
+    docs = t(spark, sf, "documents")
+    n = docs.count()  # 1-row query vector; doc_ids dense 0..n-1 (TESTDATA)
+    did = F.col("doc_id")
+    gen = docs.filter(did % 4 != 0).select(
+        did.alias("src"),
+        F.explode(F.sequence(F.lit(1), (did % 4).cast("int"))).alias("j"),
+    )
+    hash_e = gen.select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("src").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("dst"),
+    ).filter(F.col("dst") != F.col("src"))
+    ring = docs.select(did.alias("src"), ((did + 1) % n).alias("dst")).unionAll(
+        docs.select(did.alias("src"), ((did + 2) % n).alias("dst"))
+    )
+    labels, meta = label_propagation(hash_e.unionAll(ring), n_rounds=4)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .crossJoin(F.broadcast(meta))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_members",
+            (F.col("n_changed_last") == 0).cast("long").alias("converged"),
+        )
+        .orderBy(F.desc("n_members"), "label")
+        .limit(15)
+    )
+
+
+def _labelprop_oracle(n_rounds: int = 4) -> str:
+    """LPA unrolled (the X36/X53 trajectory discipline): per round a
+    (tally, packed-argmax, labels) MATERIALIZED CTE triple; the tie-break
+    rides in the cnt*2^32 + (2^32-1-label) pack so plain max replays
+    Spark's max exactly."""
+    parts = [
+        "WITH nn AS MATERIALIZED (",
+        "  SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
+        "),",
+        "gen AS (",
+        "  SELECT doc_id AS src,",
+        "         unnest(generate_series(1, CAST(doc_id % 4 AS BIGINT))) AS j",
+        "  FROM documents WHERE doc_id % 4 <> 0",
+        "),",
+        "alledges AS MATERIALIZED (",
+        "  SELECT src,",
+        "         ('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||",
+        "           CAST(j AS VARCHAR)), 1, 6))::BIGINT",
+        "           % (SELECT n FROM nn) AS dst",
+        "  FROM gen",
+        "  UNION ALL",
+        "  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst",
+        "  FROM documents",
+        "  UNION ALL",
+        "  SELECT doc_id AS src, (doc_id + 2) % (SELECT n FROM nn) AS dst",
+        "  FROM documents",
+        "),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b",
+        "  FROM alledges WHERE src <> dst",
+        "),",
+        "bidir AS MATERIALIZED (",
+        "  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0",
+        "),",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM bidir),",
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts += [
+            f"t{r} AS MATERIALIZED (",
+            f"  SELECT b.u, l.label, count(*) AS c",
+            f"  FROM bidir b JOIN l{p} l ON l.node = b.v",
+            "  GROUP BY 1, 2",
+            "),",
+            f"b{r} AS MATERIALIZED (",
+            "  SELECT u AS node,",
+            "         4294967295 - (max(c * 4294967296 + (4294967295 - label))",
+            "                       % 4294967296) AS newl",
+            f"  FROM t{r} GROUP BY u",
+            "),",
+            f"l{r} AS MATERIALIZED (",
+            f"  SELECT l.node, coalesce(b.newl, l.label) AS label",
+            f"  FROM l{p} l LEFT JOIN b{r} b USING (node)",
+            "),",
+        ]
+    last, prev = n_rounds, n_rounds - 1
+    parts += [
+        "ch AS MATERIALIZED (",
+        f"  SELECT CAST(count(*) AS BIGINT) AS n_changed",
+        f"  FROM l{last} a JOIN l{prev} p USING (node)",
+        "  WHERE a.label <> p.label",
+        ")",
+        "SELECT CAST(label AS BIGINT) AS label,",
+        "       CAST(count(*) AS BIGINT) AS n_members,",
+        "       CAST(CASE WHEN (SELECT n_changed FROM ch) = 0",
+        "            THEN 1 ELSE 0 END AS BIGINT) AS converged",
+        f"FROM l{last}",
+        "GROUP BY label",
+        "ORDER BY n_members DESC, label",
+        "LIMIT 15",
+    ]
+    return "\n".join(parts)
+
+
+ORACLE_LABELPROP_REPORT = _labelprop_oracle()
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7204,6 +7337,7 @@ QUERIES = {
     "winnow_report": winnow_report,
     "neardup_verify_report": neardup_verify_report,
     "blocklist_report": blocklist_report,
+    "labelprop_report": labelprop_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -7241,7 +7375,6 @@ QUERIES = {
     "token_stats": token_stats,
     "lang_id_report": lang_id_report,
     "exact_dup_stats": exact_dup_stats,
-    "ngram_jaccard_small": ngram_jaccard_small,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -7306,6 +7439,7 @@ QUERIES = {
     #    r5-new insertions demote stalwarts here (newest demotion first);
     #    each demoted entry is r3-recorded + two-round-green + locally
     #    strict-verified this round. --
+    "ngram_jaccard_small": ngram_jaccard_small,
     "simhash_pairs_md5": simhash_pairs_md5,
     "embedding_topk": embedding_topk,
     "salted_source_stats": salted_source_stats,
@@ -7352,6 +7486,7 @@ ORACLES = {
     "winnow_report": ORACLE_WINNOW_REPORT,
     "neardup_verify_report": ORACLE_NEARDUP_VERIFY,
     "blocklist_report": ORACLE_BLOCKLIST_REPORT,
+    "labelprop_report": ORACLE_LABELPROP_REPORT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
