@@ -7303,6 +7303,108 @@ def _labelprop_oracle(n_rounds: int = 4) -> str:
 ORACLE_LABELPROP_REPORT = _labelprop_oracle()
 
 
+def streaming_sessions_report(spark, sf):
+    """Fourth fully-oracled streaming query — and the first STATEFUL
+    applyInPandasWithState query under the strict gate: the watermarked
+    session state machine (streaming/pipeline.py stream_sessionize, X15's
+    gap semantics under continuous arrival) replayed over the events
+    table. Finality makes the oracle possible: a session emits exactly
+    once, when the watermark proves no event can extend it, so the
+    finalized set over a finite replay EQUALS the batch gap-split — the
+    user_sessions SQL (in epoch-ms, both sides floor µs -> ms
+    identically) replays the whole stateful trajectory. Plumbing: all
+    real events in ONE file/batch (no late-drop ambiguity — at
+    production scale arrival order is the watermark contract, not a
+    coalesce), then two far-future sentinel waves: the first pushes the
+    watermark past every real session's extension window, the second
+    gets it APPLIED (watermark lag); sentinel sessions never finalize
+    and are filtered by key."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .streaming import stream_sessionize
+
+    base = f"{tempfile.gettempdir()}/ooe_stream_sess"
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    e = t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )  # NTZ -> TIMESTAMP: watermarks reject NTZ; epoch parity per the
+    # unix_micros/epoch_us twin (session tz is UTC)
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+    for day in ("2030-01-01", "2030-01-02"):
+        _time.sleep(1.1)  # file-source order is mtime; pin wave order
+        spark.createDataFrame(
+            [(-1,)], "user_id long"
+        ).select(
+            "user_id", F.lit(day).cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "ooe_stream_sessions"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    q = (
+        stream_sessionize(stream, "user_id", "ts", gap_minutes=30.0,
+                          watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=180):
+        q.stop()
+        raise TimeoutError("streaming_sessions_report: query did not finish")
+    return (
+        spark.table(name)
+        .filter(F.col("user") != "-1")
+        .select(
+            F.col("user").cast("long").alias("user_id"),
+            F.col("session_id").cast("long").alias("session_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("session_start_ms").cast("long").alias("session_start_ms"),
+            F.col("session_end_ms").cast("long").alias("session_end_ms"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_STREAMING_SESSIONS = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms FROM events
+),
+flagged AS (
+  SELECT user_id, ms,
+         CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+              THEN 1 ELSE 0 END AS f
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+),
+sess AS (
+  SELECT user_id, ms,
+         CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ms
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       sid AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ms) AS BIGINT) AS session_start_ms,
+       CAST(max(ms) AS BIGINT) AS session_end_ms
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, sid
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7338,6 +7440,7 @@ QUERIES = {
     "neardup_verify_report": neardup_verify_report,
     "blocklist_report": blocklist_report,
     "labelprop_report": labelprop_report,
+    "streaming_sessions_report": streaming_sessions_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -7374,7 +7477,6 @@ QUERIES = {
     "perplexity_report": perplexity_report,
     "token_stats": token_stats,
     "lang_id_report": lang_id_report,
-    "exact_dup_stats": exact_dup_stats,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -7439,6 +7541,7 @@ QUERIES = {
     #    r5-new insertions demote stalwarts here (newest demotion first);
     #    each demoted entry is r3-recorded + two-round-green + locally
     #    strict-verified this round. --
+    "exact_dup_stats": exact_dup_stats,
     "ngram_jaccard_small": ngram_jaccard_small,
     "simhash_pairs_md5": simhash_pairs_md5,
     "embedding_topk": embedding_topk,
@@ -7487,6 +7590,7 @@ ORACLES = {
     "neardup_verify_report": ORACLE_NEARDUP_VERIFY,
     "blocklist_report": ORACLE_BLOCKLIST_REPORT,
     "labelprop_report": ORACLE_LABELPROP_REPORT,
+    "streaming_sessions_report": ORACLE_STREAMING_SESSIONS,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
