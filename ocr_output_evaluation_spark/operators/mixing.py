@@ -77,3 +77,51 @@ def apply_mixture(
         .filter(F.col("_rn") <= F.col("quota"))
         .drop("_rn", "quota")
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """X68 — temperature-scaled mixture quotas: the published multilingual
+    sampling rule p_i ∝ n_i^alpha (exponential smoothing of source shares —
+    mBERT's exponent-0.7 smoothing; XLM-R alpha=0.3, Conneau et al. 2020
+    §3; mT5 alpha=0.3, Xue et al. 2021 §3.1), which boosts low-resource
+    sources and caps dominant ones relative to proportional mixing
+    (alpha=1 reproduces source_quotas with weight=n_docs; alpha=0 is
+    uniform). -> (source_col, n_docs, raw_frac, temp_frac, quota), tiny
+    frame — callers broadcast it into apply_mixture.
+
+    Exactness discipline (the oracle gate's): weights are NANO-INTEGER
+    w_i = round(n_i^alpha * 1e9) (pow parity is a proven cross-engine
+    twin), the weight sum is exact BIGINT, and the quota is one integral
+    division floor(w_i * budget / sum_w) computed in DECIMAL(38,0) so the
+    product cannot overflow at 100 TB source counts (n_i ~ 1e12 ->
+    w_i ~ 4e12, budget ~ 1e12: the BIGINT product would wrap; DECIMAL38
+    holds it with 13 digits to spare). Fractions divide once at the end.
+    Reference analog: none — rebuild-only operator (SURVEY §2.13)."""
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wn = F.round(F.pow(F.col("n_docs"), F.lit(alpha)) * F.lit(1e9)).cast("long")
+    counts = counts.withColumn("_wn", wn)
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("_total"),
+        F.sum("_wn").cast("long").alias("_sumw"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("raw_frac"),
+        F.round(F.col("_wn") / F.col("_sumw"), 6).alias("temp_frac"),
+        F.least(
+            F.col("n_docs"),
+            F.expr(
+                "CAST((CAST(_wn AS DECIMAL(38, 0))"
+                f"      * CAST(FLOOR(_total * {target_frac!r}) AS DECIMAL(38, 0)))"
+                "      DIV CAST(_sumw AS DECIMAL(38, 0)) AS BIGINT)"
+            ),
+        ).alias("quota"),
+    )

@@ -7405,6 +7405,81 @@ ORDER BY user_id, sid
 """
 
 
+def temperature_mixing_report(spark, sf):
+    """Temperature-scaled corpus mixing (X68, operators/mixing.py
+    temperature_quotas — the XLM-R/mT5 p_i ∝ n_i^0.3 sampling rule) at
+    target_frac=0.5, composed with the X26 exact-quota selector: per
+    source, the raw and temperature shares, the integral quota, and the
+    ACTUAL kept count from apply_mixture (equal to the quota by
+    construction — the end-to-end pin rides in the hash).
+    Reference analog: none — rebuild-only operator (SURVEY §2.13)."""
+    from .operators.mixing import apply_mixture, temperature_quotas
+
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    q = temperature_quotas(d, "source", alpha=0.3, target_frac=0.5)
+    kept = (
+        apply_mixture(d, "source", "doc_id", q)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("kept"))
+    )
+    return (
+        q.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "raw_frac",
+            "temp_frac",
+            "quota",
+            F.coalesce("kept", F.lit(0)).cast("long").alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEMPERATURE_MIXING = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+wts AS (
+  SELECT source, n,
+         CAST(round(power(n, 0.3) * 1000000000) AS BIGINT) AS wn
+  FROM counts
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(sum(wn) AS BIGINT) AS sumw
+  FROM wts
+),
+q AS (
+  SELECT w.source, w.n, w.wn,
+         least(w.n, CAST((w.wn::HUGEINT
+                          * CAST(floor(t.total * 0.5) AS BIGINT))
+                         // t.sumw AS BIGINT)) AS quota
+  FROM wts w, tot t
+),
+ranked AS (
+  SELECT d.source, d.doc_id,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rn
+  FROM documents d
+),
+kept AS (
+  SELECT r.source, CAST(count(*) AS BIGINT) AS kept
+  FROM ranked r JOIN q ON q.source = r.source
+  WHERE r.rn <= q.quota
+  GROUP BY r.source
+)
+SELECT q.source, q.n AS n_docs,
+       round(q.n * 1.0 / t.total, 6) AS raw_frac,
+       round(q.wn * 1.0 / t.sumw, 6) AS temp_frac,
+       q.quota,
+       coalesce(k.kept, 0) AS kept
+FROM q CROSS JOIN tot t
+LEFT JOIN kept k ON k.source = q.source
+ORDER BY q.source
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7441,6 +7516,7 @@ QUERIES = {
     "blocklist_report": blocklist_report,
     "labelprop_report": labelprop_report,
     "streaming_sessions_report": streaming_sessions_report,
+    "temperature_mixing_report": temperature_mixing_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -7476,7 +7552,6 @@ QUERIES = {
     "train_lm": train_lm,
     "perplexity_report": perplexity_report,
     "token_stats": token_stats,
-    "lang_id_report": lang_id_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -7541,6 +7616,7 @@ QUERIES = {
     #    r5-new insertions demote stalwarts here (newest demotion first);
     #    each demoted entry is r3-recorded + two-round-green + locally
     #    strict-verified this round. --
+    "lang_id_report": lang_id_report,
     "exact_dup_stats": exact_dup_stats,
     "ngram_jaccard_small": ngram_jaccard_small,
     "simhash_pairs_md5": simhash_pairs_md5,
@@ -7591,6 +7667,7 @@ ORACLES = {
     "blocklist_report": ORACLE_BLOCKLIST_REPORT,
     "labelprop_report": ORACLE_LABELPROP_REPORT,
     "streaming_sessions_report": ORACLE_STREAMING_SESSIONS,
+    "temperature_mixing_report": ORACLE_TEMPERATURE_MIXING,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
