@@ -50,6 +50,10 @@ HEADLINE = [
     "contamination_report",
     "line_dedup_report",
     "asof_attribution_report",
+    # r5: the round's heavy movers — winnowing (k-gram window + fingerprint
+    # join) and label propagation (4 iterative join/agg rounds).
+    "winnow_report",
+    "labelprop_report",
 ]
 
 

@@ -118,14 +118,21 @@ def winnow_matches(
     fps: DataFrame,
     id_col: str,
     max_df: int = 16,
+    cache: bool = True,
 ) -> DataFrame:
     """-> (id_a, id_b, n_shared): document pairs ranked by the number of
     DISTINCT shared fingerprint values (positions ignored — the MOSS
     match count). Fingerprints occurring in more than ``max_df``
     documents are boilerplate and excluded (the X2 degenerate-bucket
     guard: a corpus-wide header would otherwise pair everything with
-    everything)."""
+    everything). ``cache`` persists the distinct value frame, which
+    feeds THREE plan branches (doc-frequency census + both self-join
+    sides) — without it the upstream fingerprint pipeline runs three
+    times (the minhash signature-frame contract; never unpersisted
+    here)."""
     vals = fps.select(F.col(id_col), "fp").distinct()
+    if cache:
+        vals = vals.persist()
     docfreq = vals.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
     keep = docfreq.filter(F.col("_df") <= max_df).select("fp")
     v = vals.join(keep, "fp")

@@ -6926,7 +6926,10 @@ def winnow_report(spark, sf):
     from .operators.winnow import winnow_fingerprints, winnow_matches
 
     d = _spread(t(spark, sf, "documents"))
-    fps = winnow_fingerprints(d, "text", "doc_id", k=4, w=4)
+    # persist: the fingerprint frame feeds the sizes leg AND the match
+    # pipeline (which itself fans out); without it the k-gram window scan
+    # replays per branch (minhash cache contract; never unpersisted here)
+    fps = winnow_fingerprints(d, "text", "doc_id", k=4, w=4).persist()
     sizes = fps.groupBy("doc_id").agg(
         F.countDistinct("fp").cast("long").alias("nfp")
     )
@@ -7494,6 +7497,12 @@ ORDER BY q.source
 #     block (window 50, registry 111 — the every-other-round guarantee
 #     bends this round; see the overflow comment inside the dict).
 # NEVER insert a new query mid-dict outside the marked insertion point.
+# r6 rotation plan (for whoever runs the next round): swap the 50-entry
+# r4-recorded tail block (embedding_pair_topk .. triangle_count_report)
+# into slots 0-49 and demote the r5-recorded window; the six r5-demoted
+# stalwarts (salted_source_stats .. lang_id_report) take priority over
+# the 11-entry overflow block, whose members are 3 rounds unrecorded by
+# then and MUST be included before any twice-recorded entry.
 QUERIES = {
     # -- r5 rotation, slots 0-10: the eleven born-in-tail r4 late additions
     #    (qdigest … calibration) — their first-ever driver rows; born-round

@@ -239,6 +239,8 @@ def main() -> None:
         hits_report,
         trustrank_report,
         kcore_report,
+        labelprop_report,
+        winnow_report,
         pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
@@ -364,6 +366,16 @@ def main() -> None:
         # retention matrix must scale with the events scan, ~linear
         "cohort_retention_report": (
             cohort_retention_report, (1, mult_hi), "events"),
+        # r5: X64 winnowing — in-row k-gram pack + ONE doc-keyed window +
+        # a fingerprint-value join under the max_df guard; the planted
+        # clusters keep dup density constant, so pairs and wall time must
+        # scale ~linearly; super-linear would mean a boilerplate
+        # fingerprint escaped the guard into a quadratic bucket
+        "winnow_report": (winnow_report, (1, mult_hi), "documents"),
+        # r5: X67 — 4 synchronous rounds, each an edge-scale join +
+        # node-scale tallies/argmax (the PageRank per-iteration shape);
+        # expect ~linear
+        "labelprop_report": (labelprop_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
