@@ -59,6 +59,7 @@ def winnow_fingerprints(
     id_col: str,
     k: int = 4,
     w: int = 4,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """-> (id_col, pos, fp): the winnowing fingerprint set — for every
     window of ``w`` consecutive k-gram hashes, the minimum 40-bit hash
@@ -66,19 +67,28 @@ def winnow_fingerprints(
     token position of the selected k-gram; ``fp`` its 40-bit hash.
     Documents with fewer than k tokens contribute nothing; documents
     with 1..w-1 k-grams yield the global minimum (one truncated window —
-    the standard short-document extension)."""
+    the standard short-document extension).
+
+    ``hash_family``: "md5" (default) is the DuckDB-replayable oracle form;
+    "xxhash64" is the production twin (pmod to 40 bits — integer-only,
+    no hex-string round trip, same pack/min/unpack pipeline; Spark-only,
+    so rows-only checked — the minhash_pairs/minhash_pairs_md5 split)."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     toks = word_tokens(F.col(text_col))
     n_k = F.size(toks) - F.lit(k - 1)
+
+    def _h40(gram):
+        if hash_family == "md5":
+            return F.conv(F.substring(F.md5(gram), 1, 10), 16, 10).cast("long")
+        return F.pmod(F.xxhash64(gram), F.lit(1 << 40))
+
     combs = F.transform(
         F.sequence(F.lit(0), n_k - F.lit(1)),
         lambda i: (
-            F.conv(
-                F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 10),
-                16,
-                10,
-            ).cast("long")
+            _h40(F.array_join(F.slice(toks, i + 1, k), " "))
             * F.lit(_POS_CAP)
             + (F.lit(_POS_CAP - 1) - i)
         ),

@@ -191,3 +191,35 @@ def test_validation():
         winnow_fingerprints(None, "text", "doc_id", k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(None, "text", "doc_id", w=0)
+
+
+def test_xxhash64_production_family_properties(spark):
+    # the production twin can't be replayed in python (xxhash64 is
+    # Spark-only) — pin its structural guarantees instead: the substring
+    # match guarantee, the short-doc extension, and match symmetry
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    docs = [
+        "one two three " + shared + " four five",
+        shared + " six seven eight nine ten eleven",
+        "totally unrelated content without any overlap at all here",
+    ]
+    fps = winnow_fingerprints(
+        _docs_df(spark, docs), "text", "doc_id", hash_family="xxhash64"
+    )
+    rows = fps.collect()
+    assert all(0 <= r.fp < (1 << 40) for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1]  # the w+k-1 guarantee holds per family
+    m = {(r.id_a, r.id_b): r.n_shared
+         for r in winnow_matches(fps, "doc_id").collect()}
+    assert (0, 1) in m and m[(0, 1)] >= 1
+    assert not any(2 in p for p in m)
+    # positions are hash-family-independent modulo selection: every pos is
+    # a valid k-gram start
+    assert all(0 <= r.pos <= 40 for r in rows)
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(None, "text", "doc_id", hash_family="sha1")
