@@ -661,17 +661,30 @@ def edit_similarity_pairs(
     oracle-replayable. -> (id_a, id_b, *extra pairs columns, edit_dist,
     edit_sim); any additional columns on ``pairs`` (candidate scores,
     band ids) pass through, so callers compose without recomputing the
-    candidate pipeline. edit_sim NULL only when BOTH capped texts are
-    empty."""
+    candidate pipeline. edit_sim is NULL when both capped texts are
+    empty; edit_dist AND edit_sim are NULL when a pair id is absent from
+    ``df`` (left joins — a corpus/candidate snapshot mismatch is visible
+    in the output, never silently dropped)."""
     from ..functions.ngram import normalize_for_scoring
 
     txt = df.select(
         F.col(id_col),
         F.substring(normalize_for_scoring(F.col(text_col)), 1, cap).alias("_t"),
     )
+    # LEFT joins: a candidate id absent from ``df`` surfaces as a NULL
+    # edit_dist/edit_sim row instead of silently vanishing from the
+    # verify output (the pairs frame may have been generated against a
+    # differently-filtered corpus snapshot — that mismatch must be
+    # visible, not dropped).
     j = pairs.join(
-        txt.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta")), "id_a"
-    ).join(txt.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb")), "id_b")
+        txt.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta")),
+        "id_a",
+        "left",
+    ).join(
+        txt.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb")),
+        "id_b",
+        "left",
+    )
     mx = F.greatest(F.length("_ta"), F.length("_tb"))
     dist = F.levenshtein("_ta", "_tb")
     return j.select(

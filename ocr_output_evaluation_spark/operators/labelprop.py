@@ -89,11 +89,23 @@ def label_propagation(
             .groupBy("u", "label")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
+        # the count factor shares the pack's headroom: _c < 2^31 keeps
+        # _c * 2^32 + label inside BIGINT. A node with >= 2^31
+        # same-labeled neighbors raises loudly (same contract as the
+        # node-id guard) instead of ANSI-aborting with a cryptic overflow.
+        c_ok = F.col("_c") + F.coalesce(
+            F.assert_true(
+                F.col("_c") < F.lit(1 << 31),
+                F.lit("label_propagation: neighbor-label count >= 2^31 "
+                      "(tie-break pack headroom)"),
+            ).cast("long"),
+            F.lit(0),
+        )
         best = (
             tally.groupBy("u")
             .agg(
                 F.max(
-                    F.col("_c") * F.lit(_LBL_CAP)
+                    c_ok * F.lit(_LBL_CAP)
                     + (F.lit(_LBL_CAP - 1) - F.col("label"))
                 ).alias("_m")
             )

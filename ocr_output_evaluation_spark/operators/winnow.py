@@ -129,6 +129,7 @@ def winnow_matches(
     id_col: str,
     max_df: int = 16,
     cache: bool = True,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """-> (id_a, id_b, n_shared): document pairs ranked by the number of
     DISTINCT shared fingerprint values (positions ignored — the MOSS
@@ -139,10 +140,14 @@ def winnow_matches(
     feeds THREE plan branches (doc-frequency census + both self-join
     sides) — without it the upstream fingerprint pipeline runs three
     times (the minhash signature-frame contract; never unpersisted
-    here)."""
-    vals = fps.select(F.col(id_col), "fp").distinct()
-    if cache:
-        vals = vals.persist()
+    here). ``pre_deduped=True`` declares ``fps`` already IS a distinct
+    (id, fp) value frame (callers that also need per-doc sketch sizes
+    build it once, persist it, and share it — one dedupe total)."""
+    vals = fps.select(F.col(id_col), "fp")
+    if not pre_deduped:
+        vals = vals.distinct()
+        if cache:
+            vals = vals.persist()
     docfreq = vals.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
     keep = docfreq.filter(F.col("_df") <= max_df).select("fp")
     v = vals.join(keep, "fp")

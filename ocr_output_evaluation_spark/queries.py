@@ -6926,14 +6926,17 @@ def winnow_report(spark, sf):
     from .operators.winnow import winnow_fingerprints, winnow_matches
 
     d = _spread(t(spark, sf, "documents"))
-    # persist: the fingerprint frame feeds the sizes leg AND the match
-    # pipeline (which itself fans out); without it the k-gram window scan
-    # replays per branch (minhash cache contract; never unpersisted here)
-    fps = winnow_fingerprints(d, "text", "doc_id", k=4, w=4).persist()
-    sizes = fps.groupBy("doc_id").agg(
-        F.countDistinct("fp").cast("long").alias("nfp")
+    # ONE dedupe + ONE persist for the whole report: the distinct value
+    # frame answers both the sizes leg and the match pipeline (which
+    # itself fans into three branches) — unpersisted, the k-gram window
+    # scan replays per branch (minhash cache contract; never unpersisted
+    # here); pre_deduped tells winnow_matches not to dedupe again
+    fps = winnow_fingerprints(d, "text", "doc_id", k=4, w=4)
+    vals = fps.select("doc_id", "fp").distinct().persist()
+    sizes = vals.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nfp")
     )
-    m = winnow_matches(fps, "doc_id", max_df=16)
+    m = winnow_matches(vals, "doc_id", max_df=16, pre_deduped=True)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("nfp").alias("n_fp_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("nfp").alias("n_fp_b"))
     denom = F.col("n_fp_a") + F.col("n_fp_b") - F.col("n_shared")
@@ -7321,10 +7324,15 @@ def streaming_sessions_report(spark, sf):
     coalesce), then two far-future sentinel waves: the first pushes the
     watermark past every real session's extension window, the second
     gets it APPLIED (watermark lag); sentinel sessions never finalize
-    and are filtered by key."""
+    and are filtered by key. Wave order is pinned by EXPLICIT file
+    mtimes (os.utime, one day apart per wave) — FileStreamSource orders
+    by mtime, and wall-clock write times (the sleep-pinning the pytest
+    drills use) are a mtime-granularity/clock-step race the oracle gate
+    must not carry."""
+    import glob as _glob
+    import os as _os
     import shutil
     import tempfile
-    import time as _time
 
     from .streaming import stream_sessionize
 
@@ -7336,13 +7344,21 @@ def streaming_sessions_report(spark, sf):
     )  # NTZ -> TIMESTAMP: watermarks reject NTZ; epoch parity per the
     # unix_micros/epoch_us twin (session tz is UTC)
     e.coalesce(1).write.mode("overwrite").parquet(src)
-    for day in ("2030-01-01", "2030-01-02"):
-        _time.sleep(1.1)  # file-source order is mtime; pin wave order
+
+    def _pin_wave(wave_no: int, seen: set[str]) -> set[str]:
+        files = set(_glob.glob(f"{src}/part-*.parquet"))
+        for f in sorted(files - seen):
+            _os.utime(f, (1_000_000_000 + 86_400 * wave_no,) * 2)
+        return files
+
+    seen = _pin_wave(0, set())
+    for wave_no, day in enumerate(("2030-01-01", "2030-01-02"), start=1):
         spark.createDataFrame(
             [(-1,)], "user_id long"
         ).select(
             "user_id", F.lit(day).cast("timestamp").alias("ts")
         ).coalesce(1).write.mode("append").parquet(src)
+        seen = _pin_wave(wave_no, seen)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)

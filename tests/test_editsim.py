@@ -95,3 +95,11 @@ def test_passthrough_and_empty(spark):
     r = rows[0]
     assert r.score == 0.75  # extra pairs column passes through
     assert r.edit_dist == 0 and r.edit_sim is None  # both empty -> NULL
+
+
+def test_missing_id_surfaces_as_null_not_dropped(spark):
+    d = spark.createDataFrame([(0, "some words")], "doc_id long, text string")
+    p = spark.createDataFrame([(0, 99)], "id_a long, id_b long")
+    rows = edit_similarity_pairs(d, p, "text", "doc_id").collect()
+    assert len(rows) == 1  # the pair survives...
+    assert rows[0].edit_dist is None and rows[0].edit_sim is None  # ...visibly
