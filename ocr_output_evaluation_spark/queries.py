@@ -7499,6 +7499,86 @@ ORDER BY q.source
 """
 
 
+def rendezvous_shard_report(spark, sf):
+    """Rendezvous/HRW sharding (X71, operators/rendezvous.py — Thaler &
+    Ravishankar 1998 consistent shard assignment): every document is
+    assigned at S=13 and S=14 shards by the SAME in-row hash tournament,
+    and the per-shard report carries the minimal-movement property in the
+    oracled values themselves: n_moved == n_to_new on every row (a moved
+    key can only move TO the new shard 13), and movement totals ~1/14 of
+    the corpus. Zero joins/shuffles for the assignment; one
+    map-side-combined groupBy for the report. moved_frac uses the
+    integral half-up 6dp recipe.
+    Reference analog: none — rebuild-only operator (SURVEY §2.13)."""
+    from .operators.rendezvous import rendezvous_shard
+
+    d = _spread(t(spark, sf, "documents"))
+    assigned = d.select(
+        "doc_id",
+        rendezvous_shard(F.col("doc_id"), 13).alias("shard"),
+        rendezvous_shard(F.col("doc_id"), 14).alias("_next"),
+    )
+    moved = F.col("_next") != F.col("shard")
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(moved.cast("long")).cast("long").alias("n_moved"),
+            F.sum((F.col("_next") == F.lit(13)).cast("long"))
+            .cast("long")
+            .alias("n_to_new"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .withColumn(
+            "moved_frac",
+            F.expr("div(2 * n_moved * 1000000 + n_docs, 2 * n_docs)")
+            / F.lit(1e6),
+        )
+        .orderBy("shard")
+    )
+
+
+# HRW replayed exactly: the packed 52-bit score + shard-id tournament as a
+# max over UNNEST(range(S)), the '0x'-cast hex->int twin, and the same
+# integral half-up 6dp movement rate.
+ORACLE_RENDEZVOUS_SHARD = """
+WITH a13 AS (
+  SELECT doc_id,
+         CAST(max(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':hrw:'
+                                   || CAST(s AS VARCHAR)), 1, 13))::BIGINT
+                  * 1024 + s) % 1024 AS INT) AS shard
+  FROM documents CROSS JOIN (SELECT UNNEST(range(13)) AS s)
+  GROUP BY doc_id
+),
+a14 AS (
+  SELECT doc_id,
+         CAST(max(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':hrw:'
+                                   || CAST(s AS VARCHAR)), 1, 13))::BIGINT
+                  * 1024 + s) % 1024 AS INT) AS next_shard
+  FROM documents CROSS JOIN (SELECT UNNEST(range(14)) AS s)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT a13.doc_id, a13.shard, a14.next_shard
+  FROM a13 JOIN a14 ON a14.doc_id = a13.doc_id
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN next_shard <> shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       CAST(sum(CASE WHEN next_shard = 13 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_to_new,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       ((2 * CAST(sum(CASE WHEN next_shard <> shard THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 + count(*)) // (2 * count(*))) / 1e6 AS moved_frac
+FROM j
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7542,6 +7622,7 @@ QUERIES = {
     "labelprop_report": labelprop_report,
     "streaming_sessions_report": streaming_sessions_report,
     "temperature_mixing_report": temperature_mixing_report,
+    "rendezvous_shard_report": rendezvous_shard_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -7576,7 +7657,6 @@ QUERIES = {
     "extraction_report": extraction_report,
     "train_lm": train_lm,
     "perplexity_report": perplexity_report,
-    "token_stats": token_stats,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -7641,6 +7721,7 @@ QUERIES = {
     #    r5-new insertions demote stalwarts here (newest demotion first);
     #    each demoted entry is r3-recorded + two-round-green + locally
     #    strict-verified this round. --
+    "token_stats": token_stats,
     "lang_id_report": lang_id_report,
     "exact_dup_stats": exact_dup_stats,
     "ngram_jaccard_small": ngram_jaccard_small,
@@ -7693,6 +7774,7 @@ ORACLES = {
     "labelprop_report": ORACLE_LABELPROP_REPORT,
     "streaming_sessions_report": ORACLE_STREAMING_SESSIONS,
     "temperature_mixing_report": ORACLE_TEMPERATURE_MIXING,
+    "rendezvous_shard_report": ORACLE_RENDEZVOUS_SHARD,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
