@@ -79,6 +79,47 @@ def select_challenging_docs(
     return per.orderBy(hk(F.col(key_col)).asc(), F.col(key_col).asc()).limit(n_final)
 
 
+def weighted_sample_es(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "es42",
+    out_col: str = "es_key",
+) -> DataFrame:
+    """X70: deterministic weight-proportional sampling WITHOUT replacement —
+    Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    reservoir"), in the equivalent exponential-clocks form: each row draws
+    e = -ln(u)/w with u a uniform pure function of the key, and the k
+    SMALLEST clocks are the sample (min of exponentials with rate w picks
+    proportionally to w, without replacement). u is the proven
+    deterministic-uniform recipe (md5-hash32 + 0.5)/2^32 — no RNG, so the
+    sample is reproducible across cluster sizes and replayable by the
+    DuckDB oracle (ln parity on operand-identical doubles).
+
+    Rows with weight <= 0 are excluded (E-S is defined for w > 0).
+    Scale shape: the clock is one in-row codegen expression and the
+    selection is ORDER BY + LIMIT = TakeOrderedAndProject — a size-k heap
+    per partition and a driver merge, never a global sort. Reference
+    analog: none — rebuild-only operator (SURVEY §2.13)."""
+    key = F.col(key_col)
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", key.cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    clock = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(out_col, clock)
+        .orderBy(F.col(out_col).asc(), key.asc())
+        .limit(k)
+    )
+
+
 def band_filter_with_fallback(
     df: DataFrame,
     col: str,

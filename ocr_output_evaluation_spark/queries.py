@@ -7579,6 +7579,49 @@ ORDER BY shard
 """
 
 
+def weighted_sample_report(spark, sf):
+    """Weighted sampling without replacement (X70,
+    operators/sampling.py weighted_sample_es — Efraimidis & Spirakis
+    2006 in the exponential-clocks form): the 30 documents with the
+    smallest deterministic clocks -ln(u)/n_chars, i.e. a
+    length-proportional sample with no RNG anywhere — u is the
+    (md5-hash32 + 0.5)/2^32 uniform, so the draw replays exactly in
+    DuckDB (ln parity). Selection is TakeOrderedAndProject (size-30
+    heap per partition), never a global sort.
+    Reference analog: none — rebuild-only operator (SURVEY §2.13)."""
+    from .operators.sampling import weighted_sample_es
+
+    d = _spread(t(spark, sf, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    s = weighted_sample_es(d, "doc_id", "n_chars", 30)
+    return s.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("weight"),
+        _r(F.col("es_key")).alias("es_key"),
+    )
+
+
+# E-S replayed exactly: the same md5 hash32 uniform, the same clock
+# expression on operand-identical doubles, the same (clock, key) total
+# order and LIMIT.
+ORACLE_WEIGHTED_SAMPLE = """
+WITH c AS (
+  SELECT doc_id, lang, n_chars,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':es42'), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS ekey
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+       round(ekey, 6) AS es_key
+FROM c
+ORDER BY ekey, doc_id
+LIMIT 30
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7623,6 +7666,7 @@ QUERIES = {
     "streaming_sessions_report": streaming_sessions_report,
     "temperature_mixing_report": temperature_mixing_report,
     "rendezvous_shard_report": rendezvous_shard_report,
+    "weighted_sample_report": weighted_sample_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -7656,7 +7700,6 @@ QUERIES = {
     "parts_above_type_avg": parts_above_type_avg,
     "extraction_report": extraction_report,
     "train_lm": train_lm,
-    "perplexity_report": perplexity_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -7721,6 +7764,7 @@ QUERIES = {
     #    r5-new insertions demote stalwarts here (newest demotion first);
     #    each demoted entry is r3-recorded + two-round-green + locally
     #    strict-verified this round. --
+    "perplexity_report": perplexity_report,
     "token_stats": token_stats,
     "lang_id_report": lang_id_report,
     "exact_dup_stats": exact_dup_stats,
@@ -7775,6 +7819,7 @@ ORACLES = {
     "streaming_sessions_report": ORACLE_STREAMING_SESSIONS,
     "temperature_mixing_report": ORACLE_TEMPERATURE_MIXING,
     "rendezvous_shard_report": ORACLE_RENDEZVOUS_SHARD,
+    "weighted_sample_report": ORACLE_WEIGHTED_SAMPLE,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
