@@ -7622,6 +7622,97 @@ LIMIT 30
 """
 
 
+def moore_lewis_report(spark, sf):
+    """Moore-Lewis cross-entropy difference selection (X69,
+    operators/moorelewis.py — Moore & Lewis 2010): rank the English
+    general pool (every source but the seed) by H_in - H_out, where the
+    in-domain LM trains on the src0/src1 seed slice and the general LM on
+    the pool itself (both via train_char_lm, the X13 layer), and keep the
+    15 most in-domain docs. Scores are exact BIGINT nano-log sums over a
+    broadcast vocab-scale diff table (one explode + BroadcastHashJoin +
+    map-side-combined per-doc agg — the corpus never shuffles); selection
+    is TakeOrderedAndProject on the exact-operand double, doc_id
+    tiebreak. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .operators.moorelewis import moore_lewis_select
+    from .operators.perplexity import train_char_lm
+
+    d = _spread(t(spark, sf, "documents"))
+    en = d.filter(F.col("lang") == "en")
+    seed = en.filter(F.col("source").isin("src0", "src1"))
+    pool = en.filter(~F.col("source").isin("src0", "src1"))
+    lm_in = train_char_lm(seed, text_col="text", lang_col="lang")
+    lm_out = train_char_lm(pool, text_col="text", lang_col="lang")
+    sel = moore_lewis_select(
+        pool.select("doc_id", "lang", "source", "text"),
+        lm_in,
+        lm_out,
+        k=15,
+        keep_cols=("source",),
+    )
+    return sel.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "ml_nano",
+        _r(F.col("ml_score")).alias("ml_score"),
+    )
+
+
+# Full replay: both add-one-smoothed trigram LMs (the proven
+# ORACLE_TRAIN_LM spelling), the full-outer nano diff table with -6.0 OOV
+# backoff on each side, the per-doc exact BIGINT sum, and the same
+# (exact-operand quotient, doc_id) total order + LIMIT. log10 parity on
+# operand-identical doubles is the established ln/log10 recipe.
+ORACLE_MOORE_LEWIS = r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+  WHERE lang = 'en'
+),
+seed_g AS (
+  SELECT substr(t, CAST(i AS INT), 3) AS ngram
+  FROM norm, UNNEST(range(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 3 AND source IN ('src0', 'src1')
+),
+pool_g AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS ngram
+  FROM norm, UNNEST(range(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 3 AND source NOT IN ('src0', 'src1')
+),
+cin AS (SELECT ngram, count(*) AS c FROM seed_g GROUP BY 1),
+lin AS (
+  SELECT ngram,
+         log10((c + 1.0) / (sum(c) OVER () + count(*) OVER ())) AS lp
+  FROM cin
+),
+cout AS (SELECT ngram, count(*) AS c FROM pool_g GROUP BY 1),
+lout AS (
+  SELECT ngram,
+         log10((c + 1.0) / (sum(c) OVER () + count(*) OVER ())) AS lp
+  FROM cout
+),
+diff AS (
+  SELECT coalesce(i.ngram, o.ngram) AS ngram,
+         CAST(round((coalesce(o.lp, -6.0) - coalesce(i.lp, -6.0)) * 1e9) AS BIGINT) AS dn
+  FROM lin i FULL OUTER JOIN lout o ON i.ngram = o.ngram
+),
+s AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(coalesce(d.dn, 0)) AS BIGINT) AS ml_nano
+  FROM pool_g g LEFT JOIN diff d USING (ngram)
+  GROUP BY 1
+)
+SELECT s.doc_id, n.source, s.n_grams, s.ml_nano,
+       round(CAST(s.ml_nano AS DOUBLE) / (1e9 * s.n_grams), 6) AS ml_score
+FROM s JOIN norm n USING (doc_id)
+ORDER BY CAST(s.ml_nano AS DOUBLE) / (1e9 * s.n_grams), s.doc_id
+LIMIT 15
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7667,6 +7758,7 @@ QUERIES = {
     "temperature_mixing_report": temperature_mixing_report,
     "rendezvous_shard_report": rendezvous_shard_report,
     "weighted_sample_report": weighted_sample_report,
+    "moore_lewis_report": moore_lewis_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -7699,7 +7791,6 @@ QUERIES = {
     "dup_clusters": dup_clusters,
     "parts_above_type_avg": parts_above_type_avg,
     "extraction_report": extraction_report,
-    "train_lm": train_lm,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -7764,6 +7855,7 @@ QUERIES = {
     #    r5-new insertions demote stalwarts here (newest demotion first);
     #    each demoted entry is r3-recorded + two-round-green + locally
     #    strict-verified this round. --
+    "train_lm": train_lm,
     "perplexity_report": perplexity_report,
     "token_stats": token_stats,
     "lang_id_report": lang_id_report,
@@ -7820,6 +7912,7 @@ ORACLES = {
     "temperature_mixing_report": ORACLE_TEMPERATURE_MIXING,
     "rendezvous_shard_report": ORACLE_RENDEZVOUS_SHARD,
     "weighted_sample_report": ORACLE_WEIGHTED_SAMPLE,
+    "moore_lewis_report": ORACLE_MOORE_LEWIS,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
