@@ -7713,6 +7713,142 @@ LIMIT 15
 """
 
 
+def doremi_report(spark, sf):
+    """DoReMi domain reweighting (X72, operators/doremi.py — Xie et al.
+    2023): Group-DRO multiplicative weights over the English sources.
+    The "proxy" LM trains on the src0/src1 slice and the frozen
+    "reference" LM on the full English corpus (both via train_char_lm,
+    the X13 layer), so domains the skewed proxy underserves carry
+    positive excess loss and get upweighted — the paper's update rule
+    replayed exactly for 5 steps (eta=1, smoothing=0.01) from the
+    uniform start, reporting the final and time-averaged weights.
+    Per-domain losses are exact BIGINT nano sums over a broadcast
+    vocab-scale table (one explode + BroadcastHashJoin + map-side-
+    combined domain agg — the corpus never shuffles); the MW loop runs
+    on the DOMAIN-scale frame with nano-integer weights (order-exact
+    sums). Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .operators.doremi import domain_excess_losses, doremi_weights
+    from .operators.perplexity import train_char_lm
+
+    d = _spread(t(spark, sf, "documents")).filter(F.col("lang") == "en")
+    proxy = train_char_lm(
+        d.filter(F.col("source").isin("src0", "src1")),
+        text_col="text",
+        lang_col="lang",
+    )
+    ref = train_char_lm(d, text_col="text", lang_col="lang")
+    losses = domain_excess_losses(d, proxy, ref)
+    wts = doremi_weights(losses, n_steps=5, eta=1.0, smoothing=0.01)
+    return wts.select(
+        "domain",
+        "n_grams",
+        _r(F.col("excess")).alias("excess"),
+        "w_final",
+        "w_avg",
+    ).orderBy("domain")
+
+
+# Full replay: both add-one-smoothed trigram LMs (the proven
+# ORACLE_TRAIN_LM spelling), the full-outer merged nano loss table with
+# -6.0 OOV backoff per side, exact BIGINT domain sums, then the 5-step
+# multiplicative-weights unroll with nano-quantized weights — every
+# cross-row sum is an integer sum, every elementwise double op runs on
+# operand-identical values (the established exp/ln parity recipe).
+ORACLE_DOREMI = r"""
+WITH norm AS (
+  SELECT source,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+  WHERE lang = 'en'
+),
+g AS (
+  SELECT source, substr(t, CAST(i AS INT), 3) AS ngram
+  FROM norm, UNNEST(range(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 3
+),
+cp AS (SELECT ngram, count(*) AS c FROM g WHERE source IN ('src0', 'src1') GROUP BY 1),
+lp AS (
+  SELECT ngram,
+         log10((c + 1.0) / (sum(c) OVER () + count(*) OVER ())) AS l
+  FROM cp
+),
+cr AS (SELECT ngram, count(*) AS c FROM g GROUP BY 1),
+lr AS (
+  SELECT ngram,
+         log10((c + 1.0) / (sum(c) OVER () + count(*) OVER ())) AS l
+  FROM cr
+),
+tbl AS (
+  SELECT coalesce(p.ngram, r.ngram) AS ngram,
+         CAST(round(-coalesce(p.l, -6.0) * 1e9) AS BIGINT) AS pn,
+         CAST(round(-coalesce(r.l, -6.0) * 1e9) AS BIGINT) AS rn
+  FROM lp p FULL OUTER JOIN lr r ON p.ngram = r.ngram
+),
+dl AS (
+  SELECT g.source AS domain,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(coalesce(tbl.pn, 6000000000)) AS BIGINT) AS proxy_nano,
+         CAST(sum(coalesce(tbl.rn, 6000000000)) AS BIGINT) AS ref_nano
+  FROM g LEFT JOIN tbl USING (ngram)
+  GROUP BY 1
+),
+e AS (
+  SELECT domain, n_grams,
+         round(greatest(0.0, CAST(proxy_nano - ref_nano AS DOUBLE)
+                             / (CAST(n_grams AS DOUBLE) * 1e9)), 9) AS excess
+  FROM dl
+),
+base AS (
+  SELECT domain, n_grams, excess,
+         CAST(round(exp(1.0 * excess) * 1e9) AS BIGINT) AS mn,
+         CAST(round(1e9 / CAST(count(*) OVER () AS DOUBLE)) AS BIGINT) AS wn,
+         CAST(count(*) OVER () AS DOUBLE) AS k
+  FROM e
+),
+s1 AS (SELECT *, CAST(round((CAST(wn AS DOUBLE) / 1e9) * (CAST(mn AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS raw FROM base),
+s1b AS (
+  SELECT domain, n_grams, excess, mn, k,
+         CAST(round((0.99 * (CAST(raw AS DOUBLE) / CAST(sum(raw) OVER () AS DOUBLE)) + 0.01 / k) * 1e9) AS BIGINT) AS wn
+  FROM s1
+),
+s1c AS (SELECT *, wn AS acc FROM s1b),
+s2 AS (SELECT *, CAST(round((CAST(wn AS DOUBLE) / 1e9) * (CAST(mn AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS raw FROM s1c),
+s2b AS (
+  SELECT domain, n_grams, excess, mn, k, acc,
+         CAST(round((0.99 * (CAST(raw AS DOUBLE) / CAST(sum(raw) OVER () AS DOUBLE)) + 0.01 / k) * 1e9) AS BIGINT) AS wn
+  FROM s2
+),
+s2c AS (SELECT domain, n_grams, excess, mn, k, wn, acc + wn AS acc FROM s2b),
+s3 AS (SELECT *, CAST(round((CAST(wn AS DOUBLE) / 1e9) * (CAST(mn AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS raw FROM s2c),
+s3b AS (
+  SELECT domain, n_grams, excess, mn, k, acc,
+         CAST(round((0.99 * (CAST(raw AS DOUBLE) / CAST(sum(raw) OVER () AS DOUBLE)) + 0.01 / k) * 1e9) AS BIGINT) AS wn
+  FROM s3
+),
+s3c AS (SELECT domain, n_grams, excess, mn, k, wn, acc + wn AS acc FROM s3b),
+s4 AS (SELECT *, CAST(round((CAST(wn AS DOUBLE) / 1e9) * (CAST(mn AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS raw FROM s3c),
+s4b AS (
+  SELECT domain, n_grams, excess, mn, k, acc,
+         CAST(round((0.99 * (CAST(raw AS DOUBLE) / CAST(sum(raw) OVER () AS DOUBLE)) + 0.01 / k) * 1e9) AS BIGINT) AS wn
+  FROM s4
+),
+s4c AS (SELECT domain, n_grams, excess, mn, k, wn, acc + wn AS acc FROM s4b),
+s5 AS (SELECT *, CAST(round((CAST(wn AS DOUBLE) / 1e9) * (CAST(mn AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS raw FROM s4c),
+s5b AS (
+  SELECT domain, n_grams, excess, mn, k, acc,
+         CAST(round((0.99 * (CAST(raw AS DOUBLE) / CAST(sum(raw) OVER () AS DOUBLE)) + 0.01 / k) * 1e9) AS BIGINT) AS wn
+  FROM s5
+),
+s5c AS (SELECT domain, n_grams, excess, mn, k, wn, acc + wn AS acc FROM s5b)
+SELECT domain, n_grams, round(excess, 6) AS excess,
+       round(CAST(wn AS DOUBLE) / 1e9, 6) AS w_final,
+       round(CAST(acc AS DOUBLE) / (1e9 * 5.0), 6) AS w_avg
+FROM s5c
+ORDER BY domain
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7759,6 +7895,7 @@ QUERIES = {
     "rendezvous_shard_report": rendezvous_shard_report,
     "weighted_sample_report": weighted_sample_report,
     "moore_lewis_report": moore_lewis_report,
+    "doremi_report": doremi_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -7913,6 +8050,7 @@ ORACLES = {
     "rendezvous_shard_report": ORACLE_RENDEZVOUS_SHARD,
     "weighted_sample_report": ORACLE_WEIGHTED_SAMPLE,
     "moore_lewis_report": ORACLE_MOORE_LEWIS,
+    "doremi_report": ORACLE_DOREMI,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
