@@ -7849,6 +7849,83 @@ ORDER BY domain
 """
 
 
+def diversity_report(spark, sf):
+    """Corpus n-gram diversity (X73, operators/diversity.py — distinct-n,
+    Li et al. 2016, plus a set-based self-BLEU analog, Zhu et al. 2018):
+    per source, the share of word-bigram instances that are distinct
+    types and the mean per-doc fraction of distinct bigrams shared with
+    at least one OTHER document corpus-wide. One corpus explode collapses
+    map-side to the per-doc type frame (persisted — it fans into three
+    branches); document frequency joins back co-located on the gram key;
+    per-doc ratios are ppm-quantized BIGINTs so the segment means are
+    exact-integer sums. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    from .operators.diversity import diversity_report_frame
+
+    d = _spread(t(spark, sf, "documents"))
+    return diversity_report_frame(d, n=2).orderBy("segment")
+
+
+# Full replay: the same normalization/tokenization spelling as the other
+# word-gram oracles, the per-doc type frame, corpus-wide document
+# frequency, ppm-quantized per-doc ratios, exact integer segment sums.
+ORACLE_DIVERSITY = r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, source, string_split(t, ' ') AS toks
+  FROM norm
+  WHERE length(t) > 0
+),
+g AS (
+  SELECT doc_id, source,
+         toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS gram
+  FROM tk, UNNEST(range(1, len(toks))) AS u(i)
+),
+gdi AS (
+  SELECT gram, doc_id, source, CAST(count(*) AS BIGINT) AS k
+  FROM g GROUP BY 1, 2, 3
+),
+segc AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS total_grams,
+         CAST(count(*) AS BIGINT) AS distinct_grams
+  FROM (SELECT source, gram, sum(k) AS c FROM gdi GROUP BY 1, 2)
+  GROUP BY 1
+),
+dfd AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM gdi GROUP BY 1),
+pd AS (
+  SELECT gdi.doc_id, gdi.source,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN dfd.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM gdi JOIN dfd USING (gram)
+  GROUP BY 1, 2
+),
+sego AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(round(CAST(hits AS DOUBLE) / CAST(n_types AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS ppm_sum
+  FROM pd GROUP BY 1
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY 1)
+SELECT segc.source AS segment,
+       sego.n_docs,
+       tot.n_total - sego.n_docs AS n_docs_short,
+       segc.total_grams,
+       segc.distinct_grams,
+       round(CAST(segc.distinct_grams AS DOUBLE) / CAST(segc.total_grams AS DOUBLE), 6) AS distinct_ratio,
+       round(CAST(sego.ppm_sum AS DOUBLE) / (1e6 * CAST(sego.n_docs AS DOUBLE)), 6) AS mean_self_overlap
+FROM segc
+JOIN sego USING (source)
+JOIN tot USING (source)
+ORDER BY segment
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7896,6 +7973,7 @@ QUERIES = {
     "weighted_sample_report": weighted_sample_report,
     "moore_lewis_report": moore_lewis_report,
     "doremi_report": doremi_report,
+    "diversity_report": diversity_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -8051,6 +8129,7 @@ ORACLES = {
     "weighted_sample_report": ORACLE_WEIGHTED_SAMPLE,
     "moore_lewis_report": ORACLE_MOORE_LEWIS,
     "doremi_report": ORACLE_DOREMI,
+    "diversity_report": ORACLE_DIVERSITY,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
