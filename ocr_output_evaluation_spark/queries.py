@@ -7926,6 +7926,80 @@ ORDER BY segment
 """
 
 
+def novelty_report(spark, sf):
+    """N-gram novelty curve (X74, operators/novelty.py — McCoy et al.
+    2021 n-gram novelty / Heaps'-law vocabulary growth): bucket the
+    corpus into 10 equal-width doc_id ranges and report, per bucket, the
+    word-bigram types first seen there, the running vocabulary total,
+    and the novelty ratio. First occurrence is one explode +
+    map-side-combined min agg; the census reads bigram COUNTS (array
+    size, no explode); buckets come from a broadcast 1-row id-span agg —
+    no global sort or row_number anywhere. All integers until the final
+    6dp ratio. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .operators.novelty import novelty_curve
+
+    d = _spread(t(spark, sf, "documents"))
+    return novelty_curve(d, n=2, n_buckets=10).orderBy("bucket")
+
+
+# Full replay: the same normalization/tokenization spelling, min-doc_id
+# first occurrence, the identical double bucket expression on exact
+# integer operands, integer census, running sum over the bucket frame.
+ORACLE_NOVELTY = r"""
+WITH norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, string_split(t, ' ') AS toks
+  FROM norm
+  WHERE length(t) > 0
+),
+g AS (
+  SELECT doc_id,
+         toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS gram
+  FROM tk, UNNEST(range(1, len(toks))) AS u(i)
+),
+span AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+firstg AS (SELECT gram, min(doc_id) AS f FROM g GROUP BY 1),
+nt AS (
+  SELECT least(9, CAST(floor(CAST(f - mn AS DOUBLE) * 10.0
+                             / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT)) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM firstg CROSS JOIN span
+  GROUP BY 1
+),
+sz AS (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN 0
+              ELSE greatest(len(string_split(t, ' ')) - 1, 0) END AS ni
+  FROM norm
+),
+cen AS (
+  SELECT least(9, CAST(floor(CAST(doc_id - mn AS DOUBLE) * 10.0
+                             / CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT)) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ni) AS BIGINT) AS instances
+  FROM sz CROSS JOIN span
+  GROUP BY 1
+),
+j AS (
+  SELECT cen.bucket, cen.n_docs, cen.instances,
+         CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types
+  FROM cen LEFT JOIN nt USING (bucket)
+)
+SELECT bucket, n_docs, instances, new_types,
+       CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types,
+       CASE WHEN instances <> 0
+            THEN round(CAST(new_types AS DOUBLE) / CAST(instances AS DOUBLE), 6)
+       END AS novelty_ratio
+FROM j
+ORDER BY bucket
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -7974,6 +8048,7 @@ QUERIES = {
     "moore_lewis_report": moore_lewis_report,
     "doremi_report": doremi_report,
     "diversity_report": diversity_report,
+    "novelty_report": novelty_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -8130,6 +8205,7 @@ ORACLES = {
     "moore_lewis_report": ORACLE_MOORE_LEWIS,
     "doremi_report": ORACLE_DOREMI,
     "diversity_report": ORACLE_DIVERSITY,
+    "novelty_report": ORACLE_NOVELTY,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
