@@ -8016,10 +8016,12 @@ ORDER BY bucket
 # NEVER insert a new query mid-dict outside the marked insertion point.
 # r6 rotation plan (for whoever runs the next round): swap the 50-entry
 # r4-recorded tail block (embedding_pair_topk .. triangle_count_report)
-# into slots 0-49 and demote the r5-recorded window; the six r5-demoted
-# stalwarts (salted_source_stats .. lang_id_report) take priority over
-# the 11-entry overflow block, whose members are 3 rounds unrecorded by
-# then and MUST be included before any twice-recorded entry.
+# into slots 0-49 and demote the r5-recorded window; the r5-demoted
+# stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
+# positional demotions dup_clusters / parts_above_type_avg /
+# extraction_report) take priority over the 11-entry overflow block,
+# whose members are 3 rounds unrecorded by then and MUST be included
+# before any twice-recorded entry.
 QUERIES = {
     # -- r5 rotation, slots 0-10: the eleven born-in-tail r4 late additions
     #    (qdigest … calibration) — their first-ever driver rows; born-round

@@ -241,6 +241,9 @@ def main() -> None:
         kcore_report,
         labelprop_report,
         winnow_report,
+        doremi_report,
+        diversity_report,
+        novelty_report,
         pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
@@ -376,6 +379,17 @@ def main() -> None:
         # node-scale tallies/argmax (the PageRank per-iteration shape);
         # expect ~linear
         "labelprop_report": (labelprop_report, (1, mult_hi), "documents"),
+        # r5b: X72 — two LM trains + one broadcast-join corpus pass, then
+        # a domain-scale MW loop; everything data-bound is a map-side-
+        # combined agg, expect ~linear-to-sublinear
+        "doremi_report": (doremi_report, (1, mult_hi), "documents"),
+        # r5b: X73 — one explode to the persisted per-doc type frame,
+        # df join co-located; the fixed spot vocab keeps the type frame
+        # ~scale-invariant, so growth tracks the explode, ~linear
+        "diversity_report": (diversity_report, (1, mult_hi), "documents"),
+        # r5b: X74 — a min-agg over the gram explode + a size-only
+        # census; bucket frame fixed at 10 rows; expect ~linear
+        "novelty_report": (novelty_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
