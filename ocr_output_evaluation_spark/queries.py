@@ -8000,6 +8000,94 @@ ORDER BY bucket
 """
 
 
+def boot_ci_report(spark, sf):
+    """Poisson bootstrap confidence intervals (X75,
+    operators/bootstrap.py — Chamandy et al. 2012): per language, the
+    exact mean of n_chars plus a ~90% percentile interval from 20
+    Poisson(1)-weighted replicate means (ranks 2 and 19, replicate-index
+    tiebreak). All 20 replicates are per-row codegen weight columns
+    summed in ONE map-side-combined pass — no replicate explode of the
+    corpus, one BIGINT-cell row per language on the wire; the rank
+    window runs on the 20 x |langs| replicate frame. Weights come from
+    the deterministic md5-hash32 uniform through a truncated
+    inverse-CDF table, so the whole draw replays in SQL. Reference
+    analog: none — rebuild-only (SURVEY §2.13)."""
+    from .operators.bootstrap import poisson_bootstrap_ci
+
+    d = _spread(t(spark, sf, "documents"))
+    out = poisson_bootstrap_ci(
+        d, value_col="n_chars", group_col="lang", id_col="doc_id"
+    )
+    return out.select(
+        F.col("group").alias("lang"),
+        "n_docs",
+        "mean_value",
+        "boot_lo",
+        "boot_hi",
+    ).orderBy("lang")
+
+
+def _oracle_boot_ci(n_replicates: int = 20, lo: int = 2, hi: int = 19) -> str:
+    """Full replay, built from the operator's own CDF table: the same
+    md5-hash32 uniform per (doc_id, replicate), the same truncated
+    Poisson(1) inverse-CDF literals, exact BIGINT weighted sums (the
+    oracle may explode replicates — DuckDB has no 100 TB to protect),
+    the same (estimate, replicate) rank order and clamped rank picks."""
+    from .operators.bootstrap import POISSON1_CDF
+
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+        )
+        + " ELSE 7 END"
+    )
+    return f"""
+WITH rep AS (
+  SELECT doc_id, lang, n_chars, CAST(i AS INT) AS r
+  FROM documents, UNNEST(range(0, {n_replicates})) AS t(i)
+),
+uu AS (
+  SELECT lang, n_chars, r,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pb' || CAST(r AS VARCHAR)), 1, 8))::BIGINT
+          + 0.5) / 4294967296.0 AS u
+  FROM rep
+),
+ww AS (SELECT lang, r, n_chars, {case} AS w FROM uu),
+est AS (
+  SELECT lang, r,
+         CAST(sum(w * n_chars) AS BIGINT) AS sr,
+         CAST(sum(w) AS BIGINT) AS cr
+  FROM ww GROUP BY 1, 2
+),
+rk AS (
+  SELECT lang,
+         CAST(sr AS DOUBLE) / CAST(cr AS DOUBLE) AS e,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY CAST(sr AS DOUBLE) / CAST(cr AS DOUBLE), r) AS rn,
+         count(*) OVER (PARTITION BY lang) AS nr
+  FROM est WHERE cr > 0
+),
+ci AS (
+  SELECT lang,
+         max(CASE WHEN rn = least({lo}, nr) THEN e END) AS lo_e,
+         max(CASE WHEN rn = least({hi}, nr) THEN e END) AS hi_e
+  FROM rk GROUP BY 1
+),
+base AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sv
+  FROM documents GROUP BY 1
+)
+SELECT base.lang, n_docs,
+       round(CAST(sv AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_value,
+       round(lo_e, 6) AS boot_lo,
+       round(hi_e, 6) AS boot_hi
+FROM base JOIN ci USING (lang)
+ORDER BY base.lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -8051,6 +8139,7 @@ QUERIES = {
     "doremi_report": doremi_report,
     "diversity_report": diversity_report,
     "novelty_report": novelty_report,
+    "boot_ci_report": boot_ci_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -8208,6 +8297,7 @@ ORACLES = {
     "doremi_report": ORACLE_DOREMI,
     "diversity_report": ORACLE_DIVERSITY,
     "novelty_report": ORACLE_NOVELTY,
+    "boot_ci_report": _oracle_boot_ci(),
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
