@@ -10,6 +10,7 @@ from .media import (
     resize_images,
     sample_frames,
 )
+from .phash import phash64_py, phash_images, phash_near_dup_pairs
 
 __all__ = [
     "MEDIA",
@@ -22,4 +23,7 @@ __all__ = [
     "image_features",
     "resize_images",
     "sample_frames",
+    "phash64_py",
+    "phash_images",
+    "phash_near_dup_pairs",
 ]

@@ -8088,6 +8088,55 @@ ORDER BY base.lang
 """
 
 
+def phash_dedup_report(spark, sf):
+    """Perceptual-hash image near-dup (X76, multimodal/phash.py — the
+    pHash.org DCT hash, Zauner 2010, the LAION-style image-dedup
+    primitive) over fixture media plus a 32x32-resized TWIN of every
+    image: per kind, how many images hashed, how many found their twin
+    at Hamming 0 (the nearest-grid resample makes twin hashes
+    bit-identical by construction — the invariance the hash exists
+    for), and how many near-pairs the 8-band index returned overall.
+    Rows-only: binary payloads cannot replay in SQL (the X14 boundary);
+    bit-exactness is pytest-golden (tests/test_phash.py)."""
+    from .multimodal import media_df, phash_images, phash_near_dup_pairs, resize_images
+
+    m = media_df(spark, 200, partitions=4)
+    sig_o = phash_images(m)
+    twins = resize_images(m, 32, 32).join(
+        m.select("media_id", "kind"), "media_id"
+    )
+    sig_t = phash_images(twins).select(
+        (F.col("media_id") + F.lit(1_000_000)).alias("media_id"),
+        "kind",
+        "phash",
+        "error",
+    )
+    pairs = phash_near_dup_pairs(sig_o.unionByName(sig_t), max_hamming=7)
+    twin_pair = (F.col("id_b") - F.col("id_a")) == 1_000_000
+    enriched = pairs.join(
+        sig_o.select(F.col("media_id").alias("id_a"), "kind"), "id_a"
+    )
+    per_kind = enriched.groupBy("kind").agg(
+        F.sum(F.when(twin_pair & (F.col("hamming") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_twin_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    hashed = sig_o.filter(F.col("phash").isNotNull()).groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashed")
+    )
+    return (
+        hashed.join(per_kind, "kind", "left")
+        .select(
+            "kind",
+            "n_hashed",
+            F.coalesce(F.col("n_twin_exact"), F.lit(0)).alias("n_twin_exact"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        )
+        .orderBy("kind")
+    )
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -8140,6 +8189,7 @@ QUERIES = {
     "diversity_report": diversity_report,
     "novelty_report": novelty_report,
     "boot_ci_report": boot_ci_report,
+    "phash_dedup_report": phash_dedup_report,  # rows-only: binary payloads
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
