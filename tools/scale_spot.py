@@ -244,6 +244,7 @@ def main() -> None:
         doremi_report,
         diversity_report,
         novelty_report,
+        boot_ci_report,
         pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
@@ -390,6 +391,10 @@ def main() -> None:
         # r5b: X74 — a min-agg over the gram explode + a size-only
         # census; bucket frame fixed at 10 rows; expect ~linear
         "novelty_report": (novelty_report, (1, mult_hi), "documents"),
+        # r5b: X75 — ONE map-side-combined pass computing 20 md5 weight
+        # columns per row (no replicate explode); the replicate frame is
+        # 20 x |langs| whatever n; expect ~linear (CPU-bound on md5)
+        "boot_ci_report": (boot_ci_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
