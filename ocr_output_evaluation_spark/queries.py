@@ -8137,6 +8137,47 @@ def phash_dedup_report(spark, sf):
     )
 
 
+def link_graph_report(spark, sf):
+    """Crawl link-graph extraction (X77, extract/links.py): pull <a href>
+    targets out of the fixture pages' HTML over the same Arrow channel
+    as the extractor, resolve them against each page's url, and roll the
+    page-level edge list up per host — pages, edges, distinct targets,
+    and the host's hottest hub target (max(count) with a dst-string
+    tiebreak packed in one struct max). PDFs / empty / undecodable pages
+    contribute no edges by contract. Rows-only: the DuckDB oracle cannot
+    parse HTML (same boundary as extraction_report); href goldens and
+    the python-mirror parity are pytest-gated (tests/test_links.py)."""
+    from .extract.links import link_edges
+    from .fixtures.generate import web_pages_df
+    from .functions.url import url_host
+
+    pages = web_pages_df(spark, 1000, 8)
+    edges = link_edges(pages)
+    per = edges.groupBy(
+        url_host(F.col("src")).alias("host"), F.col("dst")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hostagg = per.groupBy("host").agg(
+        F.sum("cnt").cast("long").alias("n_edges"),
+        F.count(F.lit(1)).cast("long").alias("distinct_dst"),
+        F.max(F.struct(F.col("cnt"), F.col("dst"))).alias("_top"),
+    )
+    npages = pages.groupBy(url_host(F.col("url")).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages")
+    )
+    return (
+        npages.join(hostagg, "host", "left")
+        .select(
+            "host",
+            "n_pages",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            F.coalesce(F.col("distinct_dst"), F.lit(0)).alias("distinct_dst"),
+            F.col("_top.cnt").alias("top_dst_cnt"),
+            F.col("_top.dst").alias("top_dst"),
+        )
+        .orderBy("host")
+    )
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -8190,6 +8231,7 @@ QUERIES = {
     "novelty_report": novelty_report,
     "boot_ci_report": boot_ci_report,
     "phash_dedup_report": phash_dedup_report,  # rows-only: binary payloads
+    "link_graph_report": link_graph_report,  # rows-only: HTML inputs
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
