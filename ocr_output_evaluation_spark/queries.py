@@ -8178,6 +8178,173 @@ def link_graph_report(spark, sf):
     )
 
 
+def curation_funnel_report(spark, sf):
+    """FineWeb/RefinedWeb-style curation funnel (X78 — Penedo et al.
+    2023/2024): the three canonical curation stages COMPOSED end-to-end
+    with per-stage attrition counts, each stage applied to the previous
+    stage's survivors: (1) Gopher/C4 quality rules (X38 rulepack, the
+    gopher_rules_report planted-failure mutation so the clean synthetic
+    corpus actually attrites), (2) exact dedup keeping the min-doc_id
+    representative per normalized-text fingerprint (every 19th doc is
+    mutated into one shared boilerplate page — the fixture corpus has no
+    natural exact dups, so the dup cluster is planted like the quality
+    failures), (3) 4-gram benchmark decontamination (X21, every-97th-doc
+    benchmark, >= 0.5 overlap dropped — benchmark members score 1.0 and
+    fall out by construction; doc 0 is both boilerplate and benchmark,
+    so the boilerplate cluster's lone survivor also falls here).
+    Implemented as per-doc FLAGS folded in ONE final per-lang agg — no
+    stage materializes a filtered corpus copy; the mutated frame is
+    persisted because it fans into the flag, fingerprint, and
+    contamination branches (the winnow fan-out rule). Per-lang funnel:
+    n_docs -> n_quality -> n_unique -> n_clean + retention. Reference
+    analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.rulepacks import rulepack_flags
+    from .operators.decontaminate import contamination_scores
+
+    d = _spread(t(spark, sf, "documents"))
+    did = F.col("doc_id")
+    first3 = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3)
+    )
+    boiler = (
+        "the quick brown fox jumps over the lazy dog and then it rests"
+    )
+    mut = (
+        F.when(did % 19 == 0, F.lit(boiler))
+        .when(did % 11 == 0, first3)
+        .when(did % 13 == 0, F.concat(F.col("text"), F.lit(" ### ... ###")))
+        .when(did % 17 == 0, F.concat(F.lit("lorem ipsum { "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    md = d.select("doc_id", "lang", mut.alias("text")).persist()
+    flags = rulepack_flags(F.col("text"), min_words=5, max_words=100_000)
+    pass_all = F.lit(True)
+    for v in flags.values():
+        pass_all = pass_all & v
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    base = md.select(
+        "doc_id", "lang", pass_all.alias("q_pass"), fp.alias("fp")
+    )
+    keep = (
+        base.filter(F.col("q_pass"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("_keep_id"))
+    )
+    bench = md.filter(did % 97 == 0)
+    sc = contamination_scores(md, bench, "text", "doc_id", n=4)
+    full = base.join(keep, "fp", "left").join(
+        sc.select("doc_id", "overlap"), "doc_id", "left"
+    )
+    kept = F.col("doc_id") == F.col("_keep_id")
+    contaminated = F.coalesce(F.col("overlap") >= 0.5, F.lit(False))
+    out = full.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("q_pass").cast("long")).cast("long").alias("n_quality"),
+        F.sum((F.col("q_pass") & kept).cast("long"))
+        .cast("long")
+        .alias("n_unique"),
+        F.sum((F.col("q_pass") & kept & ~contaminated).cast("long"))
+        .cast("long")
+        .alias("n_clean"),
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_quality",
+        "n_unique",
+        "n_clean",
+        F.round(
+            F.col("n_clean").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("retention"),
+    ).orderBy("lang")
+
+
+# Full replay, composed from the three proven stage oracles on the SAME
+# mutated text: the gopher flag CTEs (doc_id carried), min-doc_id-per-
+# fingerprint keep set over quality survivors, and the 4-gram md5-key
+# contamination scorer; three-valued AND collapses to the same FALSE as
+# Spark's boolean-cast sums.
+ORACLE_CURATION_FUNNEL = rf"""
+WITH mut AS (
+  SELECT doc_id, lang,
+    CASE
+      WHEN doc_id % 19 = 0 THEN 'the quick brown fox jumps over the lazy dog and then it rests'
+      WHEN doc_id % 11 = 0 THEN array_to_string(regexp_split_to_array(trim(text), '\s+')[1:3], ' ')
+      WHEN doc_id % 13 = 0 THEN text || ' ### ... ###'
+      WHEN doc_id % 17 = 0 THEN 'lorem ipsum {{ ' || text
+      ELSE text
+    END AS t
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lang, t,
+    CASE WHEN length(trim(t)) > 0 THEN len(regexp_split_to_array(trim(t), '\s+')) ELSE 0 END AS nw,
+    length(regexp_replace(t, '\s', '', 'g')) AS nc,
+    len(regexp_extract_all(t, '#|\.\.\.')) AS nsym,
+    CASE WHEN length(trim(t)) > 0
+         THEN len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+                              w -> regexp_matches(w, '[a-zA-Z]')))
+         ELSE 0 END AS nalpha,
+    len(regexp_extract_all(lower(t), '\b({_SW_EN})\b')) AS nsw,
+    (contains(lower(t), 'lorem ipsum') OR contains(t, '{{')) AS banned
+  FROM mut
+),
+base AS (
+  SELECT doc_id, lang,
+    ((nw >= 5 AND nw <= 100000)
+     AND coalesce(nw > 0 AND nc * 1.0 / nw >= 3.0 AND nc * 1.0 / nw <= 10.0, FALSE)
+     AND (CASE WHEN nw > 0 THEN nsym * 1.0 / nw <= 0.1 ELSE TRUE END)
+     AND (CASE WHEN nw > 0 THEN nalpha * 1.0 / nw >= 0.8 ELSE TRUE END)
+     AND (nsw >= 2)
+     AND NOT banned) AS q_pass,
+    md5(trim(regexp_replace(lower(t), '\s+', ' ', 'g'))) AS fp
+  FROM f
+),
+keep AS (
+  SELECT fp, min(doc_id) AS keep_id FROM base WHERE q_pass GROUP BY 1
+),
+norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(t), '[^\p{{L}} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS nt
+  FROM mut
+),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS w FROM norm WHERE length(nt) > 0),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gs
+  FROM toks, UNNEST(range(1, len(w) - 2)) AS u(i)
+  WHERE len(w) >= 4
+),
+keyed AS (SELECT doc_id, substr(md5(gs), 1, 16) AS gk FROM grams),
+bench AS (SELECT DISTINCT gk FROM keyed WHERE doc_id % 97 = 0),
+scored AS (
+  SELECT k.doc_id, count(*) AS n_grams, count(b.gk) AS n_hits
+  FROM keyed k LEFT JOIN bench b USING (gk)
+  GROUP BY 1
+),
+wide AS (
+  SELECT base.doc_id, base.lang, base.q_pass,
+         (keep.keep_id = base.doc_id) AS kept,
+         coalesce(scored.n_hits * 1.0 / scored.n_grams >= 0.5, FALSE) AS contaminated
+  FROM base
+  LEFT JOIN keep ON keep.fp = base.fp
+  LEFT JOIN scored ON scored.doc_id = base.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN q_pass AND kept THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN q_pass AND kept AND NOT contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       round(sum(CASE WHEN q_pass AND kept AND NOT contaminated THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS retention
+FROM wide
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -8232,6 +8399,7 @@ QUERIES = {
     "boot_ci_report": boot_ci_report,
     "phash_dedup_report": phash_dedup_report,  # rows-only: binary payloads
     "link_graph_report": link_graph_report,  # rows-only: HTML inputs
+    "curation_funnel_report": curation_funnel_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -8390,6 +8558,7 @@ ORACLES = {
     "diversity_report": ORACLE_DIVERSITY,
     "novelty_report": ORACLE_NOVELTY,
     "boot_ci_report": _oracle_boot_ci(),
+    "curation_funnel_report": ORACLE_CURATION_FUNNEL,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
