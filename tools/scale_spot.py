@@ -245,6 +245,7 @@ def main() -> None:
         diversity_report,
         novelty_report,
         boot_ci_report,
+        curation_funnel_report,
         pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
@@ -395,6 +396,11 @@ def main() -> None:
         # columns per row (no replicate explode); the replicate frame is
         # 20 x |langs| whatever n; expect ~linear (CPU-bound on md5)
         "boot_ci_report": (boot_ci_report, (1, mult_hi), "documents"),
+        # r5b: X78 — three composed stages over the persisted mutated
+        # frame: flag pass (in-row), fingerprint min-agg, 4-gram
+        # broadcast-membership scoring; all map-side-combined, ~linear
+        "curation_funnel_report": (
+            curation_funnel_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
