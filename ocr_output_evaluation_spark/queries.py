@@ -8345,6 +8345,106 @@ ORDER BY lang
 """
 
 
+def neyman_sample_report(spark, sf):
+    """Neyman-allocation stratified sampling (X79, operators/neyman.py —
+    Neyman 1934): allocate a 60-sample audit budget over languages
+    proportional to N_h*sigma_h of n_chars (the variance-minimizing
+    rule), integerized by exact largest-remainder apportionment, then
+    draw each stratum's quota in the deterministic md5 order. Per lang:
+    stratum size, the exact-integer micro weight, the allocation, the
+    drawn count, and the sample's mean n_chars. Stratum moments are one
+    map-side-combined agg; the apportionment is all-integer on the
+    stratum frame; the draw is a per-stratum rank window (the X31
+    two-phase is the documented swap-in at extreme scale). Reference
+    analog: none — rebuild-only (SURVEY §2.13)."""
+    from .operators.neyman import neyman_allocation, neyman_sample
+
+    d = _spread(t(spark, sf, "documents"))
+    alloc = neyman_allocation(d, "lang", "n_chars", k=60)
+    sel = neyman_sample(d, "lang", "n_chars", k=60)
+    per = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sel"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("_sc"),
+    )
+    out = alloc.select(
+        F.col("stratum").alias("lang"), "n_docs", "w_micro", "alloc"
+    ).join(per, "lang", "left")
+    mean_sel = F.when(
+        F.coalesce(F.col("n_sel"), F.lit(0)) > 0,
+        F.round(
+            F.col("_sc").cast("double") / F.col("n_sel").cast("double"), 6
+        ),
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "w_micro",
+        "alloc",
+        F.coalesce(F.col("n_sel"), F.lit(0)).cast("long").alias("n_sel"),
+        mean_sel.alias("mean_sel"),
+    ).orderBy("lang")
+
+
+# Full replay: exact BIGINT stratum moments, the sqrt(n*S2 - S1^2) micro
+# weight on operand-identical doubles, all-integer largest-remainder
+# apportionment (div/mod against the exact window total, stratum-name
+# tiebreak), and the identical md5 rank order per stratum.
+ORACLE_NEYMAN = """
+WITH m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY 1
+),
+wts AS (
+  SELECT lang, n_docs,
+         CAST(round(sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+  FROM m
+),
+ap AS (
+  SELECT lang, n_docs, w_micro,
+         CASE WHEN sum(w_micro) OVER () > 0
+              THEN CAST((60 * w_micro - (60 * w_micro) % sum(w_micro) OVER ())
+                        / sum(w_micro) OVER () AS BIGINT)
+              ELSE 0 END AS base,
+         CASE WHEN sum(w_micro) OVER () > 0
+              THEN (60 * w_micro) % sum(w_micro) OVER ()
+              ELSE 0 END AS rem
+  FROM wts
+),
+ap2 AS (
+  SELECT *, 60 - sum(base) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, lang ASC) AS rn
+  FROM ap
+),
+alloc AS (
+  SELECT lang, n_docs, w_micro,
+         base + CASE WHEN w_micro > 0 AND rn <= leftover THEN 1 ELSE 0 END AS alloc
+  FROM ap2
+),
+rk AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':ney'), doc_id) AS sr
+  FROM documents
+),
+sel AS (
+  SELECT rk.lang, CAST(count(*) AS BIGINT) AS n_sel,
+         CAST(sum(rk.n_chars) AS BIGINT) AS sc
+  FROM rk JOIN alloc USING (lang)
+  WHERE rk.sr <= alloc.alloc
+  GROUP BY 1
+)
+SELECT a.lang, a.n_docs, a.w_micro, CAST(a.alloc AS BIGINT) AS alloc,
+       CAST(coalesce(s.n_sel, 0) AS BIGINT) AS n_sel,
+       CASE WHEN coalesce(s.n_sel, 0) > 0
+            THEN round(CAST(s.sc AS DOUBLE) / CAST(s.n_sel AS DOUBLE), 6)
+       END AS mean_sel
+FROM alloc a LEFT JOIN sel s USING (lang)
+ORDER BY a.lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -8400,6 +8500,7 @@ QUERIES = {
     "phash_dedup_report": phash_dedup_report,  # rows-only: binary payloads
     "link_graph_report": link_graph_report,  # rows-only: HTML inputs
     "curation_funnel_report": curation_funnel_report,
+    "neyman_sample_report": neyman_sample_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -8559,6 +8660,7 @@ ORACLES = {
     "novelty_report": ORACLE_NOVELTY,
     "boot_ci_report": _oracle_boot_ci(),
     "curation_funnel_report": ORACLE_CURATION_FUNNEL,
+    "neyman_sample_report": ORACLE_NEYMAN,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
