@@ -8445,6 +8445,188 @@ ORDER BY a.lang
 """
 
 
+def zipf_slope_report(spark, sf):
+    """Zipf rank-frequency slope (X80 — Zipf 1949; the standard corpus
+    health probe: natural text fits ln(freq) ~ a + s*ln(rank) with
+    s ~ -1, and a collapsed or templated corpus bends away from it):
+    per language, OLS slope over the top-200 word frequencies. Exactness
+    discipline: ranks come from a (freq desc, word asc) row_number over
+    the VOCABULARY-scale count frame; ln(rank)/ln(freq) are
+    micro-quantized BIGINTs so every regression sum is an exact integer
+    sum (products bounded < 2^63 for n<=200 by construction); the slope
+    is one exact-operand double division, 6dp. One corpus explode with
+    map-side combine; everything after runs on vocab- then lang-scale
+    frames. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    toks = d.select(
+        "lang", F.explode(word_tokens(F.col("text"))).alias("w")
+    )
+    counts = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("w").asc())
+    )
+    top = counts.select("lang", "c", rn.alias("r")).filter(F.col("r") <= 200)
+    x = F.round(F.log(F.col("r").cast("double")) * F.lit(1e6)).cast("long")
+    y = F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
+    s = top.select("lang", x.alias("x"), y.alias("y")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (
+        F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    slope = F.when(den != 0, F.round(num / den, 6))
+    intercept = F.when(
+        (den != 0) & (F.col("n_terms") > 0),
+        F.round(
+            (F.col("sy").cast("double") - (num / den) * F.col("sx").cast("double"))
+            / (F.lit(1e6) * F.col("n_terms").cast("double")),
+            6,
+        ),
+    )
+    return s.select(
+        "lang", "n_terms", slope.alias("zipf_slope"),
+        intercept.alias("zipf_intercept"),
+    ).orderBy("lang")
+
+
+# Full replay: same tokenization, same (freq desc, word asc) rank order,
+# micro-quantized ln values, exact integer regression sums, the same
+# guarded exact-operand divisions.
+ORACLE_ZIPF = r"""
+WITH norm AS (
+  SELECT lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT lang, u.w
+  FROM norm, UNNEST(string_split(t, ' ')) AS u(w)
+  WHERE length(t) > 0
+),
+counts AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+top AS (
+  SELECT lang, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, w ASC) AS r
+  FROM counts
+  QUALIFY r <= 200
+),
+q AS (
+  SELECT lang,
+         CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM top
+),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM q GROUP BY 1
+)
+SELECT lang, n_terms,
+       CASE WHEN (n_terms * sxx - sx * sx) <> 0
+            THEN round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                       / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6)
+       END AS zipf_slope,
+       CASE WHEN (n_terms * sxx - sx * sx) <> 0 AND n_terms > 0
+            THEN round((CAST(sy AS DOUBLE)
+                        - (CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                           / CAST(n_terms * sxx - sx * sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE))
+                       / (1e6 * CAST(n_terms AS DOUBLE)), 6)
+       END AS zipf_intercept
+FROM s
+ORDER BY lang
+"""
+
+
+def burstiness_report(spark, sf):
+    """Term burstiness (X81 — Church & Gale 1995, "Poisson mixtures":
+    content words are BURSTY — their per-document counts overdisperse a
+    Poisson, boilerplate/function words don't; the variance-to-mean
+    ratio is the classic test): over terms appearing in >= 20 documents,
+    the 15 highest VMRs. With zeros included the VMR is exact integer
+    arithmetic: mean = S1/n, var = (n*S2 - S1^2)/n^2, VMR = var/mean =
+    (n*S2 - S1^2)/(n*S1) — one exact-operand double division per term.
+    One corpus explode -> map-side-combined (term, doc) counts -> term
+    moments; n (total docs) is a broadcast 1-row agg; selection is
+    TakeOrderedAndProject. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    td = (
+        d.select(F.col("doc_id"), F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = td.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    m = m.filter(F.col("df") >= 20).crossJoin(F.broadcast(n_docs))
+    vmr_num = (F.col("_n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    vmr_den = (F.col("_n") * F.col("s1")).cast("double")
+    vmr = vmr_num / vmr_den  # s1 >= df >= 20 > 0: ANSI-safe
+    return (
+        m.select(
+            F.col("w").alias("term"),
+            "df",
+            F.col("s1").alias("n_occurrences"),
+            vmr.alias("_vmr"),
+        )
+        .orderBy(F.col("_vmr").desc(), F.col("term").asc())
+        .limit(15)
+        .select("term", "df", "n_occurrences", _r(F.col("_vmr")).alias("vmr"))
+    )
+
+
+# Full replay: same tokenization, (term, doc) counts, exact integer
+# moments, the same exact-operand VMR and (vmr desc, term asc) total
+# order + LIMIT.
+ORACLE_BURSTINESS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, u.w
+  FROM norm, UNNEST(string_split(t, ' ')) AS u(w)
+  WHERE length(t) > 0
+),
+td AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+m AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+  FROM td GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+SELECT w AS term, df, s1 AS n_occurrences,
+       round(CAST(nd * s2 - s1 * s1 AS DOUBLE) / CAST(nd * s1 AS DOUBLE), 6) AS vmr
+FROM m CROSS JOIN n
+WHERE df >= 20
+ORDER BY CAST(nd * s2 - s1 * s1 AS DOUBLE) / CAST(nd * s1 AS DOUBLE) DESC, term ASC
+LIMIT 15
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -8501,6 +8683,8 @@ QUERIES = {
     "link_graph_report": link_graph_report,  # rows-only: HTML inputs
     "curation_funnel_report": curation_funnel_report,
     "neyman_sample_report": neyman_sample_report,
+    "zipf_slope_report": zipf_slope_report,
+    "burstiness_report": burstiness_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -8661,6 +8845,8 @@ ORACLES = {
     "boot_ci_report": _oracle_boot_ci(),
     "curation_funnel_report": ORACLE_CURATION_FUNNEL,
     "neyman_sample_report": ORACLE_NEYMAN,
+    "zipf_slope_report": ORACLE_ZIPF,
+    "burstiness_report": ORACLE_BURSTINESS,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -1,0 +1,107 @@
+"""X80 Zipf rank-frequency slope + X81 term burstiness
+(queries.zipf_slope_report / burstiness_report): exact python-mirror
+value identity on the sf0.001 fixture corpus, shape/ordering contracts,
+determinism, and no-Python plan pins. DuckDB value identity is the
+oracle gate's job (ORACLE_ZIPF / ORACLE_BURSTINESS)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from ocr_output_evaluation_spark.queries import (
+    burstiness_report,
+    zipf_slope_report,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(text) -> list[str]:
+    """Python mirror of functions.ngram.word_tokens: lowercase, keep
+    Unicode letters and spaces (str.isalpha == \\p{L}), collapse runs,
+    trim, whitespace-split; [] for empty."""
+    if text is None:
+        return []
+    kept = "".join(ch if (ch.isalpha() or ch == " ") else " " for ch in text.lower())
+    t = " ".join(kept.split())
+    return t.split(" ") if t else []
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+
+def test_zipf_python_mirror(spark):
+    docs = _docs()
+    per_lang: dict[str, Counter] = defaultdict(Counter)
+    for lang, text in zip(docs["lang"], docs["text"]):
+        per_lang[lang].update(_tokens(text))
+    expected = {}
+    for lang, counts in per_lang.items():
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+        n = len(top)
+        xs = [round(math.log(r) * 1e6) for r in range(1, n + 1)]
+        ys = [round(math.log(c) * 1e6) for _, c in top]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        slope = round(num / den, 6) if den else None
+        intercept = round((sy - (num / den) * sx) / (1e6 * n), 6) if den and n else None
+        expected[lang] = (n, slope, intercept)
+    rows = zipf_slope_report(spark, SF).collect()
+    assert [r.lang for r in rows] == sorted(expected)
+    for r in rows:
+        n, slope, intercept = expected[r.lang]
+        assert (r.n_terms, r.zipf_slope, r.zipf_intercept) == (n, slope, intercept)
+        # natural-ish text: frequency falls with rank
+        assert r.zipf_slope < 0
+        assert 0 < r.n_terms <= 200
+
+
+def test_burstiness_python_mirror(spark):
+    docs = _docs()
+    td: Counter = Counter()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        for w in _tokens(text):
+            td[(w, doc_id)] += 1
+    m: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])  # df, s1, s2
+    for (w, _), c in td.items():
+        agg = m[w]
+        agg[0] += 1
+        agg[1] += c
+        agg[2] += c * c
+    n = len(docs)
+    cand = [
+        (w, df, s1, (n * s2 - s1 * s1) / (n * s1))
+        for w, (df, s1, s2) in m.items()
+        if df >= 20
+    ]
+    cand.sort(key=lambda r: (-r[3], r[0]))
+    expected = [(w, df, s1, round(v, 6)) for w, df, s1, v in cand[:15]]
+    rows = burstiness_report(spark, SF).collect()
+    assert [(r.term, r.df, r.n_occurrences, r.vmr) for r in rows] == expected
+    # VMR ordering is already pinned by the mirror; sanity: bursty > 0
+    assert all(r.vmr > 0 for r in rows) and len(rows) == 15
+
+
+def test_corpus_stats_deterministic(spark):
+    a = [tuple(r) for r in zipf_slope_report(spark, SF).collect()]
+    b = [tuple(r) for r in zipf_slope_report(spark, SF).collect()]
+    assert a == b
+    c = [tuple(r) for r in burstiness_report(spark, SF).collect()]
+    d = [tuple(r) for r in burstiness_report(spark, SF).collect()]
+    assert c == d
+
+
+def test_corpus_stats_plans(spark):
+    from tests.test_plans import plan_of
+
+    for q in (zipf_slope_report, burstiness_report):
+        plan = plan_of(q(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the corpus explode is map-side combined before any exchange
+        assert "partial_count" in plan or "HashAggregate" in plan
