@@ -245,7 +245,10 @@ def main() -> None:
         diversity_report,
         novelty_report,
         boot_ci_report,
+        burstiness_report,
         curation_funnel_report,
+        neyman_sample_report,
+        zipf_slope_report,
         pmi_collocations_report,
         wordpiece_encode_report,
         dsir_selection_report,
@@ -401,6 +404,19 @@ def main() -> None:
         # broadcast-membership scoring; all map-side-combined, ~linear
         "curation_funnel_report": (
             curation_funnel_report, (1, mult_hi), "documents"),
+        # r5c: X79 — moments are ONE map-side-combined agg; apportionment
+        # runs on the stratum frame; the draw is a per-stratum md5 rank
+        # window (documented swap-in: X31's bucket-prefix two-phase at
+        # extreme scale), so expect ~linear-to-n-log-n
+        "neyman_sample_report": (
+            neyman_sample_report, (1, mult_hi), "documents"),
+        # r5c: X80 — one explode collapses map-side to the vocab-scale
+        # count frame (fixed 500-word spot vocab keeps rank/regression
+        # frames scale-invariant); expect ~linear tracking the explode
+        "zipf_slope_report": (zipf_slope_report, (1, mult_hi), "documents"),
+        # r5c: X81 — (term, doc) counts combine map-side, then collapse
+        # to vocab-scale term moments + a TakeOrdered top-15; ~linear
+        "burstiness_report": (burstiness_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
