@@ -8627,6 +8627,180 @@ LIMIT 15
 """
 
 
+def good_turing_report(spark, sf):
+    """Good-Turing unseen-mass estimate (X82 — Good 1953; Gale & Sampson
+    1995 "Simple Good-Turing": the probability mass of word types NOT yet
+    seen is N1/N, and the discounted count for frequency r is
+    r* = (r+1)·N_{r+1}/N_r — the standard "is this corpus saturated"
+    probe, the pointwise companion to the X74 novelty curve). Per lang:
+    total tokens, vocabulary, the frequency-of-frequencies head N1-N3,
+    the unseen mass P0 = N1/N, the singleton discount r*_1 = 2·N2/N1,
+    and the hapax share N1/V. Everything up to the final 6dp ratios is
+    exact BIGINT (one explode → map-side-combined counts → vocab-scale
+    freq-of-freq agg); every division is guarded and exact-operand.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    counts = (
+        d.select("lang", F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ff = counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("n2"),
+        F.sum((F.col("c") == 3).cast("long")).cast("long").alias("n3"),
+    )
+    return ff.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        "n3",
+        _r(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n1").cast("double") / F.col("n_tokens").cast("double"),
+            )
+        ).alias("p_unseen"),
+        _r(
+            F.when(
+                F.col("n1") > 0,
+                F.lit(2.0) * F.col("n2").cast("double") / F.col("n1").cast("double"),
+            )
+        ).alias("r_star_1"),
+        _r(
+            F.when(
+                F.col("vocab") > 0,
+                F.col("n1").cast("double") / F.col("vocab").cast("double"),
+            )
+        ).alias("hapax_share"),
+    ).orderBy("lang")
+
+
+# Full replay: same tokenization, exact freq-of-freq integers, the same
+# guarded exact-operand divisions.
+ORACLE_GOOD_TURING = r"""
+WITH norm AS (
+  SELECT lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT lang, u.w
+  FROM norm, UNNEST(string_split(t, ' ')) AS u(w)
+  WHERE length(t) > 0
+),
+counts AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+ff AS (
+  SELECT lang,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM counts GROUP BY 1
+)
+SELECT lang, n_tokens, vocab, n1, n2, n3,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS p_unseen,
+       CASE WHEN n1 > 0
+            THEN round(2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END AS r_star_1,
+       CASE WHEN vocab > 0
+            THEN round(CAST(n1 AS DOUBLE) / CAST(vocab AS DOUBLE), 6) END AS hapax_share
+FROM ff
+ORDER BY lang
+"""
+
+
+def lexical_concentration_report(spark, sf):
+    """Lexical concentration (X83 — Yule 1944 "characteristic K";
+    Simpson 1949): repeated-token concentration of the unigram
+    distribution, the scale-invariant boilerplate/templated-text signal
+    (K is ~insensitive to corpus length, unlike raw TTR). Per lang:
+    K = 1e4·(Σ_w c_w² − N)/N², Simpson's D = Σ_w c_w(c_w−1)/(N(N−1))
+    (the probability two random token draws are the same type), and the
+    type-token ratio V/N. All numerators/denominators are exact BIGINTs
+    off ONE map-side-combined explode agg; final 6dp divisions guarded
+    and exact-operand. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    counts = (
+        d.select("lang", F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    n = F.col("n_tokens")
+    return m.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        _r(
+            F.when(
+                n > 0,
+                F.lit(1e4)
+                * (F.col("s2") - n).cast("double")
+                / (n * n).cast("double"),
+            )
+        ).alias("yule_k"),
+        _r(
+            F.when(
+                n > 1,
+                (F.col("s2") - n).cast("double") / (n * (n - 1)).cast("double"),
+            )
+        ).alias("simpson_d"),
+        _r(
+            F.when(n > 0, F.col("vocab").cast("double") / n.cast("double"))
+        ).alias("ttr"),
+    ).orderBy("lang")
+
+
+# Full replay: Σc(c-1) == s2 - n exactly; same guards, 6dp.
+ORACLE_LEXICAL_CONCENTRATION = r"""
+WITH norm AS (
+  SELECT lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT lang, u.w
+  FROM norm, UNNEST(string_split(t, ' ')) AS u(w)
+  WHERE length(t) > 0
+),
+counts AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+m AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM counts GROUP BY 1
+)
+SELECT lang, n_tokens, vocab,
+       CASE WHEN n_tokens > 0
+            THEN round(1e4 * CAST(s2 - n_tokens AS DOUBLE)
+                       / CAST(n_tokens * n_tokens AS DOUBLE), 6) END AS yule_k,
+       CASE WHEN n_tokens > 1
+            THEN round(CAST(s2 - n_tokens AS DOUBLE)
+                       / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6) END AS simpson_d,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS ttr
+FROM m
+ORDER BY lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -8645,10 +8819,14 @@ LIMIT 15
 # r4-recorded tail block (embedding_pair_topk .. triangle_count_report)
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
-# positional demotions dup_clusters / parts_above_type_avg /
-# extraction_report) take priority over the 11-entry overflow block,
-# whose members are 3 rounds unrecorded by then and MUST be included
-# before any twice-recorded entry.
+# positional demotions — each X72-X83 insertion pushed one more window
+# stalwart into the overflow: dup_clusters, parts_above_type_avg,
+# extraction_report, order_value_quartiles, cube_status_priority,
+# supplier_name_concat, minhash_pairs_md5, events_json_props,
+# running_spend, quality_scores, streaming_extraction_report,
+# customers_without_orders) take priority over the 11-entry overflow
+# block, whose members are 3 rounds unrecorded by then and MUST be
+# included before any twice-recorded entry.
 QUERIES = {
     # -- r5 rotation, slots 0-10: the eleven born-in-tail r4 late additions
     #    (qdigest … calibration) — their first-ever driver rows; born-round
@@ -8685,6 +8863,8 @@ QUERIES = {
     "neyman_sample_report": neyman_sample_report,
     "zipf_slope_report": zipf_slope_report,
     "burstiness_report": burstiness_report,
+    "good_turing_report": good_turing_report,
+    "lexical_concentration_report": lexical_concentration_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -8847,6 +9027,8 @@ ORACLES = {
     "neyman_sample_report": ORACLE_NEYMAN,
     "zipf_slope_report": ORACLE_ZIPF,
     "burstiness_report": ORACLE_BURSTINESS,
+    "good_turing_report": ORACLE_GOOD_TURING,
+    "lexical_concentration_report": ORACLE_LEXICAL_CONCENTRATION,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

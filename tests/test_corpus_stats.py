@@ -1,8 +1,10 @@
-"""X80 Zipf rank-frequency slope + X81 term burstiness
-(queries.zipf_slope_report / burstiness_report): exact python-mirror
+"""X80 Zipf slope + X81 term burstiness + X82 Good-Turing + X83 lexical
+concentration (queries.zipf_slope_report / burstiness_report /
+good_turing_report / lexical_concentration_report): exact python-mirror
 value identity on the sf0.001 fixture corpus, shape/ordering contracts,
 determinism, and no-Python plan pins. DuckDB value identity is the
-oracle gate's job (ORACLE_ZIPF / ORACLE_BURSTINESS)."""
+oracle gate's job (ORACLE_ZIPF / ORACLE_BURSTINESS / ORACLE_GOOD_TURING
+/ ORACLE_LEXICAL_CONCENTRATION)."""
 
 from __future__ import annotations
 
@@ -13,6 +15,8 @@ import pandas as pd
 
 from ocr_output_evaluation_spark.queries import (
     burstiness_report,
+    good_turing_report,
+    lexical_concentration_report,
     zipf_slope_report,
 )
 
@@ -88,6 +92,60 @@ def test_burstiness_python_mirror(spark):
     assert all(r.vmr > 0 for r in rows) and len(rows) == 15
 
 
+def _lang_counts() -> dict[str, Counter]:
+    docs = _docs()
+    per_lang: dict[str, Counter] = defaultdict(Counter)
+    for lang, text in zip(docs["lang"], docs["text"]):
+        per_lang[lang].update(_tokens(text))
+    return per_lang
+
+
+def test_good_turing_python_mirror(spark):
+    expected = {}
+    for lang, counts in _lang_counts().items():
+        n = sum(counts.values())
+        v = len(counts)
+        n1 = sum(1 for c in counts.values() if c == 1)
+        n2 = sum(1 for c in counts.values() if c == 2)
+        n3 = sum(1 for c in counts.values() if c == 3)
+        expected[lang] = (
+            n, v, n1, n2, n3,
+            round(n1 / n, 6) if n else None,
+            round(2.0 * n2 / n1, 6) if n1 else None,
+            round(n1 / v, 6) if v else None,
+        )
+    rows = good_turing_report(spark, SF).collect()
+    assert [r.lang for r in rows] == sorted(expected)
+    for r in rows:
+        got = (r.n_tokens, r.vocab, r.n1, r.n2, r.n3,
+               r.p_unseen, r.r_star_1, r.hapax_share)
+        assert got == expected[r.lang]
+        # frequency-of-frequencies sanity: head classes are subsets of vocab
+        assert r.n1 + r.n2 + r.n3 <= r.vocab
+        assert 0.0 <= r.p_unseen <= 1.0 and 0.0 <= r.hapax_share <= 1.0
+
+
+def test_lexical_concentration_python_mirror(spark):
+    expected = {}
+    for lang, counts in _lang_counts().items():
+        n = sum(counts.values())
+        v = len(counts)
+        s2 = sum(c * c for c in counts.values())
+        expected[lang] = (
+            n, v,
+            round(1e4 * (s2 - n) / (n * n), 6) if n else None,
+            round((s2 - n) / (n * (n - 1)), 6) if n > 1 else None,
+            round(v / n, 6) if n else None,
+        )
+    rows = lexical_concentration_report(spark, SF).collect()
+    assert [r.lang for r in rows] == sorted(expected)
+    for r in rows:
+        assert (r.n_tokens, r.vocab, r.yule_k, r.simpson_d, r.ttr) == expected[r.lang]
+        # repeated-draw probability and TTR live in (0, 1]; K positive on
+        # any corpus with at least one repeated token
+        assert 0.0 <= r.simpson_d < 1.0 and 0.0 < r.ttr <= 1.0 and r.yule_k >= 0.0
+
+
 def test_corpus_stats_deterministic(spark):
     a = [tuple(r) for r in zipf_slope_report(spark, SF).collect()]
     b = [tuple(r) for r in zipf_slope_report(spark, SF).collect()]
@@ -100,7 +158,12 @@ def test_corpus_stats_deterministic(spark):
 def test_corpus_stats_plans(spark):
     from tests.test_plans import plan_of
 
-    for q in (zipf_slope_report, burstiness_report):
+    for q in (
+        zipf_slope_report,
+        burstiness_report,
+        good_turing_report,
+        lexical_concentration_report,
+    ):
         plan = plan_of(q(spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         # the corpus explode is map-side combined before any exchange
