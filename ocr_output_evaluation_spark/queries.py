@@ -8801,6 +8801,205 @@ ORDER BY lang
 """
 
 
+def domain_concentration_report(spark, sf):
+    """Domain/source concentration audit (X84 — Gini 1912 via the exact
+    rank formula; Herfindahl-Hirschman index: the corpus-composition
+    numbers every mixing decision starts from — is the crawl dominated
+    by a handful of sources?). One row: source count, doc count, the
+    Gini coefficient G = (2·Σ i·x_i − (n+1)·Σx_i)/(n·Σx_i) over doc
+    counts x sorted ascending with a source-name tiebreak, HHI =
+    Σx_i²/(Σx_i)², and the single largest source + share. Doc counts
+    collapse map-side to the SOURCE-scale frame (~|sources| rows
+    whatever corpus size); the rank window and both divisions run on
+    that tiny frame — exact BIGINTs until the final guarded 6dp
+    divisions. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents")
+    x = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    rk = F.row_number().over(W.orderBy(F.col("x").asc(), F.col("source").asc()))
+    ranked = x.select("source", "x", rk.alias("i"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("x").cast("long").alias("n_docs"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.max(F.struct(F.col("x").alias("x"), F.col("source").alias("s"))).alias(
+            "_top"
+        ),
+    )
+    n, tot = F.col("n_sources"), F.col("n_docs")
+    return m.select(
+        "n_sources",
+        "n_docs",
+        _r(
+            F.when(
+                (n > 0) & (tot > 0),
+                (F.lit(2) * F.col("six") - (n + 1) * tot).cast("double")
+                / (n * tot).cast("double"),
+            )
+        ).alias("gini"),
+        _r(
+            F.when(
+                tot > 0, F.col("sxx").cast("double") / (tot * tot).cast("double")
+            )
+        ).alias("hhi"),
+        F.col("_top.s").alias("top_source"),
+        _r(
+            F.when(tot > 0, F.col("_top.x").cast("double") / tot.cast("double"))
+        ).alias("top_share"),
+    )
+
+
+# Full replay: identical ascending (x, source) rank, exact integer sums,
+# the same guarded divisions. max(struct) == max_by with (x, source) order.
+ORACLE_DOMAIN_CONCENTRATION = r"""
+WITH x AS (SELECT source, CAST(count(*) AS BIGINT) AS x FROM documents GROUP BY 1),
+ranked AS (
+  SELECT source, x,
+         CAST(row_number() OVER (ORDER BY x ASC, source ASC) AS BIGINT) AS i
+  FROM x
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(x) AS BIGINT) AS n_docs,
+         CAST(sum(i * x) AS BIGINT) AS six,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM ranked
+),
+top AS (
+  SELECT x AS top_x, source AS top_source
+  FROM ranked ORDER BY x DESC, source DESC LIMIT 1
+)
+SELECT n_sources, n_docs,
+       CASE WHEN n_sources > 0 AND n_docs > 0
+            THEN round(CAST(2 * six - (n_sources + 1) * n_docs AS DOUBLE)
+                       / CAST(n_sources * n_docs AS DOUBLE), 6) END AS gini,
+       CASE WHEN n_docs > 0
+            THEN round(CAST(sxx AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE), 6)
+       END AS hhi,
+       top_source,
+       CASE WHEN n_docs > 0
+            THEN round(CAST(top_x AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       END AS top_share
+FROM m CROSS JOIN top
+"""
+
+
+def domain_divergence_report(spark, sf):
+    """Per-source Jensen-Shannon divergence vs the corpus unigram
+    distribution (X85 — Lin 1991; the outlier-domain probe behind data
+    mixing and drift audits: a source whose word distribution sits far
+    from the corpus is boilerplate, spam, or another register). JS(P‖Q)
+    over the union support folds to per-PRESENT-word contributions plus
+    a closed-form absent-mass term: for words the source contains,
+    0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q)) − 0.5·ln2·q, and the
+    absent words contribute 0.5·ln2·(1 − Σ_present q) — folded as the
+    +0.5·ln2 constant. Determinism: each per-word contribution is
+    nano-quantized (round·1e9 → BIGINT, the X72 DoReMi discipline) so
+    the per-source sum is order-independent and DuckDB-replayable; ln 2
+    is a shared 16dp literal. Scale shape: the (source, word) and
+    corpus word frames both derive from ONE persisted count frame (fans
+    3 ways); corpus counts join on word (vocab-scale, never broadcast),
+    source totals and the 1-row grand total broadcast. Sources whose
+    every document is empty after normalization carry no distribution
+    and are dropped. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    LN2 = 0.6931471805599453
+    d = _spread(t(spark, sf, "documents"))
+    sc = (
+        d.select("source", F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cs"))
+        .persist()
+    )
+    gc = sc.groupBy("w").agg(F.sum("cs").cast("long").alias("cg"))
+    ns = sc.groupBy("source").agg(
+        F.sum("cs").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    ng = sc.agg(F.sum("cs").cast("long").alias("n_corpus"))
+    j = (
+        sc.join(gc, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+    )
+    p = F.col("cs").cast("double") / F.col("n_tokens").cast("double")
+    q = F.col("cg").cast("double") / F.col("n_corpus").cast("double")
+    contrib = (
+        F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q))
+        + F.lit(0.5) * q * F.log(F.lit(2.0) * q / (p + q))
+        - F.lit(0.5) * F.lit(LN2) * q
+    )
+    agg = (
+        j.select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(contrib * F.lit(1e9)).cast("long").alias("_cn"),
+        )
+        .groupBy("source", "n_tokens", "n_types")
+        .agg(F.sum("_cn").cast("long").alias("_sn"))
+    )
+    js = F.col("_sn").cast("double") / F.lit(1e9) + F.lit(0.5) * F.lit(LN2)
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        _r(js).alias("js_nats"),
+        _r(js / F.lit(LN2)).alias("js_norm"),
+    ).orderBy("source")
+
+
+# Full replay: same tokenization, the same nano-quantized per-word
+# contribution expression (shared ln2 literal), order-independent BIGINT
+# sums, identical final arithmetic.
+ORACLE_DOMAIN_DIVERGENCE = r"""
+WITH norm AS (
+  SELECT source,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT source, u.w
+  FROM norm, UNNEST(string_split(t, ' ')) AS u(w)
+  WHERE length(t) > 0
+),
+sc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY 1, 2),
+gc AS (SELECT w, CAST(sum(cs) AS BIGINT) AS cg FROM sc GROUP BY 1),
+ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_types
+       FROM sc GROUP BY 1),
+ng AS (SELECT CAST(sum(cs) AS BIGINT) AS n_corpus FROM sc),
+contrib AS (
+  SELECT sc.source, ns.n_tokens, ns.n_types,
+         CAST(round((
+           0.5 * (CAST(cs AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               * ln(2.0 * (CAST(cs AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                    / ((CAST(cs AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                       + (CAST(cg AS DOUBLE) / CAST(n_corpus AS DOUBLE))))
+           + 0.5 * (CAST(cg AS DOUBLE) / CAST(n_corpus AS DOUBLE))
+               * ln(2.0 * (CAST(cg AS DOUBLE) / CAST(n_corpus AS DOUBLE))
+                    / ((CAST(cs AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                       + (CAST(cg AS DOUBLE) / CAST(n_corpus AS DOUBLE))))
+           - 0.5 * 0.6931471805599453 * (CAST(cg AS DOUBLE) / CAST(n_corpus AS DOUBLE))
+         ) * 1e9) AS BIGINT) AS cn
+  FROM sc JOIN gc USING (w) JOIN ns USING (source) CROSS JOIN ng
+),
+agg AS (
+  SELECT source, n_tokens, n_types, CAST(sum(cn) AS BIGINT) AS sn
+  FROM contrib GROUP BY 1, 2, 3
+)
+SELECT source, n_tokens, n_types,
+       round(CAST(sn AS DOUBLE) / 1e9 + 0.5 * 0.6931471805599453, 6) AS js_nats,
+       round((CAST(sn AS DOUBLE) / 1e9 + 0.5 * 0.6931471805599453)
+             / 0.6931471805599453, 6) AS js_norm
+FROM agg
+ORDER BY source
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -8819,14 +9018,14 @@ ORDER BY lang
 # r4-recorded tail block (embedding_pair_topk .. triangle_count_report)
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
-# positional demotions — each X72-X83 insertion pushed one more window
-# stalwart into the overflow: dup_clusters, parts_above_type_avg,
-# extraction_report, order_value_quartiles, cube_status_priority,
-# supplier_name_concat, minhash_pairs_md5, events_json_props,
-# running_spend, quality_scores, streaming_extraction_report,
-# customers_without_orders) take priority over the 11-entry overflow
-# block, whose members are 3 rounds unrecorded by then and MUST be
-# included before any twice-recorded entry.
+# positional demotions — each X72-X85 insertion pushed one more window
+# stalwart into the overflow: quality_buckets, value_counts_lang,
+# order_value_quartiles, cube_status_priority, supplier_name_concat,
+# minhash_pairs_md5, events_json_props, running_spend, quality_scores,
+# streaming_extraction_report, customers_without_orders, dup_clusters,
+# parts_above_type_avg, extraction_report) take priority over the
+# 11-entry overflow block, whose members are 3 rounds unrecorded by
+# then and MUST be included before any twice-recorded entry.
 QUERIES = {
     # -- r5 rotation, slots 0-10: the eleven born-in-tail r4 late additions
     #    (qdigest … calibration) — their first-ever driver rows; born-round
@@ -8865,6 +9064,8 @@ QUERIES = {
     "burstiness_report": burstiness_report,
     "good_turing_report": good_turing_report,
     "lexical_concentration_report": lexical_concentration_report,
+    "domain_concentration_report": domain_concentration_report,
+    "domain_divergence_report": domain_divergence_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -9029,6 +9230,8 @@ ORACLES = {
     "burstiness_report": ORACLE_BURSTINESS,
     "good_turing_report": ORACLE_GOOD_TURING,
     "lexical_concentration_report": ORACLE_LEXICAL_CONCENTRATION,
+    "domain_concentration_report": ORACLE_DOMAIN_CONCENTRATION,
+    "domain_divergence_report": ORACLE_DOMAIN_DIVERGENCE,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
