@@ -9000,6 +9000,191 @@ ORDER BY source
 """
 
 
+def readability_report(spark, sf):
+    """Flesch reading ease + Flesch-Kincaid grade (X86 — Flesch 1948;
+    Kincaid et al. 1975: the readability filters used for edu-style
+    corpus curation). Heuristics spelled engine-replayably: words = the
+    X11 word_tokens count W; syllables = runs of [aeiouy]+ in the
+    normalized text floored at W (every word ≥ 1 syllable); sentences =
+    runs of [.!?]+ in the RAW text floored at 1. Per doc (W > 0 only —
+    readability of a wordless page is undefined):
+    flesch = 206.835 − 1.015·(W/S) − 84.6·(SYL/W), fk = 0.39·(W/S) +
+    11.8·(SYL/W) − 15.59, both micro-quantized BIGINT so the per-lang
+    means are exact order-independent integer sums; the three counts
+    are pure codegen regexp — zero shuffle before the lang agg.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import normalize_for_scoring, word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    w = F.size(word_tokens(F.col("text"))).cast("long")
+    syl = F.greatest(
+        w, F.regexp_count(normalize_for_scoring(F.col("text")), F.lit("[aeiouy]+")).cast("long")
+    )
+    s = F.greatest(F.lit(1).cast("long"), F.regexp_count(raw, F.lit(r"[.!?]+")).cast("long"))
+    wps = w.cast("double") / s.cast("double")
+    spw = syl.cast("double") / w.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    per = d.select(
+        "lang",
+        w.alias("_w"),
+        F.round(flesch * F.lit(1e6)).cast("long").alias("_fm"),
+        F.round(fk * F.lit(1e6)).cast("long").alias("_km"),
+        F.round(wps * F.lit(1e6)).cast("long").alias("_wm"),
+        F.round(spw * F.lit(1e6)).cast("long").alias("_sm"),
+    ).filter(F.col("_w") > 0)
+    a = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_fm").cast("long").alias("sf_"),
+        F.sum("_km").cast("long").alias("sk_"),
+        F.sum("_wm").cast("long").alias("sw_"),
+        F.sum("_sm").cast("long").alias("ss_"),
+    )
+    n = F.col("n_docs")
+    return a.select(
+        "lang",
+        "n_docs",
+        _r(F.col("sf_").cast("double") / (F.lit(1e6) * n.cast("double"))).alias(
+            "mean_flesch"
+        ),
+        _r(F.col("sk_").cast("double") / (F.lit(1e6) * n.cast("double"))).alias(
+            "mean_fk_grade"
+        ),
+        _r(F.col("sw_").cast("double") / (F.lit(1e6) * n.cast("double"))).alias(
+            "mean_words_per_sentence"
+        ),
+        _r(F.col("ss_").cast("double") / (F.lit(1e6) * n.cast("double"))).alias(
+            "mean_syllables_per_word"
+        ),
+    ).orderBy("lang")
+
+
+# Full replay: same normalization, the same three integer counts (runs
+# floored identically), identical per-doc micro quantization and exact
+# integer means. n_docs > 0 on every group by construction (W > 0 filter).
+ORACLE_READABILITY = r"""
+WITH base AS (
+  SELECT lang,
+         coalesce(text, '') AS raw,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+cnt AS (
+  SELECT lang,
+         CASE WHEN length(t) > 0
+              THEN CAST(len(string_split(t, ' ')) AS BIGINT) ELSE 0 END AS w,
+         CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT) AS syl_raw,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(raw, '[.!?]+')) AS BIGINT)) AS s
+  FROM base
+),
+per AS (
+  SELECT lang, w,
+         CAST(round((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                     - 84.6 * (CAST(greatest(w, syl_raw) AS DOUBLE) / CAST(w AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS fm,
+         CAST(round((0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                     + 11.8 * (CAST(greatest(w, syl_raw) AS DOUBLE) / CAST(w AS DOUBLE))
+                     - 15.59) * 1e6) AS BIGINT) AS km,
+         CAST(round((CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) * 1e6) AS BIGINT) AS wm,
+         CAST(round((CAST(greatest(w, syl_raw) AS DOUBLE) / CAST(w AS DOUBLE)) * 1e6) AS BIGINT) AS sm
+  FROM cnt WHERE w > 0
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(fm) AS DOUBLE) / (1e6 * count(*)), 6) AS mean_flesch,
+       round(CAST(sum(km) AS DOUBLE) / (1e6 * count(*)), 6) AS mean_fk_grade,
+       round(CAST(sum(wm) AS DOUBLE) / (1e6 * count(*)), 6) AS mean_words_per_sentence,
+       round(CAST(sum(sm) AS DOUBLE) / (1e6 * count(*)), 6) AS mean_syllables_per_word
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def pareto_frontier_report(spark, sf):
+    """Pareto frontier / skyline (X87 — Börzsönyi et al. 2001 "The
+    Skyline Operator"; the pareto-optimal selection idiom for data
+    curation: which documents are best-in-corpus on the
+    length-vs-quality tradeoff, with nothing strictly better on both?).
+    Per lang over x = n_chars, y = micro-quantized en-stopword ratio: a
+    doc survives iff no other doc of its lang has x'≥x AND y'≥y with one
+    strict. Two-phase distributed skyline (skyline is
+    partition-distributive: skyline(S) = skyline(∪ skyline(S_i))): a
+    LOCAL pass windowed by (lang, 64-bucket xxhash64(doc_id)) prunes to
+    per-bucket frontiers, then the GLOBAL pass re-runs the same two
+    windows over the tiny survivor frame — the corpus is never globally
+    sorted. The bucketing hash affects ONLY partitioning, never values
+    (the result set is bucketing-invariant by distributivity), so the
+    xxhash64 here stays fully oracle-checkable. Dominance via two window
+    maxima per pass: m1 = max(y) over strictly-larger x (RANGE frame to
+    -1 on the integer x), m2 = max(y) over same-x; survive iff y > m1
+    (or none larger) and y = m2; duplicate (x, y) points are mutually
+    non-dominating and both kept — exactly the NOT EXISTS semantics the
+    oracle replays independently. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    from .functions.text import stopword_ratio
+
+    d = t(spark, sf, "documents")
+    pts = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.round(stopword_ratio(F.col("text"), "en") * F.lit(1e6))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def survivors(df, part_cols):
+        w1 = (
+            W.partitionBy(*part_cols)
+            .orderBy(F.col("x").desc())
+            .rangeBetween(W.unboundedPreceding, -1)
+        )
+        w2 = W.partitionBy(*part_cols, "x")
+        return (
+            df.withColumn("_m1", F.max("y").over(w1))
+            .withColumn("_m2", F.max("y").over(w2))
+            .filter(
+                (F.col("_m1").isNull() | (F.col("_m1") < F.col("y")))
+                & (F.col("_m2") <= F.col("y"))
+            )
+            .drop("_m1", "_m2")
+        )
+
+    local = survivors(
+        pts.withColumn("_b", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64))),
+        ["lang", "_b"],
+    ).drop("_b")
+    front = survivors(local, ["lang"])
+    return front.select(
+        "lang", "doc_id", F.col("x").alias("n_chars"), F.col("y").alias("stop_micro")
+    ).orderBy("lang", F.col("n_chars").desc(), "doc_id")
+
+
+# Independent second implementation: plain NOT EXISTS dominance — no
+# windows, no bucketing — over the identical (x, y) point set.
+ORACLE_PARETO_FRONTIER = rf"""
+WITH pts AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x,
+         CAST(round((CASE WHEN length(trim(text)) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(lower(text), '\b({_SW_EN})\b')) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\s+')) END) * 1e6)
+              AS BIGINT) AS y
+  FROM documents
+)
+SELECT lang, doc_id, x AS n_chars, y AS stop_micro
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts o
+  WHERE o.lang = p.lang AND o.x >= p.x AND o.y >= p.y
+    AND (o.x > p.x OR o.y > p.y)
+)
+ORDER BY lang, x DESC, doc_id
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -9019,7 +9204,8 @@ ORDER BY source
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: quality_buckets, value_counts_lang,
+# stalwart into the overflow: user_sessions, packing_report,
+# quality_buckets, value_counts_lang,
 # order_value_quartiles, cube_status_priority, supplier_name_concat,
 # minhash_pairs_md5, events_json_props, running_spend, quality_scores,
 # streaming_extraction_report, customers_without_orders, dup_clusters,
@@ -9066,6 +9252,8 @@ QUERIES = {
     "lexical_concentration_report": lexical_concentration_report,
     "domain_concentration_report": domain_concentration_report,
     "domain_divergence_report": domain_divergence_report,
+    "readability_report": readability_report,
+    "pareto_frontier_report": pareto_frontier_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -9232,6 +9420,8 @@ ORACLES = {
     "lexical_concentration_report": ORACLE_LEXICAL_CONCENTRATION,
     "domain_concentration_report": ORACLE_DOMAIN_CONCENTRATION,
     "domain_divergence_report": ORACLE_DOMAIN_DIVERGENCE,
+    "readability_report": ORACLE_READABILITY,
+    "pareto_frontier_report": ORACLE_PARETO_FRONTIER,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
