@@ -247,7 +247,13 @@ def main() -> None:
         boot_ci_report,
         burstiness_report,
         curation_funnel_report,
+        domain_concentration_report,
+        domain_divergence_report,
+        good_turing_report,
+        lexical_concentration_report,
         neyman_sample_report,
+        pareto_frontier_report,
+        readability_report,
         zipf_slope_report,
         pmi_collocations_report,
         wordpiece_encode_report,
@@ -417,6 +423,30 @@ def main() -> None:
         # r5c: X81 — (term, doc) counts combine map-side, then collapse
         # to vocab-scale term moments + a TakeOrdered top-15; ~linear
         "burstiness_report": (burstiness_report, (1, mult_hi), "documents"),
+        # r5c: X82/X83 — one explode each to the vocab-scale count frame
+        # (fixed spot vocab → freq-of-freq / moment frames scale-
+        # invariant); growth tracks the scan, ~linear
+        "good_turing_report": (good_turing_report, (1, mult_hi), "documents"),
+        "lexical_concentration_report": (
+            lexical_concentration_report, (1, mult_hi), "documents"),
+        # r5c: X84 — doc counts collapse map-side to the ~20-row source
+        # frame; rank window + divisions on that frame; expect flat
+        "domain_concentration_report": (
+            domain_concentration_report, (1, mult_hi), "documents"),
+        # r5c: X85 — the persisted (source, word) count frame is
+        # |sources|x|vocab|-bounded (fixed spot vocab → ~scale-invariant
+        # after the map-side combine); contribution join runs on it;
+        # wall time tracks the explode scan, ~linear
+        "domain_divergence_report": (
+            domain_divergence_report, (1, mult_hi), "documents"),
+        # r5c: X86 — three codegen regexp counts per row, zero shuffle
+        # before the lang agg; pure scan-bound, ~linear
+        "readability_report": (readability_report, (1, mult_hi), "documents"),
+        # r5c: X87 — local skylines in (lang, 64-bucket) windows prune to
+        # ~antichain-sized survivors; the global pass is frame-tiny. The
+        # per-bucket sort is the only n log n leg; expect ~linear
+        "pareto_frontier_report": (
+            pareto_frontier_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
