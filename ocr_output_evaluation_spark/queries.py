@@ -9185,6 +9185,136 @@ ORDER BY lang, x DESC, doc_id
 """
 
 
+PHRASE_QUERIES = ["batch batch batch", "part filter", "table hash"]
+
+
+def phrase_search_report(spark, sf):
+    """Exact phrase search over a positional inverted index (X88 — the
+    positional-postings phrase query of classical IR, Manning et al.
+    2008 ch. 2.4; the missing piece next to X46 BM25's bag-of-words
+    ranking). Postings = ONE posexplode of the normalized token stream,
+    FILTERED TO THE QUERY TERMS before any shuffle (the corpus never
+    shuffles — only postings of the ≤6 query words do, exactly the
+    selective-index access pattern); a k-word phrase is k−1 equi-joins
+    on (doc_id, pos − offset); overlapping matches count (pure
+    token-position semantics — "b b b b" contains "b b b" twice). Per
+    phrase: matching docs, total occurrences, and the top document
+    ((occ desc, doc_id) total order); zero-hit phrases keep their row
+    (left join from the phrase list) so the report shape is stable.
+    The filtered postings frame persists (fans into one branch per
+    term occurrence across phrases). Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    toks = d.select(
+        "doc_id", F.posexplode(word_tokens(F.col("text"))).alias("pos", "w")
+    )
+    terms = sorted({w for p in PHRASE_QUERIES for w in p.split()})
+    post = toks.filter(F.col("w").isin(terms)).persist()
+    per_phrase = []
+    for ph in PHRASE_QUERIES:
+        ws = ph.split()
+        cur = post.filter(F.col("w") == ws[0]).select("doc_id", "pos")
+        for i, wd in enumerate(ws[1:], 1):
+            nxt = post.filter(F.col("w") == wd).select(
+                F.col("doc_id").alias("_d"), (F.col("pos") - F.lit(i)).alias("_p")
+            )
+            nxt = nxt.toDF(*nxt.columns)  # fresh exprIds: post self-join
+            cur = cur.join(
+                nxt, (cur["doc_id"] == nxt["_d"]) & (cur["pos"] == nxt["_p"])
+            ).select("doc_id", "pos")
+        per_phrase.append(
+            cur.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+            .select(F.lit(ph).alias("phrase"), "doc_id", "occ")
+        )
+    hits = per_phrase[0]
+    for f in per_phrase[1:]:
+        hits = hits.unionByName(f)
+    hits = hits.persist()  # fans into the rollup and the top-doc window
+    agg = hits.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("occ").cast("long").alias("n_occurrences"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("phrase").orderBy(F.col("occ").desc(), F.col("doc_id").asc())
+    )
+    best = (
+        hits.select("phrase", "doc_id", "occ", rn.alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "phrase",
+            F.col("doc_id").alias("top_doc"),
+            F.col("occ").alias("top_doc_occ"),
+        )
+    )
+    ph_frame = spark.createDataFrame([(p,) for p in PHRASE_QUERIES], "phrase string")
+    return (
+        ph_frame.join(agg, "phrase", "left")
+        .join(best, "phrase", "left")
+        .select(
+            "phrase",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_occurrences"), F.lit(0))
+            .cast("long")
+            .alias("n_occurrences"),
+            "top_doc",
+            "top_doc_occ",
+        )
+        .orderBy("phrase")
+    )
+
+
+# Independent second implementation: in-row token-window scan (list
+# slice equality over generate_series) — no postings, no joins — over
+# the identical normalized token stream; overlap semantics identical.
+ORACLE_PHRASE_SEARCH = r"""
+WITH norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+dt AS (
+  SELECT doc_id,
+         CASE WHEN length(t) > 0 THEN string_split(t, ' ')
+              ELSE CAST([] AS VARCHAR[]) END AS toks
+  FROM norm
+),
+phrases(phrase) AS (VALUES ('batch batch batch'), ('part filter'), ('table hash')),
+counted AS (
+  SELECT p.phrase, d.doc_id,
+         CAST(len(list_filter(
+           generate_series(1, len(d.toks) - len(string_split(p.phrase, ' ')) + 1),
+           i -> d.toks[i : i + len(string_split(p.phrase, ' ')) - 1]
+                = string_split(p.phrase, ' ')
+         )) AS BIGINT) AS occ
+  FROM dt d CROSS JOIN phrases p
+  WHERE len(d.toks) >= len(string_split(p.phrase, ' '))
+),
+nz AS (SELECT * FROM counted WHERE occ > 0),
+agg AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(occ) AS BIGINT) AS n_occurrences
+  FROM nz GROUP BY 1
+),
+best AS (
+  SELECT phrase, doc_id AS top_doc, occ AS top_doc_occ,
+         row_number() OVER (PARTITION BY phrase ORDER BY occ DESC, doc_id ASC) AS rn
+  FROM nz
+)
+SELECT p.phrase,
+       coalesce(a.n_docs, 0) AS n_docs,
+       coalesce(a.n_occurrences, 0) AS n_occurrences,
+       b.top_doc, b.top_doc_occ
+FROM phrases p
+LEFT JOIN agg a USING (phrase)
+LEFT JOIN best b ON b.phrase = p.phrase AND b.rn = 1
+ORDER BY p.phrase
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -9204,7 +9334,8 @@ ORDER BY lang, x DESC, doc_id
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: user_sessions, packing_report,
+# stalwart into the overflow: token_budget_report, user_sessions,
+# packing_report,
 # quality_buckets, value_counts_lang,
 # order_value_quartiles, cube_status_priority, supplier_name_concat,
 # minhash_pairs_md5, events_json_props, running_spend, quality_scores,
@@ -9254,6 +9385,7 @@ QUERIES = {
     "domain_divergence_report": domain_divergence_report,
     "readability_report": readability_report,
     "pareto_frontier_report": pareto_frontier_report,
+    "phrase_search_report": phrase_search_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -9422,6 +9554,7 @@ ORACLES = {
     "domain_divergence_report": ORACLE_DOMAIN_DIVERGENCE,
     "readability_report": ORACLE_READABILITY,
     "pareto_frontier_report": ORACLE_PARETO_FRONTIER,
+    "phrase_search_report": ORACLE_PHRASE_SEARCH,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
