@@ -100,3 +100,74 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_k)
     )
+
+
+def llr_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """X89 — top-``top_k`` adjacent word pairs by Dunning's
+    log-likelihood ratio (Dunning 1993, "Accurate Methods for the
+    Statistics of Surprise and Coincidence"): G² over the 2x2 bigram
+    contingency table — the collocation statistic that stays calibrated
+    at low counts where raw PMI degenerates (the reason NLTK/published
+    phrase miners default to it). Margins are BIGRAM-based as the paper
+    requires: c1 = count of bigrams with first word w1, c2 = count with
+    second word w2, B = total bigrams — all derived from the FULL pair
+    frame (one persisted vocabulary-scale frame fans into both margins,
+    the total, and the floored candidate set; no extra corpus scan).
+
+    G² = 2·Σ_cells k·ln(k·B/(R·C)) with 0·ln0 = 0, every cell an exact
+    BIGINT and every term a per-row double expression (no cross-row
+    float sums), so the 6dp ranking replays engine-exactly. Output:
+    (w1, w2, c12, c1, c2, llr), total order (llr desc, w1, w2).
+
+    Scale: identical shape to pmi_collocations — instance-scale explodes
+    collapse map-side; everything that shuffles afterwards is
+    vocabulary-scale; min_count prunes candidates before the joins; the
+    margins join aggregated-by-aggregated on the word key.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    t = F.col(text_col)
+    pairs = (
+        df.select(F.explode(word_ngrams(t, 2)).alias("g"))
+        .select(
+            F.substring_index(F.col("g"), " ", 1).alias("w1"),
+            F.substring_index(F.col("g"), " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .persist()
+    )
+    cf = pairs.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    cs = pairs.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    tot = pairs.agg(F.sum("c12").cast("long").alias("b"))
+    j = (
+        pairs.filter(F.col("c12") >= min_count)
+        .join(cf, "w1")
+        .join(cs, "w2")
+        .join(F.broadcast(tot))
+    )
+    b = F.col("b").cast("double")
+
+    def cell(k, r, c):
+        k = k.cast("double")
+        return F.when(
+            k > 0, k * F.log((k * b) / (r.cast("double") * c.cast("double")))
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("c12")
+    k12 = F.col("c1") - F.col("c12")
+    k21 = F.col("c2") - F.col("c12")
+    k22 = F.col("b") - F.col("c1") - F.col("c2") + F.col("c12")
+    r1, r2 = F.col("c1"), F.col("b") - F.col("c1")
+    c1m, c2m = F.col("c2"), F.col("b") - F.col("c2")
+    llr = F.lit(2.0) * (
+        cell(k11, r1, c1m) + cell(k12, r1, c2m) + cell(k21, r2, c1m) + cell(k22, r2, c2m)
+    )
+    return (
+        j.select("w1", "w2", "c12", "c1", "c2", F.round(llr, 6).alias("llr"))
+        .orderBy(F.desc("llr"), "w1", "w2")
+        .limit(top_k)
+    )

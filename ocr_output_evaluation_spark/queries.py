@@ -9315,6 +9315,68 @@ ORDER BY p.phrase
 """
 
 
+def llr_collocations_report(spark, sf):
+    """Top-20 adjacent word pairs by Dunning's log-likelihood ratio
+    (X89, operators/pmi.py llr_collocations): the calibrated
+    collocation statistic — G² over the exact 2x2 bigram contingency
+    table with bigram-based margins, every cell an exact BIGINT, every
+    ln-term a per-row double expression spelled operand-for-operand
+    identically in the oracle. min_count=3 at this sf; total order
+    (llr desc, w1, w2) makes the LIMIT deterministic."""
+    from .operators.pmi import llr_collocations
+
+    d = _spread(t(spark, sf, "documents"))
+    return llr_collocations(d, "text", min_count=3, top_k=20)
+
+
+# G² replayed exactly: same norm/tokenize CTEs, margins and total from
+# the identical full pair frame, the same guarded k·ln(k·B/(R·C)) cells
+# in the same association order.
+ORACLE_LLR_COLLOCATIONS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+pairs AS MATERIALIZED (
+  SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2,
+         CAST(count(*) AS BIGINT) AS c12
+  FROM toks, UNNEST(range(1, len(w))) AS s(i)
+  GROUP BY w1, w2
+),
+cf AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+cs AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(sum(c12) AS BIGINT) AS b FROM pairs),
+j AS (
+  SELECT p.w1, p.w2, p.c12, cf.c1, cs.c2, t.b
+  FROM pairs p JOIN cf USING (w1) JOIN cs USING (w2) CROSS JOIN tot t
+  WHERE p.c12 >= 3
+)
+SELECT w1, w2, c12, c1, c2,
+       round(2.0 * (
+         (CASE WHEN c12 > 0 THEN CAST(c12 AS DOUBLE)
+               * ln((CAST(c12 AS DOUBLE) * CAST(b AS DOUBLE))
+                    / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0.0 END)
+         + (CASE WHEN c1 - c12 > 0 THEN CAST(c1 - c12 AS DOUBLE)
+               * ln((CAST(c1 - c12 AS DOUBLE) * CAST(b AS DOUBLE))
+                    / (CAST(c1 AS DOUBLE) * CAST(b - c2 AS DOUBLE))) ELSE 0.0 END)
+         + (CASE WHEN c2 - c12 > 0 THEN CAST(c2 - c12 AS DOUBLE)
+               * ln((CAST(c2 - c12 AS DOUBLE) * CAST(b AS DOUBLE))
+                    / (CAST(b - c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0.0 END)
+         + (CASE WHEN b - c1 - c2 + c12 > 0 THEN CAST(b - c1 - c2 + c12 AS DOUBLE)
+               * ln((CAST(b - c1 - c2 + c12 AS DOUBLE) * CAST(b AS DOUBLE))
+                    / (CAST(b - c1 AS DOUBLE) * CAST(b - c2 AS DOUBLE))) ELSE 0.0 END)
+       ), 6) AS llr
+FROM j
+ORDER BY llr DESC, w1, w2
+LIMIT 20
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -9334,8 +9396,8 @@ ORDER BY p.phrase
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: token_budget_report, user_sessions,
-# packing_report,
+# stalwart into the overflow: split_report, token_budget_report,
+# user_sessions, packing_report,
 # quality_buckets, value_counts_lang,
 # order_value_quartiles, cube_status_priority, supplier_name_concat,
 # minhash_pairs_md5, events_json_props, running_spend, quality_scores,
@@ -9386,6 +9448,7 @@ QUERIES = {
     "readability_report": readability_report,
     "pareto_frontier_report": pareto_frontier_report,
     "phrase_search_report": phrase_search_report,
+    "llr_collocations_report": llr_collocations_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -9555,6 +9618,7 @@ ORACLES = {
     "readability_report": ORACLE_READABILITY,
     "pareto_frontier_report": ORACLE_PARETO_FRONTIER,
     "phrase_search_report": ORACLE_PHRASE_SEARCH,
+    "llr_collocations_report": ORACLE_LLR_COLLOCATIONS,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
