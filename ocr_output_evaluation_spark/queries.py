@@ -9377,6 +9377,116 @@ LIMIT 20
 """
 
 
+def conditional_entropy_report(spark, sf):
+    """Shannon n-gram entropy + conditional bigram entropy (X90 —
+    Shannon 1951 "Prediction and Entropy of Printed English"; Brown et
+    al. 1992: the model-free predictability ceiling of a corpus, and a
+    register/templating probe — templated text has abnormally low
+    H(w₂|w₁)). Per lang over the word stream: unigram entropy H1 =
+    −Σ p·log2 p, bigram entropy H2, conditional H(w₂|w₁) = H2 − H1 (the
+    chain rule on the maximum-likelihood estimates), and the unigram
+    perplexity 2^H1. Determinism: each vocab-row term p·log2(p) is
+    nano-quantized BIGINT (the X72/X85 discipline) so per-lang sums are
+    order-independent; both explodes collapse map-side to
+    vocabulary-scale count frames joined with broadcast 1-row totals.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_ngrams, word_tokens
+
+    LOG2 = 0.6931471805599453  # ln 2, shared literal with the oracle
+    d = _spread(t(spark, sf, "documents"))
+
+    def entropy_nano(counts, total_col):
+        # counts: (lang, c); -> (lang, BIGINT Σ round(p*log2(p)*1e9))
+        p = F.col("c").cast("double") / F.col(total_col).cast("double")
+        term = p * (F.log(p) / F.lit(LOG2))
+        return counts.select(
+            "lang", F.round(term * F.lit(1e9)).cast("long").alias("_tn")
+        ).groupBy("lang").agg(F.sum("_tn").cast("long").alias("_sn"))
+
+    uni = (
+        d.select("lang", F.explode(word_tokens(F.col("text"))).alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bi = (
+        d.select("lang", F.explode(word_ngrams(F.col("text"), 2)).alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n1 = uni.groupBy("lang").agg(F.sum("c").cast("long").alias("n_tokens"))
+    n2 = bi.groupBy("lang").agg(F.sum("c").cast("long").alias("n_bigrams"))
+    h1 = entropy_nano(
+        uni.join(F.broadcast(n1), "lang").withColumnRenamed("n_tokens", "_tot"),
+        "_tot",
+    ).withColumnRenamed("_sn", "_s1")
+    h2 = entropy_nano(
+        bi.join(F.broadcast(n2), "lang").withColumnRenamed("n_bigrams", "_tot"),
+        "_tot",
+    ).withColumnRenamed("_sn", "_s2")
+    j = n1.join(n2, "lang").join(h1, "lang").join(h2, "lang")
+    H1 = -F.col("_s1").cast("double") / F.lit(1e9)
+    H2 = -F.col("_s2").cast("double") / F.lit(1e9)
+    return j.select(
+        "lang",
+        "n_tokens",
+        "n_bigrams",
+        _r(H1).alias("h_unigram_bits"),
+        _r(H2).alias("h_bigram_bits"),
+        _r(H2 - H1).alias("h_conditional_bits"),
+        _r(F.pow(F.lit(2.0), H1)).alias("unigram_perplexity"),
+    ).orderBy("lang")
+
+
+# Full replay: same tokenization, the same nano-quantized p·log2(p)
+# vocab-row terms (shared ln2 literal), order-independent BIGINT sums,
+# identical final arithmetic.
+ORACLE_CONDITIONAL_ENTROPY = r"""
+WITH norm AS (
+  SELECT lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT lang, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+uni AS (
+  SELECT lang, tok AS g, CAST(count(*) AS BIGINT) AS c
+  FROM toks, UNNEST(w) AS u(tok) GROUP BY 1, 2
+),
+bi AS (
+  SELECT lang, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g,
+         CAST(count(*) AS BIGINT) AS c
+  FROM toks, UNNEST(range(1, len(w))) AS s(i)
+  GROUP BY 1, 2
+),
+n1 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens FROM uni GROUP BY 1),
+n2 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_bigrams FROM bi GROUP BY 1),
+h1 AS (
+  SELECT u.lang, CAST(sum(CAST(round(
+           (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+           * (ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 0.6931471805599453)
+           * 1e9) AS BIGINT)) AS BIGINT) AS s1
+  FROM uni u JOIN n1 USING (lang) GROUP BY 1
+),
+h2 AS (
+  SELECT b.lang, CAST(sum(CAST(round(
+           (CAST(c AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+           * (ln(CAST(c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 0.6931471805599453)
+           * 1e9) AS BIGINT)) AS BIGINT) AS s2
+  FROM bi b JOIN n2 USING (lang) GROUP BY 1
+)
+SELECT lang, n_tokens, n_bigrams,
+       round(-CAST(s1 AS DOUBLE) / 1e9, 6) AS h_unigram_bits,
+       round(-CAST(s2 AS DOUBLE) / 1e9, 6) AS h_bigram_bits,
+       round((-CAST(s2 AS DOUBLE) / 1e9) - (-CAST(s1 AS DOUBLE) / 1e9), 6)
+         AS h_conditional_bits,
+       round(pow(2.0, -CAST(s1 AS DOUBLE) / 1e9), 6) AS unigram_perplexity
+FROM n1 JOIN n2 USING (lang) JOIN h1 USING (lang) JOIN h2 USING (lang)
+ORDER BY lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -9396,7 +9506,8 @@ LIMIT 20
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: split_report, token_budget_report,
+# stalwart into the overflow: classifier_report, split_report,
+# token_budget_report,
 # user_sessions, packing_report,
 # quality_buckets, value_counts_lang,
 # order_value_quartiles, cube_status_priority, supplier_name_concat,
@@ -9449,6 +9560,7 @@ QUERIES = {
     "pareto_frontier_report": pareto_frontier_report,
     "phrase_search_report": phrase_search_report,
     "llr_collocations_report": llr_collocations_report,
+    "conditional_entropy_report": conditional_entropy_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -9619,6 +9731,7 @@ ORACLES = {
     "pareto_frontier_report": ORACLE_PARETO_FRONTIER,
     "phrase_search_report": ORACLE_PHRASE_SEARCH,
     "llr_collocations_report": ORACLE_LLR_COLLOCATIONS,
+    "conditional_entropy_report": ORACLE_CONDITIONAL_ENTROPY,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -15,6 +15,7 @@ import pandas as pd
 
 from ocr_output_evaluation_spark.queries import (
     burstiness_report,
+    conditional_entropy_report,
     good_turing_report,
     lexical_concentration_report,
     zipf_slope_report,
@@ -146,6 +147,43 @@ def test_lexical_concentration_python_mirror(spark):
         assert 0.0 <= r.simpson_d < 1.0 and 0.0 < r.ttr <= 1.0 and r.yule_k >= 0.0
 
 
+def test_conditional_entropy_python_mirror(spark):
+    LN2 = 0.6931471805599453
+    docs = _docs()
+    uni: dict[str, Counter] = defaultdict(Counter)
+    bi: dict[str, Counter] = defaultdict(Counter)
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = _tokens(text)
+        uni[lang].update(toks)
+        bi[lang].update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+
+    def h_nano(counts: Counter) -> int:
+        n = sum(counts.values())
+        return sum(
+            round((c / n) * (math.log(c / n) / LN2) * 1e9) for c in counts.values()
+        )
+
+    expected = {}
+    for lang in uni:
+        n1, n2 = sum(uni[lang].values()), sum(bi[lang].values())
+        h1 = -h_nano(uni[lang]) / 1e9
+        h2 = -h_nano(bi[lang]) / 1e9
+        expected[lang] = (
+            n1, n2, round(h1, 6), round(h2, 6), round(h2 - h1, 6),
+            round(2.0 ** h1, 6),
+        )
+    rows = conditional_entropy_report(spark, SF).collect()
+    assert [r.lang for r in rows] == sorted(expected)
+    for r in rows:
+        got = (r.n_tokens, r.n_bigrams, r.h_unigram_bits, r.h_bigram_bits,
+               r.h_conditional_bits, r.unigram_perplexity)
+        assert got == expected[r.lang]
+        # information-theoretic sanity: 0 <= H(w2|w1) <= H(w1) (conditioning
+        # never increases entropy under the ML estimates), perplexity >= 1
+        assert -1e-6 <= r.h_conditional_bits <= r.h_unigram_bits + 1e-6
+        assert r.unigram_perplexity >= 1.0
+
+
 def test_corpus_stats_deterministic(spark):
     a = [tuple(r) for r in zipf_slope_report(spark, SF).collect()]
     b = [tuple(r) for r in zipf_slope_report(spark, SF).collect()]
@@ -163,6 +201,7 @@ def test_corpus_stats_plans(spark):
         burstiness_report,
         good_turing_report,
         lexical_concentration_report,
+        conditional_entropy_report,
     ):
         plan = plan_of(q(spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -251,8 +251,10 @@ def main() -> None:
         domain_divergence_report,
         good_turing_report,
         lexical_concentration_report,
+        llr_collocations_report,
         neyman_sample_report,
         pareto_frontier_report,
+        phrase_search_report,
         readability_report,
         zipf_slope_report,
         pmi_collocations_report,
@@ -447,6 +449,16 @@ def main() -> None:
         # per-bucket sort is the only n log n leg; expect ~linear
         "pareto_frontier_report": (
             pareto_frontier_report, (1, mult_hi), "documents"),
+        # r5c: X88 — postings are term-filtered BEFORE any shuffle, so
+        # only the ≤6 query words' occurrences shuffle; the phrase joins
+        # run on those subsets; expect ~linear tracking the scan
+        "phrase_search_report": (
+            phrase_search_report, (1, mult_hi), "documents"),
+        # r5c: X89 — same shape as PMI: instance explodes collapse
+        # map-side to the vocab-scale pair frame (fixed spot vocab →
+        # margins/total ~scale-invariant); ~linear
+        "llr_collocations_report": (
+            llr_collocations_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
