@@ -246,6 +246,7 @@ def main() -> None:
         novelty_report,
         boot_ci_report,
         burstiness_report,
+        conditional_entropy_report,
         curation_funnel_report,
         domain_concentration_report,
         domain_divergence_report,
@@ -459,6 +460,10 @@ def main() -> None:
         # margins/total ~scale-invariant); ~linear
         "llr_collocations_report": (
             llr_collocations_report, (1, mult_hi), "documents"),
+        # r5c: X90 — two explodes collapsing map-side to vocab-scale
+        # count frames; nano entropy terms ride those frames; ~linear
+        "conditional_entropy_report": (
+            conditional_entropy_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
