@@ -9487,6 +9487,177 @@ ORDER BY lang
 """
 
 
+def rbo_report(spark, sf):
+    """Rank-biased overlap between two retrieval rankings (X91 — Webber
+    et al. 2010, "A Similarity Measure for Indefinite Rankings": the
+    top-weighted agreement statistic for comparing rankers; here the
+    deployed ranking-robustness audit — how much does BM25's idf +
+    length normalization actually change the ranking vs naive term
+    frequency for the same query?). Truncated RBO@20 at p=0.9 between
+    the X48 BM25 top-20 and the plain Σtf top-20 (both totally ordered
+    with doc_id tiebreaks): A_d = |prefix∩prefix| at each depth d,
+    RBO = Σ_{d≤k} (1−p)·p^(d−1)·A_d/d. Both rank frames are k-row after
+    TakeOrdered; the depth×rank comparison, the per-depth terms
+    (nano-quantized BIGINT so the 20-term float sum is
+    order-independent), and the final division all run on ≤k-row
+    broadcast frames — corpus cost is exactly two scan-side scoring
+    passes. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+    from .operators.bm25 import _tf, bm25_scored
+
+    K, P = 20, 0.9
+    d = _spread(t(spark, sf, "documents"))
+    scored = bm25_scored(d, "text", "doc_id", _BM25_TERMS)
+    bmtop = (
+        scored.select("doc_id", _r(F.col("_bm25")).alias("_s"))
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(K)
+    )
+    bm = bmtop.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("_s").desc(), F.col("doc_id").asc()))
+        .alias("r1"),
+    )
+    toks = word_tokens(F.col("text"))
+    tfsum = None
+    for query_term in _BM25_TERMS:
+        c = _tf(toks, query_term)
+        tfsum = c if tfsum is None else tfsum + c
+    nvtop = (
+        d.select("doc_id", tfsum.cast("long").alias("_c"))
+        .orderBy(F.desc("_c"), "doc_id")
+        .limit(K)
+    )
+    nv = nvtop.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("_c").desc(), F.col("doc_id").asc()))
+        .alias("r2"),
+    )
+    j = bm.join(nv, "doc_id", "full_outer")
+    depths = spark.range(1, K + 1).select(F.col("id").cast("long").alias("d"))
+    ad = (
+        depths.join(
+            F.broadcast(j),
+            (F.col("r1") <= F.col("d")) & (F.col("r2") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count(F.col("doc_id")).cast("long").alias("a_d"))
+    )
+    term = (
+        (F.lit(1.0) - F.lit(P))
+        * F.pow(F.lit(P), (F.col("d") - F.lit(1)).cast("double"))
+        * (F.col("a_d").cast("double") / F.col("d").cast("double"))
+    )
+    s = ad.select(
+        F.round(term * F.lit(1e9)).cast("long").alias("_tn"),
+        F.when(F.col("d") == K, F.col("a_d")).alias("_ak"),
+    ).agg(
+        F.sum("_tn").cast("long").alias("_sn"),
+        F.max("_ak").cast("long").alias("a_k"),
+    )
+    return s.select(
+        F.lit(K).cast("long").alias("k"),
+        F.lit(P).cast("double").alias("p"),
+        F.col("a_k").alias("overlap_count_at_k"),
+        _r(F.col("a_k").cast("double") / F.lit(float(K))).alias("overlap_at_k"),
+        _r(F.col("_sn").cast("double") / F.lit(1e9)).alias("rbo"),
+    )
+
+
+def _oracle_rbo() -> str:
+    """RBO replayed on the identical rankings: the BM25 scored CTE is the
+    _oracle_bm25 body verbatim (same literals/association), the naive
+    ranking is Σtf over the same base frame, depths/terms use the same
+    (1−p)·p^(d−1)·(A_d/d) spelling with nano-quantized per-depth terms."""
+    tfs = ",\n         ".join(
+        f"coalesce(len(list_filter(tk.w, x -> x = '{t}')), 0) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = "\n         + ".join(
+        f"ln((CAST(s.n - s.df{i} AS DOUBLE) + 0.5::DOUBLE)"
+        f" / (CAST(s.df{i} AS DOUBLE) + 0.5::DOUBLE) + 1.0::DOUBLE)"
+        f" * (CAST(b.tf{i} AS DOUBLE) * 2.2::DOUBLE)"
+        f" / (CAST(b.tf{i} AS DOUBLE) + 1.2::DOUBLE * (0.25::DOUBLE"
+        f" + 0.75::DOUBLE * (CAST(b.dl AS DOUBLE)"
+        f" / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_sum = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return rf"""
+WITH norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{{L}} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+base AS MATERIALIZED (
+  SELECT n.doc_id,
+         coalesce(len(tk.w), 0) AS dl,
+         {tfs}
+  FROM norm n LEFT JOIN toks tk USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS tot,
+         {dfs}
+  FROM base
+),
+scored AS (
+  SELECT b.doc_id,
+         {terms} AS raw
+  FROM base b, stats s
+),
+bmtop AS (
+  SELECT doc_id, round(raw, 6) AS s FROM scored
+  ORDER BY round(raw, 6) DESC, doc_id LIMIT 20
+),
+bm AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS r1
+  FROM bmtop
+),
+nvtop AS (
+  SELECT doc_id, CAST({tf_sum} AS BIGINT) AS c FROM base
+  ORDER BY CAST({tf_sum} AS BIGINT) DESC, doc_id LIMIT 20
+),
+nv AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY c DESC, doc_id ASC) AS BIGINT) AS r2
+  FROM nvtop
+),
+j AS (
+  SELECT coalesce(bm.doc_id, nv.doc_id) AS doc_id, r1, r2
+  FROM bm FULL OUTER JOIN nv ON bm.doc_id = nv.doc_id
+),
+depths AS (SELECT CAST(u.d AS BIGINT) AS d FROM UNNEST(generate_series(1, 20)) AS u(d)),
+ad AS (
+  SELECT depths.d, CAST(count(j.doc_id) AS BIGINT) AS a_d
+  FROM depths LEFT JOIN j ON j.r1 <= depths.d AND j.r2 <= depths.d
+  GROUP BY depths.d
+),
+agg AS (
+  SELECT CAST(sum(CAST(round(((1.0::DOUBLE - 0.9::DOUBLE)
+                  * pow(0.9::DOUBLE, CAST(d - 1 AS DOUBLE))
+                  * (CAST(a_d AS DOUBLE) / CAST(d AS DOUBLE))) * 1e9) AS BIGINT))
+              AS BIGINT) AS sn,
+         CAST(max(CASE WHEN d = 20 THEN a_d END) AS BIGINT) AS a_k
+  FROM ad
+)
+SELECT CAST(20 AS BIGINT) AS k, CAST(0.9 AS DOUBLE) AS p,
+       a_k AS overlap_count_at_k,
+       round(CAST(a_k AS DOUBLE) / 20.0::DOUBLE, 6) AS overlap_at_k,
+       round(CAST(sn AS DOUBLE) / 1e9, 6) AS rbo
+FROM agg
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -9506,8 +9677,8 @@ ORDER BY lang
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: classifier_report, split_report,
-# token_budget_report,
+# stalwart into the overflow: mixing_report, classifier_report,
+# split_report, token_budget_report,
 # user_sessions, packing_report,
 # quality_buckets, value_counts_lang,
 # order_value_quartiles, cube_status_priority, supplier_name_concat,
@@ -9561,6 +9732,7 @@ QUERIES = {
     "phrase_search_report": phrase_search_report,
     "llr_collocations_report": llr_collocations_report,
     "conditional_entropy_report": conditional_entropy_report,
+    "rbo_report": rbo_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -9732,6 +9904,7 @@ ORACLES = {
     "phrase_search_report": ORACLE_PHRASE_SEARCH,
     "llr_collocations_report": ORACLE_LLR_COLLOCATIONS,
     "conditional_entropy_report": ORACLE_CONDITIONAL_ENTROPY,
+    "rbo_report": _oracle_rbo(),
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
