@@ -256,6 +256,7 @@ def main() -> None:
         neyman_sample_report,
         pareto_frontier_report,
         phrase_search_report,
+        rbo_report,
         readability_report,
         zipf_slope_report,
         pmi_collocations_report,
@@ -464,6 +465,9 @@ def main() -> None:
         # count frames; nano entropy terms ride those frames; ~linear
         "conditional_entropy_report": (
             conditional_entropy_report, (1, mult_hi), "documents"),
+        # r5c: X91 — two scan-side scoring passes + TakeOrdered top-20s;
+        # everything after runs on <=2k-row broadcast frames; ~linear
+        "rbo_report": (rbo_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
