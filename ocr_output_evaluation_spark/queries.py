@@ -9658,6 +9658,124 @@ FROM agg
 """
 
 
+def ks_test_report(spark, sf):
+    """Two-sample Kolmogorov-Smirnov drift test (X92 — the nonparametric
+    counterpart to X55's PSI drift score: is the en document-length
+    distribution the same as the es one?). Exact-integer ECDFs: per-value
+    counts for each group (map-side combined to the bounded n_chars
+    domain), a full-outer value merge, one cumulative window over the
+    distinct-value frame (the X32 bounded-domain histogram idiom — the
+    window frame is |domain| rows whatever the corpus size), and
+    D = max|F_a − F_b| carried as the BIGINT cross-multiple
+    |cum_a·n_b − cum_b·n_a| so the sup and its argmin location are exact;
+    the only floats are the final 1-row divisions and the asymptotic
+    α=0.05 critical value sqrt(-ln(0.025)/2)·sqrt((n_a+n_b)/(n_a·n_b))
+    (Smirnov 1948). Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select("lang", "n_chars")
+    a = (
+        d.filter(F.col("lang") == "en")
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ca"))
+    )
+    b = (
+        d.filter(F.col("lang") == "es")
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cb"))
+    )
+    v = a.join(b, "n_chars", "full_outer").select(
+        "n_chars",
+        F.coalesce("_ca", F.lit(0)).cast("long").alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).cast("long").alias("_cb"),
+    )
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = v.select(
+        "n_chars",
+        F.sum("_ca").over(w).cast("long").alias("_cuma"),
+        F.sum("_cb").over(w).cast("long").alias("_cumb"),
+    )
+    # totals first (1-row broadcast), then the exact cross-multiplied gap
+    tot = cum.agg(
+        F.max("_cuma").cast("long").alias("n_a"),
+        F.max("_cumb").cast("long").alias("n_b"),
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col("n_a"))
+        .cast("long")
+        .alias("_dn"),
+        F.col("n_chars").cast("long").alias("_v"),
+    )
+    best = gap.groupBy("n_a", "n_b").agg(
+        F.max(F.struct(F.col("_dn").alias("d_num"), (-F.col("_v")).alias("_nv"))).alias(
+            "_m"
+        )
+    )
+    prod = F.col("n_a") * F.col("n_b")
+    d_raw = F.when(
+        prod != 0, F.col("_m.d_num").cast("double") / prod.cast("double")
+    )
+    crit_raw = F.sqrt((-F.log(F.lit(0.025))) / F.lit(2.0)) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double") / prod.cast("double")
+    )
+    return best.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.col("_m.d_num").alias("d_num"),
+        (-F.col("_m._nv")).cast("long").alias("d_location"),
+        _r(d_raw).alias("d_stat"),
+        _r(F.when(prod != 0, crit_raw)).alias("d_crit"),
+        F.when(prod != 0, (d_raw > crit_raw).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("reject_h0"),
+    )
+
+
+ORACLE_KS_TEST = """
+WITH a AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS ca
+  FROM documents WHERE lang = 'en' GROUP BY 1
+),
+b AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS cb
+  FROM documents WHERE lang = 'es' GROUP BY 1
+),
+v AS (
+  SELECT coalesce(a.n_chars, b.n_chars) AS val,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.n_chars = b.n_chars
+),
+cum AS (
+  SELECT val,
+         CAST(sum(ca) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+  FROM v
+),
+tot AS (SELECT CAST(max(cuma) AS BIGINT) AS n_a, CAST(max(cumb) AS BIGINT) AS n_b FROM cum),
+best AS (
+  SELECT abs(cuma * n_b - cumb * n_a) AS d_num, CAST(val AS BIGINT) AS d_location
+  FROM cum, tot
+  ORDER BY abs(cuma * n_b - cumb * n_a) DESC, val ASC
+  LIMIT 1
+)
+SELECT n_a, n_b, d_num, d_location,
+       round(CASE WHEN n_a * n_b <> 0
+             THEN CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) END, 6) AS d_stat,
+       round(CASE WHEN n_a * n_b <> 0
+             THEN sqrt(-ln(0.025) / 2.0) * sqrt(CAST(n_a + n_b AS DOUBLE)
+                  / CAST(n_a * n_b AS DOUBLE)) END, 6) AS d_crit,
+       CASE WHEN n_a * n_b <> 0 THEN
+         CAST(CASE WHEN CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+                > sqrt(-ln(0.025) / 2.0) * sqrt(CAST(n_a + n_b AS DOUBLE)
+                  / CAST(n_a * n_b AS DOUBLE))
+              THEN 1 ELSE 0 END AS INT)
+       END AS reject_h0
+FROM best, tot
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -9677,7 +9795,8 @@ FROM agg
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: mixing_report, classifier_report,
+# stalwart into the overflow: pii_scrub_report (r5d X92 insertion),
+# mixing_report, classifier_report,
 # split_report, token_budget_report,
 # user_sessions, packing_report,
 # quality_buckets, value_counts_lang,
@@ -9733,6 +9852,7 @@ QUERIES = {
     "llr_collocations_report": llr_collocations_report,
     "conditional_entropy_report": conditional_entropy_report,
     "rbo_report": rbo_report,
+    "ks_test_report": ks_test_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -9905,6 +10025,7 @@ ORACLES = {
     "llr_collocations_report": ORACLE_LLR_COLLOCATIONS,
     "conditional_entropy_report": ORACLE_CONDITIONAL_ENTROPY,
     "rbo_report": _oracle_rbo(),
+    "ks_test_report": ORACLE_KS_TEST,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
