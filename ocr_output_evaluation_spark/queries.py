@@ -9776,6 +9776,144 @@ FROM best, tot
 """
 
 
+def spearman_report(spark, sf):
+    """Per-language Spearman rank correlation (X93 — Spearman 1904; the
+    tie-corrected form via Pearson over average ranks, exactly what
+    scipy.stats.spearmanr computes): does raw document length actually
+    track lexical richness (distinct word types), per language? Ranks are
+    EXACT integers: average rank × 2 = 2·(cum−cnt)+cnt+1 off the per-
+    (lang, value) count frame (map-side combined to the bounded value
+    domain; the cumulative window partitions by lang over distinct values
+    only), joined back to the corpus, then ONE map-side-combined agg of
+    the five BIGINT rank-moment sums — exact while 4n³ < 2^63 (n ≈ 1.3M
+    docs per lang; beyond that the sums are a one-line DECIMAL(38,0)
+    swap). Floats only in the final per-lang-row Pearson division.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents")).select(
+        "lang",
+        F.col("n_chars").cast("long").alias("_x"),
+        F.size(F.array_distinct(word_tokens(F.col("text"))))
+        .cast("long")
+        .alias("_y"),
+    )
+    wl = W.partitionBy("lang")
+
+    def rank2(frame, col):
+        c = (
+            frame.groupBy("lang", col)
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        w = wl.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return c.select(
+            "lang",
+            col,
+            (
+                F.lit(2) * (F.sum("_c").over(w) - F.col("_c"))
+                + F.col("_c")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias(f"_r{col}"),
+        )
+
+    j = d.join(rank2(d, "_x"), ["lang", "_x"]).join(rank2(d, "_y"), ["lang", "_y"])
+    s = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_r_x").cast("long").alias("_sx"),
+        F.sum("_r_y").cast("long").alias("_sy"),
+        F.sum(F.col("_r_x") * F.col("_r_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_r_y") * F.col("_r_y")).cast("long").alias("_syy"),
+        F.sum(F.col("_r_x") * F.col("_r_y")).cast("long").alias("_sxy"),
+    )
+    nd = F.col("n_docs").cast("double")
+    num = nd * F.col("_sxy").cast("double") - F.col("_sx").cast("double") * F.col(
+        "_sy"
+    ).cast("double")
+    denx = nd * F.col("_sxx").cast("double") - F.col("_sx").cast("double") * F.col(
+        "_sx"
+    ).cast("double")
+    deny = nd * F.col("_syy").cast("double") - F.col("_sy").cast("double") * F.col(
+        "_sy"
+    ).cast("double")
+    return (
+        s.select(
+            "lang",
+            "n_docs",
+            _r(
+                F.when(denx * deny > 0, num / F.sqrt(denx * deny))
+            ).alias("rho_chars_types"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_SPEARMAN = r"""
+WITH norm AS (
+  SELECT doc_id, lang, n_chars,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+', ' ', 'g'),
+                                      '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0
+),
+base AS MATERIALIZED (
+  SELECT n.lang, CAST(n.n_chars AS BIGINT) AS x,
+         CAST(coalesce(len(list_distinct(tk.w)), 0) AS BIGINT) AS y
+  FROM norm n LEFT JOIN toks tk USING (doc_id)
+),
+cx AS (
+  SELECT lang, x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+rx AS (
+  SELECT lang, x,
+         CAST(2 * (sum(c) OVER (PARTITION BY lang ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+              + c + 1 AS BIGINT) AS r2x
+  FROM cx
+),
+cy AS (
+  SELECT lang, y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+ry AS (
+  SELECT lang, y,
+         CAST(2 * (sum(c) OVER (PARTITION BY lang ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+              + c + 1 AS BIGINT) AS r2y
+  FROM cy
+),
+j AS (
+  SELECT b.lang, r2x, r2y
+  FROM base b JOIN rx ON b.lang = rx.lang AND b.x = rx.x
+              JOIN ry ON b.lang = ry.lang AND b.y = ry.y
+),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
+         CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+         CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+         CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+  FROM j GROUP BY 1
+)
+SELECT lang, n_docs,
+       round(CASE WHEN (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             THEN (CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             END, 6) AS rho_chars_types
+FROM s
+ORDER BY lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -9795,7 +9933,8 @@ FROM best, tot
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: pii_scrub_report (r5d X92 insertion),
+# stalwart into the overflow: domain_cap_report (r5d X93 insertion),
+# pii_scrub_report (r5d X92 insertion),
 # mixing_report, classifier_report,
 # split_report, token_budget_report,
 # user_sessions, packing_report,
@@ -9853,6 +9992,7 @@ QUERIES = {
     "conditional_entropy_report": conditional_entropy_report,
     "rbo_report": rbo_report,
     "ks_test_report": ks_test_report,
+    "spearman_report": spearman_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -10026,6 +10166,7 @@ ORACLES = {
     "conditional_entropy_report": ORACLE_CONDITIONAL_ENTROPY,
     "rbo_report": _oracle_rbo(),
     "ks_test_report": ORACLE_KS_TEST,
+    "spearman_report": ORACLE_SPEARMAN,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
