@@ -9914,6 +9914,146 @@ ORDER BY lang
 """
 
 
+def rrf_fusion_report(spark, sf):
+    """Reciprocal-rank-fusion hybrid retrieval (X94 — Cormack, Clarke &
+    Buettcher 2009: RRF(d) = Σ_rankers 1/(k₀+rank_d), k₀=60, the
+    training-free rank fusion that ships in Elasticsearch/OpenSearch
+    hybrid search). Three rankers over the same query vector (vec_id=0):
+    cosine, raw dot product, and negative squared L2 — metric choice
+    genuinely reorders under norm variation, and RRF is the canonical
+    consensus. ONE persisted corpus pass computes all three 6dp scores
+    (the fan-out rule — three TakeOrdered branches would otherwise
+    rescan), each ranker is a k-row TakeOrdered + row_number on its
+    50-row frame, the fusion full-outer-joins three ≤50-row frames, and
+    each 1/(k₀+r) term is nano-quantized BIGINT so the fused sum is
+    order-independent. Corpus cost: exactly one scan whatever the ranker
+    count. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .operators.similarity import cosine_expr, dot_expr
+
+    K_LIST, K_OUT, RRF_K = 50, 10, 60
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    a, b = F.col("embedding"), F.col("_qv")
+    dist2 = F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            _r(cosine_expr(a, b)).alias("_sc"),
+            _r(dot_expr(a, b)).alias("_sd"),
+            (-_r(dist2)).alias("_sl"),
+        )
+        .persist()
+    )
+
+    def ranked(col, name):
+        top = (
+            scored.select("vec_id", col)
+            .orderBy(F.col(col).desc(), F.col("vec_id").asc())
+            .limit(K_LIST)
+        )
+        return top.select(
+            "vec_id",
+            F.row_number()
+            .over(W.orderBy(F.col(col).desc(), F.col("vec_id").asc()))
+            .cast("long")
+            .alias(name),
+        )
+
+    j = (
+        ranked("_sc", "_rc")
+        .join(ranked("_sd", "_rd"), ["vec_id"], "full_outer")
+        .join(ranked("_sl", "_rl"), ["vec_id"], "full_outer")
+    )
+
+    def term(r):
+        return F.coalesce(
+            F.round(F.lit(1e9) / (F.lit(RRF_K) + F.col(r)).cast("double")).cast(
+                "long"
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    fused = j.select(
+        "vec_id",
+        (
+            F.col("_rc").isNotNull().cast("int")
+            + F.col("_rd").isNotNull().cast("int")
+            + F.col("_rl").isNotNull().cast("int")
+        ).alias("in_lists"),
+        (term("_rc") + term("_rd") + term("_rl")).cast("long").alias("rrf_nano"),
+    )
+    out = fused.orderBy(F.col("rrf_nano").desc(), F.col("vec_id").asc()).limit(K_OUT)
+    return out.select(
+        "vec_id",
+        "in_lists",
+        "rrf_nano",
+        _r(F.col("rrf_nano").cast("double") / F.lit(1e9)).alias("rrf"),
+    )
+
+
+ORACLE_RRF_FUSION = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT e.vec_id,
+         CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+         CAST(q.qv[CAST(i AS INT)] AS DOUBLE)        AS y
+  FROM embeddings e, q, UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+),
+s AS MATERIALIZED (
+  SELECT vec_id,
+         round(CASE WHEN sqrt(sum(x*x)) * sqrt(sum(y*y)) <> 0
+               THEN sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) END, 6) AS sc,
+         round(sum(x*y), 6) AS sd,
+         -round(sum((x - y) * (x - y)), 6) AS sl
+  FROM p GROUP BY vec_id
+),
+rc AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY sc DESC, vec_id ASC) AS BIGINT) AS r1
+  FROM (SELECT vec_id, sc FROM s ORDER BY sc DESC, vec_id LIMIT 50)
+),
+rd AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY sd DESC, vec_id ASC) AS BIGINT) AS r2
+  FROM (SELECT vec_id, sd FROM s ORDER BY sd DESC, vec_id LIMIT 50)
+),
+rl AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY sl DESC, vec_id ASC) AS BIGINT) AS r3
+  FROM (SELECT vec_id, sl FROM s ORDER BY sl DESC, vec_id LIMIT 50)
+),
+j AS (
+  SELECT coalesce(rc.vec_id, rd.vec_id, rl.vec_id) AS vec_id, r1, r2, r3
+  FROM rc
+  FULL OUTER JOIN rd ON rc.vec_id = rd.vec_id
+  FULL OUTER JOIN rl ON coalesce(rc.vec_id, rd.vec_id) = rl.vec_id
+),
+fused AS (
+  SELECT vec_id,
+         CAST((CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN r3 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS in_lists,
+         CAST(coalesce(CAST(round(1e9 / CAST(60 + r1 AS DOUBLE)) AS BIGINT), 0)
+            + coalesce(CAST(round(1e9 / CAST(60 + r2 AS DOUBLE)) AS BIGINT), 0)
+            + coalesce(CAST(round(1e9 / CAST(60 + r3 AS DOUBLE)) AS BIGINT), 0)
+            AS BIGINT) AS rrf_nano
+  FROM j
+)
+SELECT vec_id, in_lists, rrf_nano,
+       round(CAST(rrf_nano AS DOUBLE) / 1e9, 6) AS rrf
+FROM fused
+ORDER BY rrf_nano DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -9933,7 +10073,8 @@ ORDER BY lang
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: domain_cap_report (r5d X93 insertion),
+# stalwart into the overflow: repetition_report (r5d X94 insertion),
+# domain_cap_report (r5d X93 insertion),
 # pii_scrub_report (r5d X92 insertion),
 # mixing_report, classifier_report,
 # split_report, token_budget_report,
@@ -9993,6 +10134,7 @@ QUERIES = {
     "rbo_report": rbo_report,
     "ks_test_report": ks_test_report,
     "spearman_report": spearman_report,
+    "rrf_fusion_report": rrf_fusion_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -10167,6 +10309,7 @@ ORACLES = {
     "rbo_report": _oracle_rbo(),
     "ks_test_report": ORACLE_KS_TEST,
     "spearman_report": ORACLE_SPEARMAN,
+    "rrf_fusion_report": ORACLE_RRF_FUSION,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,
