@@ -9658,7 +9658,7 @@ FROM agg
 """
 
 
-def ks_test_report(spark, sf):
+def ks_test_report(spark, sf, lang_a="en", lang_b="es"):
     """Two-sample Kolmogorov-Smirnov drift test (X92 — the nonparametric
     counterpart to X55's PSI drift score: is the en document-length
     distribution the same as the es one?). Exact-integer ECDFs: per-value
@@ -9673,12 +9673,12 @@ def ks_test_report(spark, sf):
     (Smirnov 1948). Reference analog: none — rebuild-only (SURVEY §2.13)."""
     d = t(spark, sf, "documents").select("lang", "n_chars")
     a = (
-        d.filter(F.col("lang") == "en")
+        d.filter(F.col("lang") == lang_a)
         .groupBy("n_chars")
         .agg(F.count(F.lit(1)).cast("long").alias("_ca"))
     )
     b = (
-        d.filter(F.col("lang") == "es")
+        d.filter(F.col("lang") == lang_b)
         .groupBy("n_chars")
         .agg(F.count(F.lit(1)).cast("long").alias("_cb"))
     )

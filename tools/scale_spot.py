@@ -232,6 +232,9 @@ def main() -> None:
         contamination_report,
         hll_distinct_report,
         kn_perplexity_report,
+        ks_test_report,
+        spearman_report,
+        rrf_fusion_report,
         cohort_retention_report,
         pagerank_report,
         triangle_count_report,
@@ -468,6 +471,22 @@ def main() -> None:
         # r5c: X91 — two scan-side scoring passes + TakeOrdered top-20s;
         # everything after runs on <=2k-row broadcast frames; ~linear
         "rbo_report": (rbo_report, (1, mult_hi), "documents"),
+        # r5d: X92 — per-value counts combine map-side to the bounded
+        # n_chars domain; the cumulative window runs over the distinct-
+        # value frame whatever n; ~linear tracking the scan. The spot
+        # fixture has no "es" lang, so the drill pits en against de —
+        # identical plan, non-degenerate both sides.
+        "ks_test_report": (
+            lambda s, d: ks_test_report(s, d, lang_b="de"),
+            (1, mult_hi), "documents"),
+        # r5d: X93 — two rank joins back onto the corpus (each keyed on
+        # (lang, value), the value frames bounded-domain) + ONE map-side-
+        # combined moment agg; expect ~linear-to-n-log-n
+        "spearman_report": (spearman_report, (1, mult_hi), "documents"),
+        # r5d: X94 — exactly one persisted corpus scan feeds all three
+        # rankers (TakeOrdered each); fusion joins run on ≤50-row
+        # frames; ~linear tracking the scan
+        "rrf_fusion_report": (rrf_fusion_report, (1, mult_hi), "embeddings"),
     }
     only = set(sys.argv[1:])
     if only:
