@@ -10054,6 +10054,179 @@ LIMIT 10
 """
 
 
+def auc_report(spark, sf):
+    """Ranking evaluation for quality-filter scorers: ROC AUC via the
+    tie-corrected Mann-Whitney rank-sum (X95 — Mann & Whitney 1947;
+    AUC = U/(n₁n₀), Hanley & McNeil 1982 — the standard eval for the
+    FastText-style quality classifiers web-corpus curation gates on).
+    Three candidate scorers of "is this doc English?" are ranked against
+    the lang=='en' label in ONE corpus scan: en-stopword hits per
+    kilotoken, punctuation chars per kilochar, and raw length — each an
+    exact BIGINT (integer `DIV`, no float quantization), so the X93
+    average-rank idiom applies verbatim: per-(scorer, score) counts
+    combine map-side to the bounded score domain (≤1001 values for the
+    density scorers), ONE cumulative window per scorer over the
+    distinct-value frame, and the positive rank sum, AUC numerator
+    u2 = 2U, and tie term Σ(t³−t) all ride BIGINTs (exact while
+    n³ < 2^63 — beyond ~2M rows per scorer the tie sum is a one-line
+    DECIMAL(38,0) swap, the X93 caveat). Floats only in the final 3-row
+    AUC division and the tie-corrected z (σ² = n₁n₀/12·((n+1) −
+    Σ(t³−t)/(n(n−1)))); all-tied scorers yield σ²=0 → z NULL, single-
+    class corpora yield AUC NULL (ANSI-guarded). Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    from .functions.text import STOPWORDS, _word_hits, whitespace_token_count
+
+    d = t(spark, sf, "documents")
+    toks = whitespace_token_count(F.col("text"))
+    hits = _word_hits(F.col("text"), STOPWORDS["en"]).cast("long")
+    nchar = F.length("text").cast("long")
+    npunct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[\p{P}]"), 0)
+    ).cast("long")
+    base = d.select(
+        (F.col("lang") == "en").cast("long").alias("_y"),
+        F.when(toks > 0, hits * F.lit(1000)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("_h1000"),
+        F.greatest(toks, F.lit(1)).cast("long").alias("_toks"),
+        F.when(nchar > 0, npunct * F.lit(1000)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("_p1000"),
+        F.greatest(nchar, F.lit(1)).cast("long").alias("_nc"),
+        nchar.alias("_len"),
+    ).select(
+        "_y",
+        F.expr("_h1000 DIV _toks").cast("long").alias("_ss"),
+        F.expr("_p1000 DIV _nc").cast("long").alias("_sp"),
+        F.col("_len").alias("_sl"),
+    )
+    scored = base.select(
+        "_y",
+        F.expr(
+            "stack(3, 'len_chars', _sl, 'punct_density', _sp, "
+            "'stop_density', _ss) AS (scorer, s)"
+        ),
+    )
+    c = scored.groupBy("scorer", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+        F.sum("_y").cast("long").alias("_pos"),
+    )
+    w = (
+        W.partitionBy("scorer")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = c.select(
+        "scorer",
+        "_cnt",
+        "_pos",
+        (
+            F.lit(2) * (F.sum("_cnt").over(w) - F.col("_cnt"))
+            + F.col("_cnt")
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("_r2"),
+    )
+    s = r.groupBy("scorer").agg(
+        F.sum("_cnt").cast("long").alias("_n"),
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sum(F.col("_pos") * F.col("_r2")).cast("long").alias("_r2pos"),
+        F.sum(F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt"))
+        .cast("long")
+        .alias("_tie"),
+    )
+    n1 = F.col("n_pos")
+    nn = F.col("_n")
+    n0 = nn - n1
+    u2 = (F.col("_r2pos") - n1 * (n1 + F.lit(1))).cast("long")
+    prod = (n1 * n0).cast("long")
+    auc = F.when(
+        prod > 0, u2.cast("double") / (F.lit(2.0) * prod.cast("double"))
+    )
+    tie_frac = F.when(
+        nn * (nn - 1) != 0,
+        F.col("_tie").cast("double") / (nn * (nn - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    var = (
+        prod.cast("double")
+        / F.lit(12.0)
+        * ((nn + F.lit(1)).cast("double") - tie_frac)
+    )
+    z = F.when(
+        (prod > 0) & (var > 0),
+        (u2.cast("double") - prod.cast("double")) / (F.lit(2.0) * F.sqrt(var)),
+    )
+    return s.select(
+        "scorer",
+        "n_pos",
+        n0.cast("long").alias("n_neg"),
+        u2.alias("u2"),
+        _r(auc).alias("auc"),
+        _r(z).alias("z_score"),
+    ).orderBy("scorer")
+
+
+ORACLE_AUC = rf"""
+WITH feat AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((len(regexp_extract_all(lower(text), '\b({_SW_EN})\b')) * 1000)
+                   // len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+              END AS s_stop,
+         CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((len(regexp_extract_all(text, '[\p{{P}}]')) * 1000)
+                   // length(text) AS BIGINT) END AS s_punct,
+         CAST(length(text) AS BIGINT) AS s_len
+  FROM documents
+),
+u AS (
+  SELECT 'stop_density' AS scorer, s_stop AS s, y FROM feat
+  UNION ALL SELECT 'punct_density', s_punct, y FROM feat
+  UNION ALL SELECT 'len_chars', s_len, y FROM feat
+),
+c AS (
+  SELECT scorer, s, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM u GROUP BY 1, 2
+),
+r AS (
+  SELECT scorer, cnt, pos,
+         CAST(2 * (sum(cnt) OVER (PARTITION BY scorer ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+              + cnt + 1 AS BIGINT) AS r2
+  FROM c
+),
+agg AS (
+  SELECT scorer, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(pos * r2) AS BIGINT) AS r2pos,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+  FROM r GROUP BY 1
+),
+fin AS (
+  SELECT scorer, n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+         CAST(r2pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+         CAST(n_pos * (n - n_pos) AS BIGINT) AS prod,
+         CAST(n_pos * (n - n_pos) AS DOUBLE) / 12.0
+           * (CAST(n + 1 AS DOUBLE)
+              - CASE WHEN n * (n - 1) != 0
+                     THEN CAST(tie AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+                     ELSE 0.0 END) AS var
+  FROM agg
+)
+SELECT scorer, n_pos, n_neg, u2,
+       round(CASE WHEN prod > 0
+                  THEN CAST(u2 AS DOUBLE) / (2.0 * CAST(prod AS DOUBLE)) END,
+             6) AS auc,
+       round(CASE WHEN prod > 0 AND var > 0
+                  THEN (CAST(u2 AS DOUBLE) - CAST(prod AS DOUBLE))
+                       / (2.0 * sqrt(var)) END, 6) AS z_score
+FROM fin
+ORDER BY scorer
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -10073,7 +10246,8 @@ LIMIT 10
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: repetition_report (r5d X94 insertion),
+# stalwart into the overflow: contamination_report (r5d X95 insertion),
+# repetition_report (r5d X94 insertion),
 # domain_cap_report (r5d X93 insertion),
 # pii_scrub_report (r5d X92 insertion),
 # mixing_report, classifier_report,
@@ -10135,6 +10309,7 @@ QUERIES = {
     "ks_test_report": ks_test_report,
     "spearman_report": spearman_report,
     "rrf_fusion_report": rrf_fusion_report,
+    "auc_report": auc_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -10310,6 +10485,7 @@ ORACLES = {
     "ks_test_report": ORACLE_KS_TEST,
     "spearman_report": ORACLE_SPEARMAN,
     "rrf_fusion_report": ORACLE_RRF_FUSION,
+    "auc_report": ORACLE_AUC,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -231,6 +231,7 @@ def main() -> None:
         cms_heavy_hitters_report,
         contamination_report,
         hll_distinct_report,
+        auc_report,
         kn_perplexity_report,
         ks_test_report,
         spearman_report,
@@ -487,6 +488,10 @@ def main() -> None:
         # rankers (TakeOrdered each); fusion joins run on ≤50-row
         # frames; ~linear tracking the scan
         "rrf_fusion_report": (rrf_fusion_report, (1, mult_hi), "embeddings"),
+        # r5d: X95 — one scan stacks 3 scorers in-row; counts combine
+        # map-side to the bounded score domain (≤1001 values for the
+        # density scorers), windows/aggs ride that frame; ~linear
+        "auc_report": (auc_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
