@@ -10227,6 +10227,159 @@ ORDER BY scorer
 """
 
 
+def chi2_report(spark, sf):
+    """Chi-square test of independence + Cramér's V (X96 — Pearson 1900;
+    Cramér 1946 V = sqrt(χ²/(N·min(r−1,c−1)))): is document length
+    distributed independently of source? The corpus-health audit behind
+    source-mix decisions (a high V says some hosts systematically ship
+    short/boilerplate pages). ONE map-side-combined groupBy collapses the
+    corpus to the (source × length-bucket) cell frame (≤ |sources|·10
+    rows; buckets = n_chars DIV 200 capped at 9); the FULL grid including
+    zero-observed cells is a crossJoin of the two tiny distinct frames
+    (absent cells still contribute E = R·C/N); margins R/C/N come from
+    three windows over that grid (no self-join — the conflicting-refs
+    trap); each cell's χ² term uses the exact BIGINT cross-multiple
+    d = O·N − R·C (exact while n² < 2^63) and is nano-quantized BIGINT
+    (the X72/X85 discipline) so the sum is addition-order-independent.
+    The top-contribution cell ships alongside (lexicographic (term, src,
+    bucket) max — the which-host-drives-it diagnostic). Floats only in
+    the final 1-row divisions. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select(
+        "source",
+        F.least(F.expr("n_chars DIV 200"), F.lit(9)).cast("long").alias("bucket"),
+    )
+    cells = d.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_o")
+    )
+    grid = (
+        cells.select("source")
+        .distinct()
+        .crossJoin(cells.select("bucket").distinct())
+        .join(cells, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("_o", F.lit(0)).cast("long").alias("_o"),
+        )
+    )
+    full = grid.select(
+        "source",
+        "bucket",
+        "_o",
+        F.sum("_o").over(W.partitionBy("source")).cast("long").alias("_r"),
+        F.sum("_o").over(W.partitionBy("bucket")).cast("long").alias("_c"),
+        F.sum("_o").over(W.partitionBy()).cast("long").alias("_n"),
+    )
+    dd = (F.col("_o") * F.col("_n") - F.col("_r") * F.col("_c")).cast("long")
+    denom = (
+        F.col("_n").cast("double")
+        * F.col("_r").cast("double")
+        * F.col("_c").cast("double")
+    )
+    term = F.when(
+        denom != 0, dd.cast("double") * dd.cast("double") / denom
+    ).otherwise(F.lit(0.0))
+    terms = full.select(
+        "source",
+        "bucket",
+        "_n",
+        F.round(term * F.lit(1e9)).cast("long").alias("_tn"),
+    )
+    agg = terms.groupBy().agg(
+        F.max("_n").cast("long").alias("n_total"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("bucket").cast("long").alias("n_buckets"),
+        F.sum("_tn").cast("long").alias("chi2_nano"),
+        F.max(
+            F.struct(
+                F.col("_tn").alias("t"),
+                F.col("source").alias("s"),
+                F.col("bucket").alias("b"),
+            )
+        ).alias("_top"),
+    )
+    mind = F.least(F.col("n_sources") - 1, F.col("n_buckets") - 1)
+    chi2d = F.col("chi2_nano").cast("double") / F.lit(1e9)
+    return agg.select(
+        "n_total",
+        "n_sources",
+        "n_buckets",
+        ((F.col("n_sources") - 1) * (F.col("n_buckets") - 1))
+        .cast("long")
+        .alias("dof"),
+        "chi2_nano",
+        _r(chi2d).alias("chi2"),
+        _r(
+            F.when(
+                (F.col("n_total") > 0) & (mind > 0),
+                F.sqrt(
+                    chi2d
+                    / (F.col("n_total").cast("double") * mind.cast("double"))
+                ),
+            )
+        ).alias("cramers_v"),
+        F.col("_top.s").alias("top_source"),
+        F.col("_top.b").alias("top_bucket"),
+        F.col("_top.t").alias("top_term_nano"),
+    )
+
+
+ORACLE_CHI2 = r"""
+WITH d AS (
+  SELECT source, CAST(least(n_chars // 200, 9) AS BIGINT) AS bucket
+  FROM documents
+),
+cells AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, b.bucket, CAST(coalesce(c.o, 0) AS BIGINT) AS o
+  FROM (SELECT DISTINCT source FROM cells) s
+  CROSS JOIN (SELECT DISTINCT bucket FROM cells) b
+  LEFT JOIN cells c ON c.source = s.source AND c.bucket = b.bucket
+),
+full_t AS (
+  SELECT source, bucket, o,
+         CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS r,
+         CAST(sum(o) OVER (PARTITION BY bucket) AS BIGINT) AS c,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM grid
+),
+terms AS (
+  SELECT source, bucket, n,
+         CAST(round(CASE WHEN CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                              * CAST(c AS DOUBLE) != 0
+               THEN CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+               ELSE 0.0 END * 1e9) AS BIGINT) AS tn
+  FROM full_t
+),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
+         CAST(sum(tn) AS BIGINT) AS chi2_nano
+  FROM terms
+),
+top AS (
+  SELECT source AS top_source, bucket AS top_bucket, tn AS top_term_nano
+  FROM terms ORDER BY tn DESC, source DESC, bucket DESC LIMIT 1
+)
+SELECT n_total, n_sources, n_buckets,
+       CAST((n_sources - 1) * (n_buckets - 1) AS BIGINT) AS dof,
+       chi2_nano,
+       round(CAST(chi2_nano AS DOUBLE) / 1e9, 6) AS chi2,
+       round(CASE WHEN n_total > 0 AND least(n_sources - 1, n_buckets - 1) > 0
+             THEN sqrt(CAST(chi2_nano AS DOUBLE) / 1e9
+                  / (CAST(n_total AS DOUBLE)
+                     * CAST(least(n_sources - 1, n_buckets - 1) AS DOUBLE)))
+             END, 6) AS cramers_v,
+       top_source, top_bucket, top_term_nano
+FROM agg CROSS JOIN top
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -10246,7 +10399,8 @@ ORDER BY scorer
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: contamination_report (r5d X95 insertion),
+# stalwart into the overflow: line_dedup_report (r5d X96 insertion),
+# contamination_report (r5d X95 insertion),
 # repetition_report (r5d X94 insertion),
 # domain_cap_report (r5d X93 insertion),
 # pii_scrub_report (r5d X92 insertion),
@@ -10310,6 +10464,7 @@ QUERIES = {
     "spearman_report": spearman_report,
     "rrf_fusion_report": rrf_fusion_report,
     "auc_report": auc_report,
+    "chi2_report": chi2_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -10486,6 +10641,7 @@ ORACLES = {
     "spearman_report": ORACLE_SPEARMAN,
     "rrf_fusion_report": ORACLE_RRF_FUSION,
     "auc_report": ORACLE_AUC,
+    "chi2_report": ORACLE_CHI2,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

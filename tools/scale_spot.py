@@ -232,6 +232,7 @@ def main() -> None:
         contamination_report,
         hll_distinct_report,
         auc_report,
+        chi2_report,
         kn_perplexity_report,
         ks_test_report,
         spearman_report,
@@ -492,6 +493,9 @@ def main() -> None:
         # map-side to the bounded score domain (≤1001 values for the
         # density scorers), windows/aggs ride that frame; ~linear
         "auc_report": (auc_report, (1, mult_hi), "documents"),
+        # r5d: X96 — one map-side-combined groupBy to the ≤|sources|x10
+        # cell frame; grid/margins/terms all ride tiny frames; ~linear
+        "chi2_report": (chi2_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
