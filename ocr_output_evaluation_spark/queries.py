@@ -10380,6 +10380,198 @@ FROM agg CROSS JOIN top
 """
 
 
+def bh_fdr_report(spark, sf):
+    """Benjamini-Hochberg FDR over a per-source drift-test family (X97 —
+    Benjamini & Hochberg 1995 step-up at α=0.05; the multiple-comparisons
+    control a per-host drift monitor needs once it runs one KS test per
+    source every snapshot). Each source's n_chars distribution is KS-
+    tested against the REST of the corpus (X92's exact-integer machinery,
+    leave-one-out margins off ONE shared count frame): per-(source,
+    value) counts combine map-side to the bounded domain, the full
+    source×value grid is a crossJoin with the column-total frame, and
+    ONE cumulative window per source yields BOTH ECDFs (the grid holds
+    every corpus value, so the within-partition cumulative of column
+    totals IS the global ECDF — no second pass); the sup numerator
+    |cum_src·n_rest − cum_rest·n_src| stays BIGINT-exact. The asymptotic
+    two-sided p = min(1, 2·exp(−2·D²·m)), m = n₁n₂/(n₁+n₂) (Smirnov
+    1939) is nano-quantized BIGINT, and the BH step-up (rank by p_nano,
+    reject ranks ≤ max{k: p_nano_k ≤ round(k·α/M·1e9)}) compares only
+    those integers — engine-identical decisions, no float-boundary
+    flips. Everything after the count frame rides |sources|·|domain|
+    rows. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    ALPHA = 0.05
+    d = t(spark, sf, "documents").select("source", "n_chars")
+    c = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    tot = c.groupBy("n_chars").agg(F.sum("_c").cast("long").alias("_ct"))
+    grid = (
+        c.select("source")
+        .distinct()
+        .crossJoin(tot)
+        .join(c, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            F.coalesce("_c", F.lit(0)).cast("long").alias("_c"),
+            "_ct",
+        )
+    )
+    wcum = (
+        W.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("source")
+    g = grid.select(
+        "source",
+        F.sum("_c").over(wcum).cast("long").alias("_cums"),
+        F.sum("_ct").over(wcum).cast("long").alias("_cuma"),
+        F.sum("_c").over(wall).cast("long").alias("_ns"),
+        F.sum("_ct").over(wall).cast("long").alias("_na"),
+    )
+    d_num = F.abs(
+        F.col("_cums") * (F.col("_na") - F.col("_ns"))
+        - (F.col("_cuma") - F.col("_cums")) * F.col("_ns")
+    ).cast("long")
+    s = g.groupBy("source").agg(
+        F.max("_ns").cast("long").alias("n_src"),
+        (F.max("_na") - F.max("_ns")).cast("long").alias("n_rest"),
+        F.max(d_num).cast("long").alias("d_num"),
+    )
+    prod = (F.col("n_src") * F.col("n_rest")).cast("double")
+    nsum = (F.col("n_src") + F.col("n_rest")).cast("double")
+    # -2*D^2*m with D = d_num/prod, m = prod/nsum -> -2*d_num^2/(prod*nsum)
+    p_raw = F.when(
+        (prod > 0) & (nsum > 0),
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-2.0)
+                * F.col("d_num").cast("double")
+                * F.col("d_num").cast("double")
+                / (prod * nsum)
+            ),
+        ),
+    )
+    pn = s.select(
+        "source",
+        "n_src",
+        "n_rest",
+        "d_num",
+        _r(F.when(prod > 0, F.col("d_num").cast("double") / prod)).alias(
+            "d_stat"
+        ),
+        F.round(p_raw * F.lit(1e9)).cast("long").alias("p_nano"),
+    )
+    wrank = W.orderBy(F.col("p_nano").asc(), F.col("source").asc())
+    m_tests = W.partitionBy()
+    ranked = pn.select(
+        "*",
+        F.row_number().over(wrank).cast("long").alias("bh_rank"),
+        F.count(F.lit(1)).over(m_tests).cast("long").alias("_m"),
+    )
+    thr_nano = F.round(
+        F.col("bh_rank").cast("double") * F.lit(ALPHA) / F.col("_m").cast("double")
+        * F.lit(1e9)
+    ).cast("long")
+    flagged = ranked.select(
+        "*",
+        thr_nano.alias("bh_thr_nano"),
+        F.when(F.col("p_nano") <= thr_nano, F.col("bh_rank")).alias("_okr"),
+    )
+    kmax = F.max("_okr").over(W.partitionBy())
+    return (
+        flagged.select(
+            "source",
+            "n_src",
+            "n_rest",
+            "d_num",
+            "d_stat",
+            _r(F.col("p_nano").cast("double") / F.lit(1e9)).alias("p_value"),
+            "bh_rank",
+            "bh_thr_nano",
+            (F.col("bh_rank") <= F.coalesce(kmax, F.lit(0)))
+            .cast("int")
+            .alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+ORACLE_BH_FDR = r"""
+WITH d AS (SELECT source, n_chars FROM documents),
+c AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cc
+  FROM d GROUP BY 1, 2
+),
+tot AS (
+  SELECT n_chars, CAST(sum(cc) AS BIGINT) AS ct FROM c GROUP BY 1
+),
+grid AS (
+  SELECT s.source, t.n_chars, CAST(coalesce(c.cc, 0) AS BIGINT) AS cc, t.ct
+  FROM (SELECT DISTINCT source FROM c) s
+  CROSS JOIN tot t
+  LEFT JOIN c ON c.source = s.source AND c.n_chars = t.n_chars
+),
+g AS (
+  SELECT source,
+         CAST(sum(cc) OVER (PARTITION BY source ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cums,
+         CAST(sum(ct) OVER (PARTITION BY source ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+         CAST(sum(cc) OVER (PARTITION BY source) AS BIGINT) AS ns,
+         CAST(sum(ct) OVER (PARTITION BY source) AS BIGINT) AS na
+  FROM grid
+),
+s AS (
+  SELECT source, CAST(max(ns) AS BIGINT) AS n_src,
+         CAST(max(na) - max(ns) AS BIGINT) AS n_rest,
+         CAST(max(abs(cums * (na - ns) - (cuma - cums) * ns)) AS BIGINT) AS d_num
+  FROM g GROUP BY 1
+),
+pn AS (
+  SELECT source, n_src, n_rest, d_num,
+         round(CASE WHEN n_src * n_rest > 0
+               THEN CAST(d_num AS DOUBLE)
+                    / (CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE)) END,
+               6) AS d_stat,
+         CAST(round(CASE WHEN n_src * n_rest > 0
+              THEN least(1.0, 2.0 * exp(
+                   -2.0 * CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE)
+                   / ((CAST(n_src AS DOUBLE) * CAST(n_rest AS DOUBLE))
+                      * (CAST(n_src AS DOUBLE) + CAST(n_rest AS DOUBLE)))))
+              END * 1e9) AS BIGINT) AS p_nano
+  FROM s
+),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_nano ASC, source ASC) AS BIGINT)
+           AS bh_rank,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pn
+),
+flagged AS (
+  SELECT *,
+         CAST(round(CAST(bh_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE) * 1e9)
+              AS BIGINT) AS bh_thr_nano
+  FROM ranked
+),
+km AS (
+  SELECT max(CASE WHEN p_nano <= bh_thr_nano THEN bh_rank END) AS kmax
+  FROM flagged
+)
+SELECT source, n_src, n_rest, d_num, d_stat,
+       round(CAST(p_nano AS DOUBLE) / 1e9, 6) AS p_value,
+       bh_rank, bh_thr_nano,
+       CAST(CASE WHEN bh_rank <= coalesce(kmax, 0) THEN 1 ELSE 0 END AS INT)
+         AS rejected
+FROM flagged CROSS JOIN km
+ORDER BY bh_rank
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -10399,7 +10591,8 @@ FROM agg CROSS JOIN top
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: line_dedup_report (r5d X96 insertion),
+# stalwart into the overflow: bpe_merge_report (r5d X97 insertion),
+# line_dedup_report (r5d X96 insertion),
 # contamination_report (r5d X95 insertion),
 # repetition_report (r5d X94 insertion),
 # domain_cap_report (r5d X93 insertion),
@@ -10465,6 +10658,7 @@ QUERIES = {
     "rrf_fusion_report": rrf_fusion_report,
     "auc_report": auc_report,
     "chi2_report": chi2_report,
+    "bh_fdr_report": bh_fdr_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -10642,6 +10836,7 @@ ORACLES = {
     "rrf_fusion_report": ORACLE_RRF_FUSION,
     "auc_report": ORACLE_AUC,
     "chi2_report": ORACLE_CHI2,
+    "bh_fdr_report": ORACLE_BH_FDR,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -232,6 +232,7 @@ def main() -> None:
         contamination_report,
         hll_distinct_report,
         auc_report,
+        bh_fdr_report,
         chi2_report,
         kn_perplexity_report,
         ks_test_report,
@@ -496,6 +497,10 @@ def main() -> None:
         # r5d: X96 — one map-side-combined groupBy to the ≤|sources|x10
         # cell frame; grid/margins/terms all ride tiny frames; ~linear
         "chi2_report": (chi2_report, (1, mult_hi), "documents"),
+        # r5d: X97 — one map-side-combined count frame; the source×value
+        # grid is |sources|·|domain| rows (domain bounded), windows and
+        # the 20-row BH pass ride it; ~linear tracking the scan
+        "bh_fdr_report": (bh_fdr_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
