@@ -10572,6 +10572,170 @@ ORDER BY bh_rank
 """
 
 
+def quantile_norm_report(spark, sf):
+    """Per-source quantile normalization (X98 — Bolstad et al. 2003's
+    microarray quantile normalization adapted to unequal group sizes via
+    rank interpolation; the per-host score-calibration table a CCNet-style
+    curator needs before cross-source selection, so a host whose pages all
+    score low isn't wholesale discarded by a single global threshold).
+    For each source and decile d=1..10 the within-source decile rank
+    r_d = ceil(d*n_src/10) maps onto the pooled rank
+    k = 1 + (r_d-1)(N-1) DIV (n_src-1) and both rank→value lookups ride
+    the bounded n_chars domain: per-(source, value) counts combine
+    map-side, ONE cumulative window per side turns counts into rank
+    INTERVALS (value v covers ranks (cum−c, cum]), and the 10-deciles-per
+    -source frame broadcast-joins into exactly one interval per lookup —
+    no per-doc global sort, no quantile sketch, everything after the
+    count frame rides |sources|·|domain| rows and the output is
+    10·|sources|. Pure BIGINT throughout (integer DIV, ceil via
+    (x+9) DIV 10) — engine-identical, no float quantization anywhere.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select("source", "n_chars")
+    c = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    wsrc = (
+        W.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sc_ = c.select(
+        "source",
+        "n_chars",
+        "_c",
+        F.sum("_c").over(wsrc).cast("long").alias("_cum_s"),
+        F.sum("_c").over(W.partitionBy("source")).cast("long").alias("n_src"),
+    )
+    tot = c.groupBy("n_chars").agg(F.sum("_c").cast("long").alias("_ct"))
+    wall = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pooled = tot.select(
+        "n_chars",
+        "_ct",
+        F.sum("_ct").over(wall).cast("long").alias("_cum_a"),
+        F.sum("_ct").over(W.partitionBy()).cast("long").alias("_n_all"),
+    )
+    dec = (
+        c.groupBy("source")
+        .agg(F.sum("_c").cast("long").alias("n_src"))
+        .select(
+            "source",
+            "n_src",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+        )
+        .select(
+            "source",
+            "n_src",
+            F.col("decile").cast("long").alias("decile"),
+        )
+        .select(
+            "source",
+            "n_src",
+            "decile",
+            F.expr("(decile * n_src + 9) DIV 10").cast("long").alias("src_rank"),
+        )
+    )
+    src_val = (
+        F.broadcast(dec)
+        .join(
+            sc_.select(
+                F.col("source").alias("_s2"), "n_chars", "_c", "_cum_s"
+            ),
+            (F.col("source") == F.col("_s2"))
+            & (F.col("src_rank") > F.col("_cum_s") - F.col("_c"))
+            & (F.col("src_rank") <= F.col("_cum_s")),
+        )
+        .select(
+            "source",
+            "n_src",
+            "decile",
+            "src_rank",
+            F.col("n_chars").alias("src_value"),
+        )
+    )
+    # _n_all is a per-row column on `pooled`; fold it into the decile frame
+    # via a 1-row crossJoin instead of a literal so the plan stays lazy
+    n_all_frame = pooled.groupBy().agg(F.max("_n_all").alias("_n_all"))
+    keyed = src_val.crossJoin(F.broadcast(n_all_frame)).select(
+        "*",
+        F.when(
+            F.col("n_src") > 1,
+            F.lit(1).cast("long")
+            + F.expr("(src_rank - 1) * (_n_all - 1) DIV (n_src - 1)"),
+        )
+        .otherwise(F.expr("(_n_all + 1) DIV 2"))
+        .cast("long")
+        .alias("pooled_rank"),
+    )
+    out = (
+        F.broadcast(keyed)
+        .join(
+            pooled.select("n_chars", "_ct", "_cum_a"),
+            (F.col("pooled_rank") > F.col("_cum_a") - F.col("_ct"))
+            & (F.col("pooled_rank") <= F.col("_cum_a")),
+        )
+        .select(
+            "source",
+            "decile",
+            "n_src",
+            "src_rank",
+            "src_value",
+            "pooled_rank",
+            F.col("n_chars").alias("pooled_value"),
+            (F.col("n_chars") - F.col("src_value"))
+            .cast("long")
+            .alias("shift"),
+        )
+    )
+    return out.orderBy("source", "decile")
+
+
+ORACLE_QUANTILE_NORM = r"""
+WITH c AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
+  FROM documents GROUP BY 1, 2
+),
+sc AS (
+  SELECT source, n_chars, _c,
+         CAST(sum(_c) OVER (PARTITION BY source ORDER BY n_chars
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum_s
+  FROM c
+),
+pooled AS (
+  SELECT n_chars, CAST(sum(_c) AS BIGINT) AS _ct,
+         CAST(sum(sum(_c)) OVER (ORDER BY n_chars
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum_a
+  FROM c GROUP BY n_chars
+),
+n_all AS (SELECT CAST(count(*) AS BIGINT) AS _n_all FROM documents),
+dec AS (
+  SELECT s.source, s.n_src, CAST(d.decile AS BIGINT) AS decile,
+         CAST((d.decile * s.n_src + 9) // 10 AS BIGINT) AS src_rank
+  FROM (SELECT source, CAST(sum(_c) AS BIGINT) AS n_src
+        FROM c GROUP BY source) s
+  CROSS JOIN (SELECT unnest(range(1, 11)) AS decile) d
+),
+src_val AS (
+  SELECT dec.source, dec.n_src, dec.decile, dec.src_rank,
+         sc.n_chars AS src_value
+  FROM dec JOIN sc ON sc.source = dec.source
+   AND dec.src_rank > sc._cum_s - sc._c AND dec.src_rank <= sc._cum_s
+),
+keyed AS (
+  SELECT sv.*, CASE WHEN sv.n_src > 1
+           THEN 1 + (sv.src_rank - 1) * (na._n_all - 1) // (sv.n_src - 1)
+           ELSE (na._n_all + 1) // 2 END AS pooled_rank
+  FROM src_val sv CROSS JOIN n_all na
+)
+SELECT k.source, k.decile, k.n_src, k.src_rank, k.src_value,
+       CAST(k.pooled_rank AS BIGINT) AS pooled_rank,
+       p.n_chars AS pooled_value,
+       CAST(p.n_chars - k.src_value AS BIGINT) AS shift
+FROM keyed k JOIN pooled p
+  ON k.pooled_rank > p._cum_a - p._ct AND k.pooled_rank <= p._cum_a
+ORDER BY source, decile
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -10591,7 +10755,8 @@ ORDER BY bh_rank
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: bpe_merge_report (r5d X97 insertion),
+# stalwart into the overflow: range_funnel_report (r5d X98 insertion),
+# bpe_merge_report (r5d X97 insertion),
 # line_dedup_report (r5d X96 insertion),
 # contamination_report (r5d X95 insertion),
 # repetition_report (r5d X94 insertion),
@@ -10659,6 +10824,7 @@ QUERIES = {
     "auc_report": auc_report,
     "chi2_report": chi2_report,
     "bh_fdr_report": bh_fdr_report,
+    "quantile_norm_report": quantile_norm_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -10837,6 +11003,7 @@ ORACLES = {
     "auc_report": ORACLE_AUC,
     "chi2_report": ORACLE_CHI2,
     "bh_fdr_report": ORACLE_BH_FDR,
+    "quantile_norm_report": ORACLE_QUANTILE_NORM,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

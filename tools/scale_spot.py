@@ -234,6 +234,7 @@ def main() -> None:
         auc_report,
         bh_fdr_report,
         chi2_report,
+        quantile_norm_report,
         kn_perplexity_report,
         ks_test_report,
         spearman_report,
@@ -501,6 +502,11 @@ def main() -> None:
         # grid is |sources|·|domain| rows (domain bounded), windows and
         # the 20-row BH pass ride it; ~linear tracking the scan
         "bh_fdr_report": (bh_fdr_report, (1, mult_hi), "documents"),
+        # r5d: X98 — per-(source, value) counts combine map-side to the
+        # bounded domain; both rank→value lookups broadcast the 200-row
+        # decile frame into domain-size interval frames; ~linear
+        "quantile_norm_report": (
+            quantile_norm_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
