@@ -10689,6 +10689,159 @@ def quantile_norm_report(spark, sf):
     return out.orderBy("source", "decile")
 
 
+def isotonic_calibration_report(spark, sf, scorer="stop_density"):
+    """Isotonic-regression calibration of a quality scorer (X99 — PAV,
+    Ayer et al. 1955; the minimax closed form fitted[i] = max_{j<=i}
+    min_{k>=i} avg(y[j..k]), Barlow et al. 1972 §1.2; the monotone
+    score→P(label) calibration step Zadrozny & Elkan 2002 apply before a
+    classifier's scores gate a corpus). Scorer and label reuse X95's
+    setup: en-stopword hits per kilotoken (exact BIGINT, bounded ≤1001
+    values) against the lang=='en' label. Per-score (count, positives)
+    combine map-side to the bounded domain; prefix sums ride ONE window
+    over the m-row domain frame; the all-interval frame (j≤k, m²≤~500k
+    rows — domain-bounded, scale-INVARIANT in corpus size) carries each
+    interval's nano-quantized mean round(1e9·(S_k−S_{j−1})/(N_k−N_{j−1}))
+    as BIGINT, a suffix-min window per j and a max groupBy per i evaluate
+    the minimax, and because round() is monotone, min/max commute with
+    it: the BIGINT result IS round(1e9·exact PAV fit) — engine-identical
+    integers, no float-boundary flips (the pytest mirror cross-checks an
+    exact-fraction pool-adjacent-violators stack). Everything after the
+    count frame is corpus-size-free. The registry/oracle path scores by
+    stopword density; the scale-spot drill passes scorer='len_bucket'
+    (n_chars DIV 4 capped at 1000 — same bounded-domain contract) because
+    the spot fixture's hex vocabulary has no English stopwords.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.text import STOPWORDS, _word_hits, whitespace_token_count
+
+    d = t(spark, sf, "documents")
+    if scorer == "len_bucket":
+        score = F.least(
+            F.expr("n_chars DIV 4").cast("long"), F.lit(1000).cast("long")
+        )
+        base = d.select(
+            (F.col("lang") == "en").cast("long").alias("_y"),
+            score.alias("score"),
+        )
+    else:
+        toks = whitespace_token_count(F.col("text"))
+        hits = _word_hits(F.col("text"), STOPWORDS["en"]).cast("long")
+        base = d.select(
+            (F.col("lang") == "en").cast("long").alias("_y"),
+            F.when(toks > 0, hits * F.lit(1000)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("_h1000"),
+            F.greatest(toks, F.lit(1)).cast("long").alias("_toks"),
+        ).select("_y", F.expr("_h1000 DIV _toks").cast("long").alias("score"))
+    c = base.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    wpre = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = c.select(
+        "score",
+        "n_docs",
+        "n_pos",
+        F.row_number().over(W.orderBy("score")).cast("long").alias("_i"),
+        F.sum("n_docs").over(wpre).cast("long").alias("_nn"),
+        F.sum("n_pos").over(wpre).cast("long").alias("_ss"),
+    )
+    lo = pre.select(
+        F.col("_i").alias("_j"),
+        (F.col("_nn") - F.col("n_docs")).alias("_n0"),
+        (F.col("_ss") - F.col("n_pos")).alias("_s0"),
+    )
+    hi = pre.select(
+        F.col("_i").alias("_k"), F.col("_nn").alias("_n1"), F.col("_ss").alias("_s1")
+    )
+    pairs = F.broadcast(lo).join(hi, F.col("_j") <= F.col("_k")).select(
+        "_j",
+        "_k",
+        F.round(
+            F.lit(1e9)
+            * (F.col("_s1") - F.col("_s0")).cast("double")
+            / (F.col("_n1") - F.col("_n0")).cast("double")
+        )
+        .cast("long")
+        .alias("_avg_nano"),
+    )
+    wsuf = (
+        W.partitionBy("_j")
+        .orderBy(F.col("_k").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    minsuf = pairs.select(
+        "_j",
+        F.col("_k").alias("_i"),
+        F.min("_avg_nano").over(wsuf).cast("long").alias("_minsuf"),
+    )
+    fit = minsuf.groupBy("_i").agg(
+        F.max("_minsuf").cast("long").alias("iso_nano")
+    )
+    return (
+        pre.join(fit, "_i")
+        .select(
+            "score",
+            "n_docs",
+            "n_pos",
+            _r(
+                F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+            ).alias("raw_rate"),
+            "iso_nano",
+            _r(F.col("iso_nano").cast("double") / F.lit(1e9)).alias("iso_rate"),
+        )
+        .orderBy("score")
+    )
+
+
+ORACLE_ISOTONIC = rf"""
+WITH base AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS _y,
+         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((len(regexp_extract_all(lower(text), '\b({_SW_EN})\b')) * 1000)
+                   // len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+              END AS score
+  FROM documents
+),
+c AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(_y) AS BIGINT) AS n_pos
+  FROM base GROUP BY score
+),
+pre AS (
+  SELECT score, n_docs, n_pos,
+         CAST(row_number() OVER (ORDER BY score) AS BIGINT) AS _i,
+         CAST(sum(n_docs) OVER (ORDER BY score
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _nn,
+         CAST(sum(n_pos) OVER (ORDER BY score
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _ss
+  FROM c
+),
+pairs AS (
+  SELECT lo._j, hi._k,
+         CAST(round(1e9 * CAST(hi._s1 - lo._s0 AS DOUBLE)
+              / CAST(hi._n1 - lo._n0 AS DOUBLE)) AS BIGINT) AS _avg_nano
+  FROM (SELECT _i AS _j, _nn - n_docs AS _n0, _ss - n_pos AS _s0 FROM pre) lo
+  JOIN (SELECT _i AS _k, _nn AS _n1, _ss AS _s1 FROM pre) hi
+    ON lo._j <= hi._k
+),
+minsuf AS (
+  SELECT _j, _k AS _i,
+         CAST(min(_avg_nano) OVER (PARTITION BY _j ORDER BY _k DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _minsuf
+  FROM pairs
+),
+fit AS (
+  SELECT _i, CAST(max(_minsuf) AS BIGINT) AS iso_nano FROM minsuf GROUP BY _i
+)
+SELECT p.score, p.n_docs, p.n_pos,
+       round(CAST(p.n_pos AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6) AS raw_rate,
+       f.iso_nano,
+       round(CAST(f.iso_nano AS DOUBLE) / 1e9, 6) AS iso_rate
+FROM pre p JOIN fit f ON p._i = f._i
+ORDER BY p.score
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -10755,7 +10908,8 @@ ORDER BY source, decile
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: range_funnel_report (r5d X98 insertion),
+# stalwart into the overflow: ppl_bucket_report (r5d X99 insertion),
+# range_funnel_report (r5d X98 insertion),
 # bpe_merge_report (r5d X97 insertion),
 # line_dedup_report (r5d X96 insertion),
 # contamination_report (r5d X95 insertion),
@@ -10825,6 +10979,7 @@ QUERIES = {
     "chi2_report": chi2_report,
     "bh_fdr_report": bh_fdr_report,
     "quantile_norm_report": quantile_norm_report,
+    "isotonic_calibration_report": isotonic_calibration_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -11004,6 +11159,7 @@ ORACLES = {
     "chi2_report": ORACLE_CHI2,
     "bh_fdr_report": ORACLE_BH_FDR,
     "quantile_norm_report": ORACLE_QUANTILE_NORM,
+    "isotonic_calibration_report": ORACLE_ISOTONIC,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -235,6 +235,7 @@ def main() -> None:
         bh_fdr_report,
         chi2_report,
         quantile_norm_report,
+        isotonic_calibration_report,
         kn_perplexity_report,
         ks_test_report,
         spearman_report,
@@ -507,6 +508,14 @@ def main() -> None:
         # decile frame into domain-size interval frames; ~linear
         "quantile_norm_report": (
             quantile_norm_report, (1, mult_hi), "documents"),
+        # r5d: X99 — per-score counts combine map-side to the bounded
+        # (≤1001-value) domain; the m² interval frame, suffix-min windows
+        # and max groupBy are all domain-sized whatever n; ~linear
+        # (spot fixture has no English stopwords -> len_bucket scorer:
+        # identical plan, non-degenerate ~100-value domain)
+        "isotonic_calibration_report": (
+            lambda s, d: isotonic_calibration_report(s, d, scorer="len_bucket"),
+            (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
