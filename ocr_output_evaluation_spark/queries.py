@@ -10842,6 +10842,210 @@ ORDER BY p.score
 """
 
 
+def kendall_report(spark, sf, scorer="stop_density"):
+    """Per-language Kendall tau-b ordinal association (X100 — Kendall
+    1938; the tie-corrected tau-b = (C−D)/sqrt((n0−n1)(n0−n2)) of
+    Kendall 1945, exactly scipy.stats.kendalltau's default): are longer
+    documents stopword-denser, per language? Both variables are bounded
+    ordinals (length bucket n_chars DIV 256 capped at 127; en-stopword
+    per-mille DIV 8 — the X99 scorer), so the corpus collapses map-side
+    to a per-(lang, x, y) cell frame and concordant/discordant pair
+    counts come from 2D PREFIX SUMS over the dense per-lang index grid
+    (≤128×126 cells/lang) — NEVER a pair self-join: C = Σ c·P(x−1,y−1)
+    and D = Σ c·(R(x−1) − P(x−1,y)) where P is the 2D cumulative count
+    and R the row-margin prefix, each unordered pair counted once at its
+    larger-x cell. Everything after the first groupBy rides grid-sized
+    frames whatever n; all counts BIGINT-exact (pair counts < 2^63 up to
+    ~3e9 docs/lang), floats only in each lang's final division. The
+    registry/oracle path scores y by stopword density; the scale-spot
+    drill passes scorer='len_mod' (y = (n_chars DIV 8) mod 126 — same
+    bounded-domain contract, non-degenerate on the hex-vocabulary spot
+    fixture which has no English stopwords).
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.text import STOPWORDS, _word_hits, whitespace_token_count
+
+    d = t(spark, sf, "documents")
+    xb = F.least(F.expr("n_chars DIV 256"), F.lit(127)).cast("long").alias("_x")
+    if scorer == "len_mod":
+        base = d.select(
+            "lang", xb, F.expr("(n_chars DIV 8) % 126").cast("long").alias("_y")
+        )
+    else:
+        toks = whitespace_token_count(F.col("text"))
+        hits = _word_hits(F.col("text"), STOPWORDS["en"]).cast("long")
+        base = d.select(
+            "lang",
+            xb,
+            F.when(toks > 0, hits * F.lit(1000)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("_h1000"),
+            F.greatest(toks, F.lit(1)).cast("long").alias("_toks"),
+        ).select(
+            "lang", "_x", F.expr("(_h1000 DIV _toks) DIV 8").cast("long").alias("_y")
+        )
+    cnt = base.groupBy("lang", "_x", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    wl = W.partitionBy("lang")
+    xs = (
+        cnt.select("lang", "_x")
+        .distinct()
+        .select("lang", "_x", F.dense_rank().over(wl.orderBy("_x")).alias("_xi"))
+    )
+    ys = (
+        cnt.select("lang", "_y")
+        .distinct()
+        .select("lang", "_y", F.dense_rank().over(wl.orderBy("_y")).alias("_yi"))
+    )
+    g = (
+        xs.join(ys, "lang")
+        .join(cnt, ["lang", "_x", "_y"], "left")
+        .select(
+            "lang", "_xi", "_yi", F.coalesce("_c", F.lit(0)).cast("long").alias("_c0")
+        )
+    )
+    wcol = (
+        W.partitionBy("lang", "_xi")
+        .orderBy("_yi")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wrow = (
+        W.partitionBy("lang", "_yi")
+        .orderBy("_xi")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    g = g.select("*", F.sum("_c0").over(wcol).cast("long").alias("_s1"))
+    g = g.select("*", F.sum("_s1").over(wrow).cast("long").alias("_p"))
+    g = g.select(
+        "*",
+        F.lag("_p", 1, 0)
+        .over(W.partitionBy("lang", "_yi").orderBy("_xi"))
+        .cast("long")
+        .alias("_pdy"),
+        F.sum("_c0").over(W.partitionBy("lang", "_xi")).cast("long").alias("_rt"),
+        F.sum("_c0").over(W.partitionBy("lang", "_yi")).cast("long").alias("_ct"),
+    )
+    g = g.select(
+        "*",
+        F.lag("_pdy", 1, 0)
+        .over(W.partitionBy("lang", "_xi").orderBy("_yi"))
+        .cast("long")
+        .alias("_pdd"),
+        (F.sum("_rt").over(wrow) - F.col("_rt")).cast("long").alias("_pcol"),
+    )
+    a = g.groupBy("lang").agg(
+        F.sum("_c0").cast("long").alias("n_docs"),
+        F.sum(F.col("_c0") * F.col("_pdd")).cast("long").alias("concordant"),
+        F.sum(F.col("_c0") * (F.col("_pcol") - F.col("_pdy")))
+        .cast("long")
+        .alias("discordant"),
+        F.sum(
+            F.when(F.col("_yi") == 1, F.expr("_rt * (_rt - 1) DIV 2")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("ties_x"),
+        F.sum(
+            F.when(F.col("_xi") == 1, F.expr("_ct * (_ct - 1) DIV 2")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("ties_y"),
+    )
+    n0 = F.expr("n_docs * (n_docs - 1) DIV 2").cast("long")
+    dx = (n0 - F.col("ties_x")).cast("double")
+    dy = (n0 - F.col("ties_y")).cast("double")
+    return a.select(
+        "lang",
+        "n_docs",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        _r(
+            F.when(
+                dx * dy > 0,
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.sqrt(dx * dy),
+            )
+        ).alias("tau_b"),
+    ).orderBy("lang")
+
+
+ORACLE_KENDALL = rf"""
+WITH base AS (
+  SELECT lang,
+         CAST(least(n_chars // 256, 127) AS BIGINT) AS _x,
+         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((len(regexp_extract_all(lower(text), '\b({_SW_EN})\b')) * 1000)
+                   // len(regexp_split_to_array(trim(text), '\s+')) // 8 AS BIGINT)
+              END AS _y
+  FROM documents
+),
+cnt AS (
+  SELECT lang, _x, _y, CAST(count(*) AS BIGINT) AS _c
+  FROM base GROUP BY 1, 2, 3
+),
+xs AS (
+  SELECT lang, _x, CAST(dense_rank() OVER (PARTITION BY lang ORDER BY _x) AS BIGINT) AS _xi
+  FROM (SELECT DISTINCT lang, _x FROM cnt)
+),
+ys AS (
+  SELECT lang, _y, CAST(dense_rank() OVER (PARTITION BY lang ORDER BY _y) AS BIGINT) AS _yi
+  FROM (SELECT DISTINCT lang, _y FROM cnt)
+),
+g0 AS (
+  SELECT xs.lang, _xi, _yi, CAST(coalesce(_c, 0) AS BIGINT) AS _c0
+  FROM xs JOIN ys ON xs.lang = ys.lang
+  LEFT JOIN cnt ON cnt.lang = xs.lang AND cnt._x = xs._x AND cnt._y = ys._y
+),
+g1 AS (
+  SELECT *, CAST(sum(_c0) OVER (PARTITION BY lang, _xi ORDER BY _yi
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _s1
+  FROM g0
+),
+g2 AS (
+  SELECT *, CAST(sum(_s1) OVER (PARTITION BY lang, _yi ORDER BY _xi
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _p
+  FROM g1
+),
+g3 AS (
+  SELECT *,
+         CAST(coalesce(lag(_p) OVER (PARTITION BY lang, _yi ORDER BY _xi), 0) AS BIGINT) AS _pdy,
+         CAST(sum(_c0) OVER (PARTITION BY lang, _xi) AS BIGINT) AS _rt,
+         CAST(sum(_c0) OVER (PARTITION BY lang, _yi) AS BIGINT) AS _ct
+  FROM g2
+),
+g4 AS (
+  SELECT *,
+         CAST(coalesce(lag(_pdy) OVER (PARTITION BY lang, _xi ORDER BY _yi), 0) AS BIGINT) AS _pdd,
+         CAST(sum(_rt) OVER (PARTITION BY lang, _yi ORDER BY _xi
+              ROWS UNBOUNDED PRECEDING) - _rt AS BIGINT) AS _pcol
+  FROM g3
+),
+a AS (
+  SELECT lang,
+         CAST(sum(_c0) AS BIGINT) AS n_docs,
+         CAST(sum(_c0 * _pdd) AS BIGINT) AS concordant,
+         CAST(sum(_c0 * (_pcol - _pdy)) AS BIGINT) AS discordant,
+         CAST(sum(CASE WHEN _yi = 1 THEN _rt * (_rt - 1) // 2 ELSE 0 END) AS BIGINT) AS ties_x,
+         CAST(sum(CASE WHEN _xi = 1 THEN _ct * (_ct - 1) // 2 ELSE 0 END) AS BIGINT) AS ties_y
+  FROM g4 GROUP BY 1
+)
+SELECT lang, n_docs, concordant, discordant, ties_x, ties_y,
+       round(CASE WHEN CAST(n_docs * (n_docs - 1) // 2 - ties_x AS DOUBLE)
+                     * CAST(n_docs * (n_docs - 1) // 2 - ties_y AS DOUBLE) > 0
+             THEN CAST(concordant - discordant AS DOUBLE)
+                  / sqrt(CAST(n_docs * (n_docs - 1) // 2 - ties_x AS DOUBLE)
+                         * CAST(n_docs * (n_docs - 1) // 2 - ties_y AS DOUBLE))
+             END, 6) AS tau_b
+FROM a
+ORDER BY lang
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -10908,7 +11112,8 @@ ORDER BY source, decile
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: ppl_bucket_report (r5d X99 insertion),
+# stalwart into the overflow: quantile_gate_report (r5d X100 insertion),
+# ppl_bucket_report (r5d X99 insertion),
 # range_funnel_report (r5d X98 insertion),
 # bpe_merge_report (r5d X97 insertion),
 # line_dedup_report (r5d X96 insertion),
@@ -10980,6 +11185,7 @@ QUERIES = {
     "bh_fdr_report": bh_fdr_report,
     "quantile_norm_report": quantile_norm_report,
     "isotonic_calibration_report": isotonic_calibration_report,
+    "kendall_report": kendall_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -11160,6 +11366,7 @@ ORACLES = {
     "bh_fdr_report": ORACLE_BH_FDR,
     "quantile_norm_report": ORACLE_QUANTILE_NORM,
     "isotonic_calibration_report": ORACLE_ISOTONIC,
+    "kendall_report": ORACLE_KENDALL,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -236,6 +236,7 @@ def main() -> None:
         chi2_report,
         quantile_norm_report,
         isotonic_calibration_report,
+        kendall_report,
         kn_perplexity_report,
         ks_test_report,
         spearman_report,
@@ -515,6 +516,13 @@ def main() -> None:
         # identical plan, non-degenerate ~100-value domain)
         "isotonic_calibration_report": (
             lambda s, d: isotonic_calibration_report(s, d, scorer="len_bucket"),
+            (1, mult_hi), "documents"),
+        # r5d: X100 — per-(lang, x, y) cells combine map-side to the bounded
+        # grid; 2D prefix sums + the pair arithmetic all ride the dense
+        # ≤128x126-per-lang grid whatever n; ~linear (len_mod y-scorer:
+        # identical plan, non-degenerate grid on the hex fixture)
+        "kendall_report": (
+            lambda s, d: kendall_report(s, d, scorer="len_mod"),
             (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
