@@ -11046,6 +11046,173 @@ ORDER BY lang
 """
 
 
+def mann_kendall_report(spark, sf):
+    """Per-event-type Mann-Kendall trend test + Theil-Sen slope (X101 —
+    Mann 1945 / Kendall 1975 S = Σ_{i<j} sign(c_j−c_i) with the tie-
+    corrected variance 18·var = n(n−1)(2n+5) − Σ t(t−1)(2t+5) and ±1
+    continuity correction; Sen 1968 slope = median of pairwise slopes —
+    the standard nonparametric drift monitor for a crawl's daily volume
+    series). Events collapse map-side to the per-(type, epoch-day) count
+    frame (bounded by |types|·|days| whatever event count); the i<j pair
+    frame is day-domain-bounded (≤366²/2 per type per year) so S, the
+    slope list and the tie terms all ride tiny frames. S and 18·var are
+    BIGINT-exact; each pairwise slope is the IEEE division of two exact
+    BIGINTs (identical in both engines) and the median is picked by
+    row_number under the explicit total order (slope, dc, dd) — even
+    counts average the two middle values. z uses the standard correction:
+    (S−1)/σ if S>0, (S+1)/σ if S<0, exactly 0 if S=0.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    e = t(spark, sf, "events")
+    cnt = (
+        e.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+            .cast("long")
+            .alias("_d"),
+        )
+        .groupBy("event_type", "_d")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    lo = cnt.toDF("event_type", "_d0", "_c0")
+    hi = cnt.toDF("event_type", "_d1", "_c1")
+    pairs = (
+        F.broadcast(lo)
+        .join(hi, "event_type")
+        .filter(F.col("_d0") < F.col("_d1"))
+        .select(
+            "event_type",
+            (F.col("_c1") - F.col("_c0")).cast("long").alias("_dc"),
+            (F.col("_d1") - F.col("_d0")).cast("long").alias("_dd"),
+        )
+        .select(
+            "event_type",
+            "_dc",
+            "_dd",
+            F.signum(F.col("_dc").cast("double")).cast("long").alias("_sgn"),
+            (F.col("_dc").cast("double") / F.col("_dd").cast("double")).alias(
+                "_slope"
+            ),
+        )
+    )
+    wp = W.partitionBy("event_type")
+    ranked = pairs.select(
+        "*",
+        F.row_number().over(wp.orderBy("_slope", "_dc", "_dd")).alias("_rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("_m"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("_sgn").cast("long").alias("s_stat"),
+        _r(
+            F.avg(
+                F.when(
+                    (F.col("_rn") == F.expr("(_m + 1) DIV 2"))
+                    | (F.col("_rn") == F.expr("(_m + 2) DIV 2")),
+                    F.col("_slope"),
+                )
+            )
+        ).alias("sen_slope"),
+    )
+    nd = cnt.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        cnt.groupBy("event_type", "_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("_t * (_t - 1) * (2 * _t + 5)")).cast("long").alias("_tt")
+        )
+    )
+    out = (
+        nd.join(ties, "event_type")
+        .join(agg, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                F.expr("n_days * (n_days - 1) * (2 * n_days + 5)") - F.col("_tt")
+            )
+            .cast("long")
+            .alias("var18"),
+            "sen_slope",
+        )
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var18",
+        _r(F.when(F.col("var18") > 0, z).when(F.col("s_stat") == 0, F.lit(0.0))).alias(
+            "z_mk"
+        ),
+        "sen_slope",
+    ).orderBy("event_type")
+
+
+ORACLE_MANN_KENDALL = r"""
+WITH cnt AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d,
+         CAST(count(*) AS BIGINT) AS _c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT lo.event_type,
+         CAST(hi._c - lo._c AS BIGINT) AS _dc,
+         CAST(hi._d - lo._d AS BIGINT) AS _dd,
+         CAST(sign(hi._c - lo._c) AS BIGINT) AS _sgn,
+         CAST(hi._c - lo._c AS DOUBLE) / CAST(hi._d - lo._d AS DOUBLE) AS _slope
+  FROM cnt lo JOIN cnt hi
+    ON lo.event_type = hi.event_type AND lo._d < hi._d
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY _slope, _dc, _dd) AS _rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS _m
+  FROM pairs
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(_sgn) AS BIGINT) AS s_stat,
+         round(avg(CASE WHEN _rn = (_m + 1) // 2 OR _rn = (_m + 2) // 2
+                        THEN _slope END), 6) AS sen_slope
+  FROM ranked GROUP BY 1
+),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM cnt GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(sum(_t * (_t - 1) * (2 * _t + 5)) AS BIGINT) AS _tt
+  FROM (SELECT event_type, _c, CAST(count(*) AS BIGINT) AS _t
+        FROM cnt GROUP BY 1, 2)
+  GROUP BY 1
+),
+o AS (
+  SELECT nd.event_type, n_days, s_stat,
+         CAST(n_days * (n_days - 1) * (2 * n_days + 5) - _tt AS BIGINT) AS var18,
+         sen_slope
+  FROM nd JOIN ties ON nd.event_type = ties.event_type
+          JOIN agg ON nd.event_type = agg.event_type
+)
+SELECT event_type, n_days, s_stat, var18,
+       round(CASE WHEN var18 > 0 THEN
+                CASE WHEN s_stat > 0
+                     THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                     WHEN s_stat < 0
+                     THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                     ELSE 0.0 END
+             WHEN s_stat = 0 THEN 0.0 END, 6) AS z_mk,
+       sen_slope
+FROM o
+ORDER BY event_type
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -11112,7 +11279,8 @@ ORDER BY source, decile
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: quantile_gate_report (r5d X100 insertion),
+# stalwart into the overflow: asof_attribution_report (r5d X101 insertion),
+# quantile_gate_report (r5d X100 insertion),
 # ppl_bucket_report (r5d X99 insertion),
 # range_funnel_report (r5d X98 insertion),
 # bpe_merge_report (r5d X97 insertion),
@@ -11186,6 +11354,7 @@ QUERIES = {
     "quantile_norm_report": quantile_norm_report,
     "isotonic_calibration_report": isotonic_calibration_report,
     "kendall_report": kendall_report,
+    "mann_kendall_report": mann_kendall_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -11367,6 +11536,7 @@ ORACLES = {
     "quantile_norm_report": ORACLE_QUANTILE_NORM,
     "isotonic_calibration_report": ORACLE_ISOTONIC,
     "kendall_report": ORACLE_KENDALL,
+    "mann_kendall_report": ORACLE_MANN_KENDALL,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

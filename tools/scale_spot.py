@@ -238,6 +238,7 @@ def main() -> None:
         isotonic_calibration_report,
         kendall_report,
         kn_perplexity_report,
+        mann_kendall_report,
         ks_test_report,
         spearman_report,
         rrf_fusion_report,
@@ -524,6 +525,10 @@ def main() -> None:
         "kendall_report": (
             lambda s, d: kendall_report(s, d, scorer="len_mod"),
             (1, mult_hi), "documents"),
+        # r5d: X101 — events collapse map-side to the (type, day) count
+        # frame (30-day fixture domain); the pair frame, slope ranking and
+        # tie terms are all day-domain-bounded whatever event count; ~linear
+        "mann_kendall_report": (mann_kendall_report, (1, mult_hi), "events"),
     }
     only = set(sys.argv[1:])
     if only:
