@@ -11213,6 +11213,168 @@ ORDER BY event_type
 """
 
 
+def pr_curve_report(spark, sf, scorer="stop_density"):
+    """Threshold-sweep precision/recall curve + average precision (X102
+    — the step-function AP = Σ_k (R_k−R_{k−1})·P_k over descending
+    thresholds, exactly sklearn.metrics.average_precision_score; Davis &
+    Goadrich 2006 on why PR beats ROC under class imbalance — the
+    operating-point audit run before a classifier score gates a corpus).
+    Scorer/label reuse X95/X99's setup (en-stopword per-mille vs the
+    lang=='en' label, exact BIGINT, ≤1001-value domain). ONE corpus scan
+    collapses map-side to the per-score (n, pos) frame; descending-
+    cumulative windows over the ≤1001-row domain give TP/FP at every
+    distinct threshold; each AP term ΔTP·TP/(TP+FP) is nano-quantized
+    round(1e9·term) BIGINT so the sum is order-independent and engine-
+    identical; precision/recall/F1 are per-row IEEE divisions of exact
+    BIGINTs, 6dp. Everything after the count frame is corpus-size-free.
+    The scale-spot drill passes scorer='len_bucket' (X99's contract —
+    the hex spot fixture has no English stopwords).
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.text import STOPWORDS, _word_hits, whitespace_token_count
+
+    d = t(spark, sf, "documents")
+    if scorer == "len_bucket":
+        base = d.select(
+            (F.col("lang") == "en").cast("long").alias("_y"),
+            F.least(F.expr("n_chars DIV 4").cast("long"), F.lit(1000).cast("long"))
+            .alias("score"),
+        )
+    else:
+        toks = whitespace_token_count(F.col("text"))
+        hits = _word_hits(F.col("text"), STOPWORDS["en"]).cast("long")
+        base = d.select(
+            (F.col("lang") == "en").cast("long").alias("_y"),
+            F.when(toks > 0, hits * F.lit(1000)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("_h1000"),
+            F.greatest(toks, F.lit(1)).cast("long").alias("_toks"),
+        ).select("_y", F.expr("_h1000 DIV _toks").cast("long").alias("score"))
+    c = base.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_pos"),
+    )
+    wdesc = (
+        W.orderBy(F.col("score").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy()
+    g = c.select(
+        "score",
+        F.sum("_pos").over(wdesc).cast("long").alias("tp"),
+        (F.sum("_n").over(wdesc) - F.sum("_pos").over(wdesc))
+        .cast("long")
+        .alias("fp"),
+        F.sum("_pos").over(wall).cast("long").alias("_p"),
+    )
+    g = g.select(
+        "*",
+        (
+            F.col("tp")
+            - F.lag("tp", 1, 0).over(W.orderBy(F.col("score").desc()))
+        )
+        .cast("long")
+        .alias("_dtp"),
+    )
+    g = g.select(
+        "*",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(
+                F.lit(1e9)
+                * F.col("_dtp").cast("double")
+                * F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp")).cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_term_nano"),
+    )
+    g = g.select("*", F.sum("_term_nano").over(wall).cast("long").alias("_apn"))
+    pp = (F.col("tp") + F.col("fp")).cast("double")
+    return g.select(
+        "score",
+        "tp",
+        "fp",
+        (F.col("_p") - F.col("tp")).cast("long").alias("fn"),
+        _r(F.when(F.col("tp") + F.col("fp") > 0, F.col("tp").cast("double") / pp)).alias(
+            "precision"
+        ),
+        _r(
+            F.when(F.col("_p") > 0, F.col("tp").cast("double") / F.col("_p").cast("double"))
+        ).alias("recall"),
+        _r(
+            F.when(
+                F.lit(2) * F.col("tp") + F.col("fp") + (F.col("_p") - F.col("tp")) > 0,
+                F.lit(2.0)
+                * F.col("tp").cast("double")
+                / (
+                    F.lit(2) * F.col("tp") + F.col("fp") + (F.col("_p") - F.col("tp"))
+                ).cast("double"),
+            )
+        ).alias("f1"),
+        _r(
+            F.when(
+                F.col("_p") > 0,
+                F.col("_apn").cast("double") / (F.lit(1e9) * F.col("_p").cast("double")),
+            )
+        ).alias("ap"),
+    ).orderBy("score")
+
+
+ORACLE_PR_CURVE = rf"""
+WITH base AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS _y,
+         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((len(regexp_extract_all(lower(text), '\b({_SW_EN})\b')) * 1000)
+                   // len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+              END AS score
+  FROM documents
+),
+c AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS _n, CAST(sum(_y) AS BIGINT) AS _pos
+  FROM base GROUP BY score
+),
+g1 AS (
+  SELECT score,
+         CAST(sum(_pos) OVER (ORDER BY score DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         CAST(sum(_n) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+              - sum(_pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS fp,
+         CAST(sum(_pos) OVER () AS BIGINT) AS _p
+  FROM c
+),
+g2 AS (
+  SELECT *, CAST(tp - coalesce(lag(tp) OVER (ORDER BY score DESC), 0) AS BIGINT) AS _dtp
+  FROM g1
+),
+g3 AS (
+  SELECT *,
+         CASE WHEN tp + fp > 0
+              THEN CAST(round(1e9 * CAST(_dtp AS DOUBLE) * CAST(tp AS DOUBLE)
+                              / CAST(tp + fp AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS _term_nano
+  FROM g2
+),
+g4 AS (
+  SELECT *, CAST(sum(_term_nano) OVER () AS BIGINT) AS _apn FROM g3
+)
+SELECT score, tp, fp, CAST(_p - tp AS BIGINT) AS fn,
+       round(CASE WHEN tp + fp > 0
+             THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+       round(CASE WHEN _p > 0
+             THEN CAST(tp AS DOUBLE) / CAST(_p AS DOUBLE) END, 6) AS recall,
+       round(CASE WHEN 2 * tp + fp + (_p - tp) > 0
+             THEN 2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + (_p - tp) AS DOUBLE)
+             END, 6) AS f1,
+       round(CASE WHEN _p > 0
+             THEN CAST(_apn AS DOUBLE) / (1e9 * CAST(_p AS DOUBLE)) END, 6) AS ap
+FROM g4
+ORDER BY score
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -11279,7 +11441,14 @@ ORDER BY source, decile
 # into slots 0-49 and demote the r5-recorded window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
-# stalwart into the overflow: asof_attribution_report (r5d X101 insertion),
+# stalwart into the overflow. The X102 insertion exhausted the window's
+# stalwart supply (the r5-new block + the 11 r4-late entries now fill all
+# 50 slots), so from X102 on each insertion instead swaps a window
+# ROWS-ONLY entry into the overflow — a rows-only driver row certifies
+# less than a fully-oracled hash row, and the swapped entries keep their
+# pytest + local-strict evidence: phash_dedup_report (r5d X102 swap),
+# link_graph_report (reserved for the next insertion). Demotions to date:
+# asof_attribution_report (r5d X101 insertion),
 # quantile_gate_report (r5d X100 insertion),
 # ppl_bucket_report (r5d X99 insertion),
 # range_funnel_report (r5d X98 insertion),
@@ -11329,7 +11498,6 @@ QUERIES = {
     "diversity_report": diversity_report,
     "novelty_report": novelty_report,
     "boot_ci_report": boot_ci_report,
-    "phash_dedup_report": phash_dedup_report,  # rows-only: binary payloads
     "link_graph_report": link_graph_report,  # rows-only: HTML inputs
     "curation_funnel_report": curation_funnel_report,
     "neyman_sample_report": neyman_sample_report,
@@ -11355,6 +11523,7 @@ QUERIES = {
     "isotonic_calibration_report": isotonic_calibration_report,
     "kendall_report": kendall_report,
     "mann_kendall_report": mann_kendall_report,
+    "pr_curve_report": pr_curve_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -11387,6 +11556,9 @@ QUERIES = {
     "dup_clusters": dup_clusters,
     "parts_above_type_avg": parts_above_type_avg,
     "extraction_report": extraction_report,
+    # -- rows-only entries swapped out of the window by late-r5 insertions
+    #    (see the rotation comment): pytest + local-strict evidence only --
+    "phash_dedup_report": phash_dedup_report,  # rows-only: binary payloads
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -11537,6 +11709,7 @@ ORACLES = {
     "isotonic_calibration_report": ORACLE_ISOTONIC,
     "kendall_report": ORACLE_KENDALL,
     "mann_kendall_report": ORACLE_MANN_KENDALL,
+    "pr_curve_report": ORACLE_PR_CURVE,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -239,6 +239,7 @@ def main() -> None:
         kendall_report,
         kn_perplexity_report,
         mann_kendall_report,
+        pr_curve_report,
         ks_test_report,
         spearman_report,
         rrf_fusion_report,
@@ -529,6 +530,12 @@ def main() -> None:
         # frame (30-day fixture domain); the pair frame, slope ranking and
         # tie terms are all day-domain-bounded whatever event count; ~linear
         "mann_kendall_report": (mann_kendall_report, (1, mult_hi), "events"),
+        # r5d: X102 — per-score counts combine map-side to the bounded
+        # domain; the threshold sweep rides the ≤1001-row frame whatever n;
+        # ~linear (len_bucket scorer: non-degenerate on the hex fixture)
+        "pr_curve_report": (
+            lambda s, d: pr_curve_report(s, d, scorer="len_bucket"),
+            (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
