@@ -11375,6 +11375,145 @@ ORDER BY score
 """
 
 
+def brier_report(spark, sf, scorer="stop_density"):
+    """Brier score + Murphy decomposition (X103 — Brier 1950 mean
+    squared probability error; Murphy 1973 REL − RES + UNC split over
+    forecast bins: reliability = how far each bin's observed rate sits
+    from its forecast, resolution = how much the bins separate from the
+    base rate, uncertainty = ō(1−ō) — the standard decomposition for
+    judging a probability forecast before it gates a corpus). Forecast
+    p = score/1000 with the X95/X99 en-stopword per-mille scorer vs the
+    lang=='en' label; bins are the distinct forecast values (≤1001).
+    N·10⁶·Brier is EXACTLY Σ_k (n_k s_k² − 2000 s_k pos_k + 10⁶ pos_k)
+    — a pure-BIGINT sum off the per-score count frame (y² = y). REL/RES
+    per-bin terms are IEEE doubles of exact BIGINTs, nano-quantized so
+    their sums are order-independent; UNC and the decomposition gap
+    (pins Brier = REL − RES + UNC to ≤ rounding noise) are 1-row
+    arithmetic. Everything after the count frame is corpus-size-free.
+    The scale-spot drill passes scorer='len_bucket' (X99's contract —
+    the hex spot fixture has no English stopwords).
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.text import STOPWORDS, _word_hits, whitespace_token_count
+
+    d = t(spark, sf, "documents")
+    if scorer == "len_bucket":
+        base = d.select(
+            (F.col("lang") == "en").cast("long").alias("_y"),
+            F.least(F.expr("n_chars DIV 4").cast("long"), F.lit(1000).cast("long"))
+            .alias("score"),
+        )
+    else:
+        toks = whitespace_token_count(F.col("text"))
+        hits = _word_hits(F.col("text"), STOPWORDS["en"]).cast("long")
+        base = d.select(
+            (F.col("lang") == "en").cast("long").alias("_y"),
+            F.when(toks > 0, hits * F.lit(1000)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("_h1000"),
+            F.greatest(toks, F.lit(1)).cast("long").alias("_toks"),
+        ).select("_y", F.expr("_h1000 DIV _toks").cast("long").alias("score"))
+    c = base.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_pos"),
+    )
+    wall = W.partitionBy()
+    g = c.select(
+        "*",
+        F.sum("_n").over(wall).cast("long").alias("_nt"),
+        F.sum("_pos").over(wall).cast("long").alias("_pt"),
+    )
+    obar = F.col("_pt").cast("double") / F.col("_nt").cast("double")
+    rel_term = (
+        (F.col("score") * F.col("_n") - F.lit(1000) * F.col("_pos")).cast("double")
+        * (F.col("score") * F.col("_n") - F.lit(1000) * F.col("_pos")).cast("double")
+        / (F.lit(1e6) * F.col("_n").cast("double"))
+    )
+    res_term = (
+        F.col("_n").cast("double")
+        * (F.col("_pos").cast("double") / F.col("_n").cast("double") - obar)
+        * (F.col("_pos").cast("double") / F.col("_n").cast("double") - obar)
+    )
+    a = g.groupBy("_nt", "_pt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(
+            F.expr("_n * score * score - 2000 * score * _pos + 1000000 * _pos")
+        )
+        .cast("long")
+        .alias("_bsum"),
+        F.sum(F.round(F.lit(1e9) * rel_term).cast("long")).cast("long").alias("_reln"),
+        F.sum(F.round(F.lit(1e9) * res_term).cast("long")).cast("long").alias("_resn"),
+    )
+    nt = F.col("_nt").cast("double")
+    ob = F.col("_pt").cast("double") / nt
+    brier = F.col("_bsum").cast("double") / (nt * F.lit(1e6))
+    rel = F.col("_reln").cast("double") / (F.lit(1e9) * nt)
+    res = F.col("_resn").cast("double") / (F.lit(1e9) * nt)
+    unc = ob * (F.lit(1.0) - ob)
+    return a.select(
+        F.col("_nt").alias("n_docs"),
+        "n_bins",
+        _r(ob).alias("base_rate"),
+        _r(brier).alias("brier"),
+        _r(rel).alias("reliability"),
+        _r(res).alias("resolution"),
+        _r(unc).alias("uncertainty"),
+        _r(brier - (rel - res + unc)).alias("decomp_gap"),
+    )
+
+
+ORACLE_BRIER = rf"""
+WITH base AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS _y,
+         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((len(regexp_extract_all(lower(text), '\b({_SW_EN})\b')) * 1000)
+                   // len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+              END AS score
+  FROM documents
+),
+c AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS _n, CAST(sum(_y) AS BIGINT) AS _pos
+  FROM base GROUP BY score
+),
+g AS (
+  SELECT *,
+         CAST(sum(_n) OVER () AS BIGINT) AS _nt,
+         CAST(sum(_pos) OVER () AS BIGINT) AS _pt
+  FROM c
+),
+a AS (
+  SELECT _nt, _pt,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(_n * score * score - 2000 * score * _pos + 1000000 * _pos)
+              AS BIGINT) AS _bsum,
+         CAST(sum(CAST(round(1e9 *
+              CAST(score * _n - 1000 * _pos AS DOUBLE)
+              * CAST(score * _n - 1000 * _pos AS DOUBLE)
+              / (1e6 * CAST(_n AS DOUBLE))) AS BIGINT)) AS BIGINT) AS _reln,
+         CAST(sum(CAST(round(1e9 * CAST(_n AS DOUBLE)
+              * (CAST(_pos AS DOUBLE) / CAST(_n AS DOUBLE)
+                 - CAST(_pt AS DOUBLE) / CAST(_nt AS DOUBLE))
+              * (CAST(_pos AS DOUBLE) / CAST(_n AS DOUBLE)
+                 - CAST(_pt AS DOUBLE) / CAST(_nt AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS _resn
+  FROM g GROUP BY 1, 2
+)
+SELECT _nt AS n_docs, n_bins,
+       round(CAST(_pt AS DOUBLE) / CAST(_nt AS DOUBLE), 6) AS base_rate,
+       round(CAST(_bsum AS DOUBLE) / (CAST(_nt AS DOUBLE) * 1e6), 6) AS brier,
+       round(CAST(_reln AS DOUBLE) / (1e9 * CAST(_nt AS DOUBLE)), 6) AS reliability,
+       round(CAST(_resn AS DOUBLE) / (1e9 * CAST(_nt AS DOUBLE)), 6) AS resolution,
+       round(CAST(_pt AS DOUBLE) / CAST(_nt AS DOUBLE)
+             * (1.0 - CAST(_pt AS DOUBLE) / CAST(_nt AS DOUBLE)), 6) AS uncertainty,
+       round(CAST(_bsum AS DOUBLE) / (CAST(_nt AS DOUBLE) * 1e6)
+             - (CAST(_reln AS DOUBLE) / (1e9 * CAST(_nt AS DOUBLE))
+                - CAST(_resn AS DOUBLE) / (1e9 * CAST(_nt AS DOUBLE))
+                + CAST(_pt AS DOUBLE) / CAST(_nt AS DOUBLE)
+                  * (1.0 - CAST(_pt AS DOUBLE) / CAST(_nt AS DOUBLE))), 6)
+       AS decomp_gap
+FROM a
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -11447,7 +11586,7 @@ ORDER BY source, decile
 # ROWS-ONLY entry into the overflow — a rows-only driver row certifies
 # less than a fully-oracled hash row, and the swapped entries keep their
 # pytest + local-strict evidence: phash_dedup_report (r5d X102 swap),
-# link_graph_report (reserved for the next insertion). Demotions to date:
+# link_graph_report (r5d X103 swap). Demotions to date:
 # asof_attribution_report (r5d X101 insertion),
 # quantile_gate_report (r5d X100 insertion),
 # ppl_bucket_report (r5d X99 insertion),
@@ -11498,7 +11637,6 @@ QUERIES = {
     "diversity_report": diversity_report,
     "novelty_report": novelty_report,
     "boot_ci_report": boot_ci_report,
-    "link_graph_report": link_graph_report,  # rows-only: HTML inputs
     "curation_funnel_report": curation_funnel_report,
     "neyman_sample_report": neyman_sample_report,
     "zipf_slope_report": zipf_slope_report,
@@ -11524,6 +11662,7 @@ QUERIES = {
     "kendall_report": kendall_report,
     "mann_kendall_report": mann_kendall_report,
     "pr_curve_report": pr_curve_report,
+    "brier_report": brier_report,
     # -- slots 11-49: r3-recorded stalwarts whose last driver row is two
     #    rounds old — the oldest rows in the registry --
     "asof_attribution_report": asof_attribution_report,
@@ -11559,6 +11698,7 @@ QUERIES = {
     # -- rows-only entries swapped out of the window by late-r5 insertions
     #    (see the rotation comment): pytest + local-strict evidence only --
     "phash_dedup_report": phash_dedup_report,  # rows-only: binary payloads
+    "link_graph_report": link_graph_report,  # rows-only: HTML inputs
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -11710,6 +11850,7 @@ ORACLES = {
     "kendall_report": ORACLE_KENDALL,
     "mann_kendall_report": ORACLE_MANN_KENDALL,
     "pr_curve_report": ORACLE_PR_CURVE,
+    "brier_report": ORACLE_BRIER,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

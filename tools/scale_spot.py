@@ -239,6 +239,7 @@ def main() -> None:
         kendall_report,
         kn_perplexity_report,
         mann_kendall_report,
+        brier_report,
         pr_curve_report,
         ks_test_report,
         spearman_report,
@@ -535,6 +536,11 @@ def main() -> None:
         # ~linear (len_bucket scorer: non-degenerate on the hex fixture)
         "pr_curve_report": (
             lambda s, d: pr_curve_report(s, d, scorer="len_bucket"),
+            (1, mult_hi), "documents"),
+        # r5d: X103 — same bounded-domain count-frame shape; the Murphy
+        # terms ride the ≤1001-row frame whatever n; ~linear
+        "brier_report": (
+            lambda s, d: brier_report(s, d, scorer="len_bucket"),
             (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
