@@ -11514,6 +11514,126 @@ FROM a
 """
 
 
+def kruskal_report(spark, sf):
+    """Kruskal-Wallis rank ANOVA across sources (X104 — Kruskal & Wallis
+    1952 H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) over average ranks, with
+    the tie-correction divisor 1 − Σ(t³−t)/(N³−N): exactly
+    scipy.stats.kruskal — does document length differ by source? The
+    k-sample extension of X95's Mann-Whitney). NO per-row rank join:
+    pooled ranks live on the bounded n_chars value domain (average-rank
+    ×2 = 2(cum−c)+c+1, X93's idiom, BIGINT-exact) and each source's rank
+    sum is Σ cnt_{g,v}·rank2_v off the per-(source, value) count frame —
+    both frames domain-sized whatever n. R_g²/n_g is an IEEE double of
+    exact BIGINTs (rank sums overflow past ~2^31.5 docs; DECIMAL swap
+    documented); the tie term Σ(t³−t) is BIGINT-exact to ~2M docs/value.
+    Per-source rows carry the exact rank_sum2 plus the constant H / H_tc
+    columns. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("_v")
+    )
+    pv = d.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    wcum = W.orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r2 = pv.select(
+        "_v",
+        "_c",
+        (F.lit(2) * (F.sum("_c").over(wcum) - F.col("_c")) + F.col("_c") + F.lit(1))
+        .cast("long")
+        .alias("_r2"),
+    )
+    sv = d.groupBy("source", "_v").agg(F.count(F.lit(1)).cast("long").alias("_cg"))
+    g = (
+        sv.join(F.broadcast(r2.select("_v", "_r2")), "_v")
+        .groupBy("source")
+        .agg(
+            F.sum("_cg").cast("long").alias("n_docs"),
+            F.sum(F.col("_cg") * F.col("_r2")).cast("long").alias("rank_sum2"),
+        )
+    )
+    tot = pv.agg(
+        F.sum("_c").cast("long").alias("_nt"),
+        F.sum(F.expr("_c * _c * _c - _c")).cast("long").alias("_ties"),
+    )
+    wall = W.partitionBy()
+    g = g.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.sum(
+            F.col("rank_sum2").cast("double")
+            * F.col("rank_sum2").cast("double")
+            / (F.lit(4.0) * F.col("n_docs").cast("double"))
+        )
+        .over(wall)
+        .alias("_s"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_groups"),
+    )
+    nt = F.col("_nt").cast("double")
+    h = F.lit(12.0) / (nt * (nt + 1)) * F.col("_s") - F.lit(3.0) * (nt + 1)
+    corr = F.lit(1.0) - F.col("_ties").cast("double") / (nt * nt * nt - nt)
+    return g.select(
+        "source",
+        "n_docs",
+        "rank_sum2",
+        _r(
+            F.col("rank_sum2").cast("double") / (F.lit(2.0) * F.col("n_docs").cast("double"))
+        ).alias("mean_rank"),
+        "n_groups",
+        _r(h).alias("h_stat"),
+        _r(F.when(corr > 0, h / corr)).alias("h_tie_corrected"),
+    ).orderBy("source")
+
+
+ORACLE_KRUSKAL = r"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS _v FROM documents
+),
+pv AS (
+  SELECT _v, CAST(count(*) AS BIGINT) AS _c FROM d GROUP BY 1
+),
+r2 AS (
+  SELECT _v,
+         CAST(2 * (sum(_c) OVER (ORDER BY _v ROWS UNBOUNDED PRECEDING) - _c)
+              + _c + 1 AS BIGINT) AS _r2
+  FROM pv
+),
+sv AS (
+  SELECT source, _v, CAST(count(*) AS BIGINT) AS _cg FROM d GROUP BY 1, 2
+),
+g AS (
+  SELECT source, CAST(sum(_cg) AS BIGINT) AS n_docs,
+         CAST(sum(_cg * _r2) AS BIGINT) AS rank_sum2
+  FROM sv JOIN r2 USING (_v) GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(_c) AS BIGINT) AS _nt,
+         CAST(sum(_c * _c * _c - _c) AS BIGINT) AS _ties
+  FROM pv
+),
+gg AS (
+  SELECT g.*, tot._nt, tot._ties,
+         sum(CAST(rank_sum2 AS DOUBLE) * CAST(rank_sum2 AS DOUBLE)
+             / (4.0 * CAST(n_docs AS DOUBLE))) OVER () AS _s,
+         CAST(count(*) OVER () AS BIGINT) AS n_groups
+  FROM g CROSS JOIN tot
+)
+SELECT source, n_docs, rank_sum2,
+       round(CAST(rank_sum2 AS DOUBLE) / (2.0 * CAST(n_docs AS DOUBLE)), 6)
+         AS mean_rank,
+       n_groups,
+       round(12.0 / (CAST(_nt AS DOUBLE) * (CAST(_nt AS DOUBLE) + 1)) * _s
+             - 3.0 * (CAST(_nt AS DOUBLE) + 1), 6) AS h_stat,
+       round(CASE WHEN 1.0 - CAST(_ties AS DOUBLE)
+                       / (CAST(_nt AS DOUBLE) * CAST(_nt AS DOUBLE) * CAST(_nt AS DOUBLE)
+                          - CAST(_nt AS DOUBLE)) > 0
+             THEN (12.0 / (CAST(_nt AS DOUBLE) * (CAST(_nt AS DOUBLE) + 1)) * _s
+                   - 3.0 * (CAST(_nt AS DOUBLE) + 1))
+                  / (1.0 - CAST(_ties AS DOUBLE)
+                     / (CAST(_nt AS DOUBLE) * CAST(_nt AS DOUBLE) * CAST(_nt AS DOUBLE)
+                        - CAST(_nt AS DOUBLE)))
+             END, 6) AS h_tie_corrected
+FROM gg
+ORDER BY source
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -11699,6 +11819,10 @@ QUERIES = {
     #    (see the rotation comment): pytest + local-strict evidence only --
     "phash_dedup_report": phash_dedup_report,  # rows-only: binary payloads
     "link_graph_report": link_graph_report,  # rows-only: HTML inputs
+    # -- born-r5-late, local-strict-only: the window is 50 fully-oracled
+    #    entries with no expendable slot left; these carry pytest + the
+    #    round-end `check_oracle --strict` full-registry run as evidence --
+    "kruskal_report": kruskal_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -11851,6 +11975,7 @@ ORACLES = {
     "mann_kendall_report": ORACLE_MANN_KENDALL,
     "pr_curve_report": ORACLE_PR_CURVE,
     "brier_report": ORACLE_BRIER,
+    "kruskal_report": ORACLE_KRUSKAL,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -238,6 +238,7 @@ def main() -> None:
         isotonic_calibration_report,
         kendall_report,
         kn_perplexity_report,
+        kruskal_report,
         mann_kendall_report,
         brier_report,
         pr_curve_report,
@@ -542,6 +543,10 @@ def main() -> None:
         "brier_report": (
             lambda s, d: brier_report(s, d, scorer="len_bucket"),
             (1, mult_hi), "documents"),
+        # r5d: X104 — pooled and per-source counts both combine map-side to
+        # the bounded n_chars domain; ranks, rank sums and H ride
+        # domain/group-sized frames whatever n; ~linear
+        "kruskal_report": (kruskal_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
