@@ -11634,6 +11634,175 @@ ORDER BY source
 """
 
 
+def survival_report(spark, sf):
+    """Kaplan-Meier survival + Nelson-Aalen cumulative hazard over
+    session durations (X105 — Kaplan & Meier 1958 product-limit
+    S(t) = Π_{t_i≤t} (1 − d_i/n_i); Nelson 1972 / Aalen 1978
+    H(t) = Σ d_i/n_i — THE estimators for right-censored durations;
+    here: how long do user sessions survive, with sessions still open at
+    the observation horizon right-censored). Sessions reuse
+    user_sessions' exact gap-1800s semantics (lag + cumulative-sum
+    windows, integer-microsecond arithmetic); a session whose last event
+    lies within one gap of the global max timestamp is censored — the
+    deterministic horizon rule. Durations (whole seconds, integer DIV)
+    collapse map-side to a bounded domain frame; at-risk counts are ONE
+    descending-cumulative window (censored-at-t at risk for deaths at t,
+    the standard tie convention); per-step ln(1−d/n) and d/n are IEEE
+    doubles of exact BIGINTs nano-quantized (the X97 exp/nano precedent)
+    so the cumulative log-survival is an order-independent BIGINT; after
+    the step where d == n survival is exactly 0 (zero-factor flag, no
+    ln(0)). Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("_us", "event_id")
+    gap = 1_800_000_000
+    f = (
+        F.when(
+            F.lag("_us").over(w).isNull()
+            | (F.col("_us") - F.lag("_us").over(w) > gap),
+            1,
+        )
+        .otherwise(0)
+        .alias("_f")
+    )
+    sess = (
+        e.select("user_id", "_us", "event_id", f)
+        .select(
+            "user_id",
+            "_us",
+            F.sum("_f")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long")
+            .alias("_sid"),
+        )
+        .groupBy("user_id", "_sid")
+        .agg(F.min("_us").alias("_s0"), F.max("_us").alias("_s1"))
+    )
+    gmax = sess.agg(F.max("_s1").alias("_gmax"))
+    s = sess.crossJoin(F.broadcast(gmax)).select(
+        F.expr("(_s1 - _s0) DIV 1000000").cast("long").alias("duration_s"),
+        (F.col("_gmax") - F.col("_s1") < gap).cast("long").alias("_cens"),
+    )
+    cnt = s.groupBy("duration_s").agg(
+        F.sum(F.lit(1) - F.col("_cens")).cast("long").alias("n_died"),
+        F.sum("_cens").cast("long").alias("n_censored"),
+    )
+    wdesc = (
+        W.orderBy(F.col("duration_s").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    g = cnt.select(
+        "*",
+        F.sum(F.col("n_died") + F.col("n_censored"))
+        .over(wdesc)
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    ln_term = F.when(
+        (F.col("n_died") > 0) & (F.col("n_at_risk") > F.col("n_died")),
+        F.round(
+            F.lit(1e9)
+            * F.log(
+                (F.col("n_at_risk") - F.col("n_died")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+        ),
+    ).otherwise(F.lit(0))
+    na_term = F.round(
+        F.lit(1e9) * F.col("n_died").cast("double") / F.col("n_at_risk").cast("double")
+    )
+    zf = F.when(
+        (F.col("n_died") > 0) & (F.col("n_died") == F.col("n_at_risk")), 1
+    ).otherwise(0)
+    wasc = W.orderBy("duration_s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    g = g.select(
+        "*",
+        F.sum(ln_term.cast("long")).over(wasc).cast("long").alias("_lnn"),
+        F.sum(na_term.cast("long")).over(wasc).cast("long").alias("_nan"),
+        F.max(zf).over(wasc).alias("_zf"),
+    )
+    return g.select(
+        "duration_s",
+        "n_died",
+        "n_censored",
+        "n_at_risk",
+        F.when(F.col("_zf") == 0, F.col("_lnn")).cast("long").alias("km_ln_nano"),
+        _r(
+            F.when(F.col("_zf") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.col("_lnn").cast("double") / F.lit(1e9))
+            )
+        ).alias("km_survival"),
+        _r(F.col("_nan").cast("double") / F.lit(1e9)).alias("na_cumhaz"),
+    ).orderBy("duration_s")
+
+
+ORACLE_SURVIVAL = r"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS _us FROM events
+),
+flagged AS (
+  SELECT user_id, _us,
+         CASE WHEN lag(_us) OVER w IS NULL
+                   OR _us - lag(_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS _f
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY _us, event_id)
+),
+sess AS (
+  SELECT user_id,
+         CAST(sum(_f) OVER (PARTITION BY user_id ORDER BY _us
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _sid,
+         _us
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, _sid, min(_us) AS _s0, max(_us) AS _s1
+  FROM sess GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST((_s1 - _s0) // 1000000 AS BIGINT) AS duration_s,
+         CASE WHEN (SELECT max(_s1) FROM agg) - _s1 < 1800000000
+              THEN 1 ELSE 0 END AS _cens
+  FROM agg
+),
+cnt AS (
+  SELECT duration_s,
+         CAST(sum(1 - _cens) AS BIGINT) AS n_died,
+         CAST(sum(_cens) AS BIGINT) AS n_censored
+  FROM s GROUP BY 1
+),
+g AS (
+  SELECT *,
+         CAST(sum(n_died + n_censored) OVER (ORDER BY duration_s DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+  FROM cnt
+),
+g2 AS (
+  SELECT *,
+         CAST(sum(CASE WHEN n_died > 0 AND n_at_risk > n_died
+              THEN CAST(round(1e9 * ln(CAST(n_at_risk - n_died AS DOUBLE)
+                                       / CAST(n_at_risk AS DOUBLE))) AS BIGINT)
+              ELSE 0 END) OVER wa AS BIGINT) AS _lnn,
+         CAST(sum(CAST(round(1e9 * CAST(n_died AS DOUBLE)
+                             / CAST(n_at_risk AS DOUBLE)) AS BIGINT))
+              OVER wa AS BIGINT) AS _nan,
+         max(CASE WHEN n_died > 0 AND n_died = n_at_risk THEN 1 ELSE 0 END)
+              OVER wa AS _zf
+  FROM g
+  WINDOW wa AS (ORDER BY duration_s ROWS UNBOUNDED PRECEDING)
+)
+SELECT duration_s, n_died, n_censored, n_at_risk,
+       CASE WHEN _zf = 0 THEN _lnn END AS km_ln_nano,
+       round(CASE WHEN _zf = 1 THEN 0.0
+             ELSE exp(CAST(_lnn AS DOUBLE) / 1e9) END, 6) AS km_survival,
+       round(CAST(_nan AS DOUBLE) / 1e9, 6) AS na_cumhaz
+FROM g2
+ORDER BY duration_s
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -11823,6 +11992,7 @@ QUERIES = {
     #    entries with no expendable slot left; these carry pytest + the
     #    round-end `check_oracle --strict` full-registry run as evidence --
     "kruskal_report": kruskal_report,
+    "survival_report": survival_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -11976,6 +12146,7 @@ ORACLES = {
     "pr_curve_report": ORACLE_PR_CURVE,
     "brier_report": ORACLE_BRIER,
     "kruskal_report": ORACLE_KRUSKAL,
+    "survival_report": ORACLE_SURVIVAL,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -242,6 +242,7 @@ def main() -> None:
         mann_kendall_report,
         brier_report,
         pr_curve_report,
+        survival_report,
         ks_test_report,
         spearman_report,
         rrf_fusion_report,
@@ -547,6 +548,10 @@ def main() -> None:
         # the bounded n_chars domain; ranks, rank sums and H ride
         # domain/group-sized frames whatever n; ~linear
         "kruskal_report": (kruskal_report, (1, mult_hi), "documents"),
+        # r5d: X105 — the sessionize shuffle is the only data-bound leg;
+        # durations collapse to the bounded (≤7200 s fixture) domain and
+        # the risk-set windows ride that frame whatever n; ~linear
+        "survival_report": (survival_report, (1, mult_hi), "events"),
     }
     only = set(sys.argv[1:])
     if only:
