@@ -11803,6 +11803,109 @@ ORDER BY duration_s
 """
 
 
+def kappa_report(spark, sf):
+    """Cohen's kappa for the language-ID heuristic (X106 — Cohen 1960
+    κ = (p_o − p_e)/(1 − p_e), chance-corrected agreement between the
+    lang_id_scores prediction and the true lang label: the
+    inter-annotator-agreement statistic quality-labeling pipelines
+    report beyond raw accuracy/A20's confusion matrix). Multiclass,
+    NULL predictions mapped to a literal 'und' class on both engines.
+    EXACT integers end-to-end: κ = (N·Σ n_kk − Σ r_k·c_k)/(N² − Σ
+    r_k·c_k) off the ≤(|langs|+1)² cell frame (map-side combined),
+    row/col marginals full-outer-joined per class; the only float is
+    the final 1-row division (and p_o, p_e as 6dp views of the same
+    integers). Exact while N² < 2^63 (~3e9 docs; DECIMAL swap beyond).
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents")
+    p = d.select(
+        "lang",
+        F.coalesce(lang_id_scores(F.col("text"))["lang_pred"], F.lit("und")).alias(
+            "_pred"
+        ),
+    )
+    cell = p.groupBy("lang", "_pred").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    rowm = cell.groupBy(F.col("lang").alias("_k")).agg(
+        F.sum("_c").cast("long").alias("_r")
+    )
+    colm = cell.groupBy(F.col("_pred").alias("_k")).agg(
+        F.sum("_c").cast("long").alias("_cn")
+    )
+    marg = (
+        rowm.join(colm, "_k", "full")
+        .fillna(0, ["_r", "_cn"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.col("_r") * F.col("_cn")).cast("long").alias("_pe_num"),
+        )
+    )
+    tot = cell.agg(
+        F.sum("_c").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("_pred"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("observed_agree"),
+    )
+    j = tot.crossJoin(F.broadcast(marg))
+    nd = F.col("n_docs").cast("double")
+    po = F.col("observed_agree").cast("double") / nd
+    pe = F.col("_pe_num").cast("double") / (nd * nd)
+    num = (
+        F.col("n_docs") * F.col("observed_agree") - F.col("_pe_num")
+    ).cast("double")
+    den = (F.col("n_docs") * F.col("n_docs") - F.col("_pe_num")).cast("double")
+    return j.select(
+        "n_docs",
+        "n_classes",
+        "observed_agree",
+        F.col("_pe_num").alias("expected_num"),
+        _r(po).alias("p_observed"),
+        _r(pe).alias("p_expected"),
+        _r(F.when(den != 0, num / den)).alias("kappa"),
+    )
+
+
+def _oracle_kappa() -> str:
+    cols, chain = _langid_pred_sql()
+    return f"""
+WITH s AS (
+  SELECT lang,
+         {cols}
+  FROM documents
+),
+p AS (
+  SELECT lang, coalesce({chain}, 'und') AS _pred FROM s
+),
+cell AS (
+  SELECT lang, _pred, CAST(count(*) AS BIGINT) AS _c FROM p GROUP BY 1, 2
+),
+rowm AS (
+  SELECT lang AS _k, CAST(sum(_c) AS BIGINT) AS _r FROM cell GROUP BY 1
+),
+colm AS (
+  SELECT _pred AS _k, CAST(sum(_c) AS BIGINT) AS _cn FROM cell GROUP BY 1
+),
+marg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(coalesce(_r, 0) * coalesce(_cn, 0)) AS BIGINT) AS _pe_num
+  FROM rowm FULL OUTER JOIN colm USING (_k)
+),
+tot AS (
+  SELECT CAST(sum(_c) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN lang = _pred THEN _c ELSE 0 END) AS BIGINT)
+           AS observed_agree
+  FROM cell
+)
+SELECT n_docs, n_classes, observed_agree, _pe_num AS expected_num,
+       round(CAST(observed_agree AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS p_observed,
+       round(CAST(_pe_num AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) AS p_expected,
+       round(CASE WHEN CAST(n_docs * n_docs - _pe_num AS DOUBLE) != 0
+             THEN CAST(n_docs * observed_agree - _pe_num AS DOUBLE)
+                  / CAST(n_docs * n_docs - _pe_num AS DOUBLE) END, 6) AS kappa
+FROM tot CROSS JOIN marg
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -11993,6 +12096,7 @@ QUERIES = {
     #    round-end `check_oracle --strict` full-registry run as evidence --
     "kruskal_report": kruskal_report,
     "survival_report": survival_report,
+    "kappa_report": kappa_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -12147,6 +12251,7 @@ ORACLES = {
     "brier_report": ORACLE_BRIER,
     "kruskal_report": ORACLE_KRUSKAL,
     "survival_report": ORACLE_SURVIVAL,
+    "kappa_report": _oracle_kappa(),
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -236,6 +236,7 @@ def main() -> None:
         chi2_report,
         quantile_norm_report,
         isotonic_calibration_report,
+        kappa_report,
         kendall_report,
         kn_perplexity_report,
         kruskal_report,
@@ -552,6 +553,11 @@ def main() -> None:
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
         "survival_report": (survival_report, (1, mult_hi), "events"),
+        # r5d: X106 — the lang-ID scan is the only data-bound leg; the
+        # confusion grid and marginals are |langs|²-bounded whatever n
+        # (hex fixture predicts 'und' everywhere — degenerate grid, but
+        # the scan leg and plan are identical); ~linear
+        "kappa_report": (kappa_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
