@@ -11906,6 +11906,92 @@ FROM tot CROSS JOIN marg
 """
 
 
+def ca_trend_report(spark, sf):
+    """Cochran-Armitage trend test (X107 — Cochran 1954 / Armitage 1955:
+    is a binary rate a monotone function of an ordered category? Here:
+    does the share of English documents trend with the length bucket —
+    the dose-response audit for a labeled corpus). Buckets k = n_chars
+    DIV 256 capped at 127 with integer scores s=k; the corpus collapses
+    map-side to the per-bucket (n_k, r_k) frame. With A = Σs·r, B =
+    Σs·n, C = Σs²·n (all BIGINT-exact; N·C < 2^63 to ~50M docs, DECIMAL
+    swap documented): T's exact numerator is N·A − R·B and
+    Z = (N·A − R·B)/sqrt(R(N−R)(N·C − B²)/N) — one double sqrt of exact
+    BIGINTs at the end. Everything after the count frame is a 1-row
+    computation. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents")
+    base = d.select(
+        (F.col("lang") == "en").cast("long").alias("_y"),
+        F.least(F.expr("n_chars DIV 256"), F.lit(127)).cast("long").alias("_k"),
+    )
+    c = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_r"),
+    )
+    a = c.agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum("_r").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("_k") * F.col("_r")).cast("long").alias("s_r_sum"),
+        F.sum(F.col("_k") * F.col("_n")).cast("long").alias("s_n_sum"),
+        F.sum(F.col("_k") * F.col("_k") * F.col("_n")).cast("long").alias("s2_n_sum"),
+    )
+    tn = (
+        F.col("n_docs") * F.col("s_r_sum") - F.col("n_pos") * F.col("s_n_sum")
+    ).cast("long")
+    var_num = (
+        F.col("n_pos").cast("double")
+        * (F.col("n_docs") - F.col("n_pos")).cast("double")
+        * (
+            F.col("n_docs") * F.col("s2_n_sum")
+            - F.col("s_n_sum") * F.col("s_n_sum")
+        ).cast("double")
+        / F.col("n_docs").cast("double")
+    )
+    return a.select(
+        "n_docs",
+        "n_pos",
+        "n_buckets",
+        "s_r_sum",
+        "s_n_sum",
+        "s2_n_sum",
+        tn.alias("t_num"),
+        _r(F.when(var_num > 0, tn.cast("double") / F.sqrt(var_num))).alias("z_ca"),
+    )
+
+
+ORACLE_CA_TREND = r"""
+WITH base AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS _y,
+         CAST(least(n_chars // 256, 127) AS BIGINT) AS _k
+  FROM documents
+),
+c AS (
+  SELECT _k, CAST(count(*) AS BIGINT) AS _n, CAST(sum(_y) AS BIGINT) AS _r
+  FROM base GROUP BY 1
+),
+a AS (
+  SELECT CAST(sum(_n) AS BIGINT) AS n_docs,
+         CAST(sum(_r) AS BIGINT) AS n_pos,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(_k * _r) AS BIGINT) AS s_r_sum,
+         CAST(sum(_k * _n) AS BIGINT) AS s_n_sum,
+         CAST(sum(_k * _k * _n) AS BIGINT) AS s2_n_sum
+  FROM c
+)
+SELECT n_docs, n_pos, n_buckets, s_r_sum, s_n_sum, s2_n_sum,
+       CAST(n_docs * s_r_sum - n_pos * s_n_sum AS BIGINT) AS t_num,
+       round(CASE WHEN CAST(n_pos AS DOUBLE) * CAST(n_docs - n_pos AS DOUBLE)
+                       * CAST(n_docs * s2_n_sum - s_n_sum * s_n_sum AS DOUBLE)
+                       / CAST(n_docs AS DOUBLE) > 0
+             THEN CAST(n_docs * s_r_sum - n_pos * s_n_sum AS DOUBLE)
+                  / sqrt(CAST(n_pos AS DOUBLE) * CAST(n_docs - n_pos AS DOUBLE)
+                         * CAST(n_docs * s2_n_sum - s_n_sum * s_n_sum AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE))
+             END, 6) AS z_ca
+FROM a
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -12097,6 +12183,7 @@ QUERIES = {
     "kruskal_report": kruskal_report,
     "survival_report": survival_report,
     "kappa_report": kappa_report,
+    "ca_trend_report": ca_trend_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -12252,6 +12339,7 @@ ORACLES = {
     "kruskal_report": ORACLE_KRUSKAL,
     "survival_report": ORACLE_SURVIVAL,
     "kappa_report": _oracle_kappa(),
+    "ca_trend_report": ORACLE_CA_TREND,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -242,6 +242,7 @@ def main() -> None:
         kruskal_report,
         mann_kendall_report,
         brier_report,
+        ca_trend_report,
         pr_curve_report,
         survival_report,
         ks_test_report,
@@ -558,6 +559,9 @@ def main() -> None:
         # (hex fixture predicts 'und' everywhere — degenerate grid, but
         # the scan leg and plan are identical); ~linear
         "kappa_report": (kappa_report, (1, mult_hi), "documents"),
+        # r5d: X107 — one map-side-combined groupBy to the ≤128-bucket
+        # frame; the trend statistic is a 1-row computation; ~linear
+        "ca_trend_report": (ca_trend_report, (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
