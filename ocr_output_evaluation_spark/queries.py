@@ -11992,6 +11992,195 @@ FROM a
 """
 
 
+def gains_report(spark, sf, scorer="stop_density"):
+    """Cumulative-gains / lift deciles (X108 — the gains chart + lift
+    curve of classical data mining (e.g. Witten & Frank ch.5; the
+    model-targeting audit: rank the corpus by a score, what share of
+    positives sits in the top k/10?). Scorer/label reuse X95/X99. The
+    corpus collapses map-side to the per-score (n, pos) frame; a
+    descending-cumulative window gives each score value its rank
+    interval (lo, hi]; decile boundaries b_d = d·N DIV 10 partition the
+    rank line EXACTLY, each value's docs split across deciles by pure
+    BIGINT interval overlap, and ties inside a value distribute
+    positives proportionally — pos_nano = round(1e9·pos·docs_vd/n_v),
+    the tie-averaging convention, nano-quantized so decile sums are
+    order-independent. Gain_d = cumΣpos/(P), lift_d = gain_d·N/cumΣn —
+    per-row divisions of exact BIGINTs, 6dp. The value×decile frame is
+    ≤1001×10 rows whatever n. The scale-spot drill passes
+    scorer='len_bucket' (X99's contract — the hex spot fixture has no
+    English stopwords). Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    from .functions.text import STOPWORDS, _word_hits, whitespace_token_count
+
+    d = t(spark, sf, "documents")
+    if scorer == "len_bucket":
+        base = d.select(
+            (F.col("lang") == "en").cast("long").alias("_y"),
+            F.least(F.expr("n_chars DIV 4").cast("long"), F.lit(1000).cast("long"))
+            .alias("score"),
+        )
+    else:
+        toks = whitespace_token_count(F.col("text"))
+        hits = _word_hits(F.col("text"), STOPWORDS["en"]).cast("long")
+        base = d.select(
+            (F.col("lang") == "en").cast("long").alias("_y"),
+            F.when(toks > 0, hits * F.lit(1000)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("_h1000"),
+            F.greatest(toks, F.lit(1)).cast("long").alias("_toks"),
+        ).select("_y", F.expr("_h1000 DIV _toks").cast("long").alias("score"))
+    c = base.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_pos"),
+    )
+    wdesc = (
+        W.orderBy(F.col("score").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy()
+    g = c.select(
+        "score",
+        "_n",
+        "_pos",
+        F.sum("_n").over(wdesc).cast("long").alias("_hi"),
+        F.sum("_n").over(wall).cast("long").alias("_nt"),
+        F.sum("_pos").over(wall).cast("long").alias("_pt"),
+    ).select("*", (F.col("_hi") - F.col("_n")).cast("long").alias("_lo"))
+    pairs = g.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile")
+    ).select(
+        "*",
+        F.expr("(decile - 1) * _nt DIV 10").cast("long").alias("_b0"),
+        F.expr("decile * _nt DIV 10").cast("long").alias("_b1"),
+    )
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("_hi"), F.col("_b1")) - F.greatest(F.col("_lo"), F.col("_b0")),
+    ).cast("long")
+    pairs = pairs.select(
+        "decile",
+        "_nt",
+        "_pt",
+        ov.alias("_dv"),
+        F.when(
+            ov > 0,
+            F.round(
+                F.lit(1e9)
+                * F.col("_pos").cast("double")
+                * ov.cast("double")
+                / F.col("_n").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_pn"),
+    )
+    dd = pairs.groupBy("decile", "_nt", "_pt").agg(
+        F.sum("_dv").cast("long").alias("n_docs"),
+        F.sum("_pn").cast("long").alias("pos_nano"),
+    )
+    wd = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dd = dd.select(
+        "*",
+        F.sum("n_docs").over(wd).cast("long").alias("cum_docs"),
+        F.sum("pos_nano").over(wd).cast("long").alias("cum_pos_nano"),
+    )
+    return dd.select(
+        "decile",
+        "n_docs",
+        "pos_nano",
+        "cum_docs",
+        "cum_pos_nano",
+        _r(
+            F.when(
+                F.col("_pt") > 0,
+                F.col("cum_pos_nano").cast("double")
+                / (F.lit(1e9) * F.col("_pt").cast("double")),
+            )
+        ).alias("gain"),
+        _r(
+            F.when(
+                (F.col("_pt") > 0) & (F.col("cum_docs") > 0),
+                F.col("cum_pos_nano").cast("double")
+                * F.col("_nt").cast("double")
+                / (
+                    F.lit(1e9)
+                    * F.col("_pt").cast("double")
+                    * F.col("cum_docs").cast("double")
+                ),
+            )
+        ).alias("lift"),
+    ).orderBy("decile")
+
+
+ORACLE_GAINS = rf"""
+WITH base AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS _y,
+         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((len(regexp_extract_all(lower(text), '\b({_SW_EN})\b')) * 1000)
+                   // len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+              END AS score
+  FROM documents
+),
+c AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS _n, CAST(sum(_y) AS BIGINT) AS _pos
+  FROM base GROUP BY score
+),
+g AS (
+  SELECT *,
+         CAST(sum(_n) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS _hi,
+         CAST(sum(_n) OVER () AS BIGINT) AS _nt,
+         CAST(sum(_pos) OVER () AS BIGINT) AS _pt
+  FROM c
+),
+g2 AS (
+  SELECT *, CAST(_hi - _n AS BIGINT) AS _lo FROM g
+),
+pairs AS (
+  SELECT g2.*, d.decile,
+         CAST((d.decile - 1) * _nt // 10 AS BIGINT) AS _b0,
+         CAST(d.decile * _nt // 10 AS BIGINT) AS _b1
+  FROM g2 CROSS JOIN (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+                      AS decile) d
+),
+ov AS (
+  SELECT decile, _nt, _pt,
+         CAST(greatest(0, least(_hi, _b1) - greatest(_lo, _b0)) AS BIGINT) AS _dv,
+         CASE WHEN greatest(0, least(_hi, _b1) - greatest(_lo, _b0)) > 0
+              THEN CAST(round(1e9 * CAST(_pos AS DOUBLE)
+                   * CAST(greatest(0, least(_hi, _b1) - greatest(_lo, _b0)) AS DOUBLE)
+                   / CAST(_n AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS _pn
+  FROM pairs
+),
+dd AS (
+  SELECT decile, _nt, _pt,
+         CAST(sum(_dv) AS BIGINT) AS n_docs,
+         CAST(sum(_pn) AS BIGINT) AS pos_nano
+  FROM ov GROUP BY 1, 2, 3
+),
+dc AS (
+  SELECT *,
+         CAST(sum(n_docs) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_docs,
+         CAST(sum(pos_nano) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_pos_nano
+  FROM dd
+)
+SELECT decile, n_docs, pos_nano, cum_docs, cum_pos_nano,
+       round(CASE WHEN _pt > 0
+             THEN CAST(cum_pos_nano AS DOUBLE) / (1e9 * CAST(_pt AS DOUBLE))
+             END, 6) AS gain,
+       round(CASE WHEN _pt > 0 AND cum_docs > 0
+             THEN CAST(cum_pos_nano AS DOUBLE) * CAST(_nt AS DOUBLE)
+                  / (1e9 * CAST(_pt AS DOUBLE) * CAST(cum_docs AS DOUBLE))
+             END, 6) AS lift
+FROM dc
+ORDER BY decile
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -12184,6 +12373,7 @@ QUERIES = {
     "survival_report": survival_report,
     "kappa_report": kappa_report,
     "ca_trend_report": ca_trend_report,
+    "gains_report": gains_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -12340,6 +12530,7 @@ ORACLES = {
     "survival_report": ORACLE_SURVIVAL,
     "kappa_report": _oracle_kappa(),
     "ca_trend_report": ORACLE_CA_TREND,
+    "gains_report": ORACLE_GAINS,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

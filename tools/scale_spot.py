@@ -243,6 +243,7 @@ def main() -> None:
         mann_kendall_report,
         brier_report,
         ca_trend_report,
+        gains_report,
         pr_curve_report,
         survival_report,
         ks_test_report,
@@ -562,6 +563,12 @@ def main() -> None:
         # r5d: X107 — one map-side-combined groupBy to the ≤128-bucket
         # frame; the trend statistic is a 1-row computation; ~linear
         "ca_trend_report": (ca_trend_report, (1, mult_hi), "documents"),
+        # r5d: X108 — per-score counts combine map-side to the bounded
+        # domain; the value×decile interval frame is ≤1001×10 whatever n;
+        # ~linear (len_bucket scorer on the hex fixture)
+        "gains_report": (
+            lambda s, d: gains_report(s, d, scorer="len_bucket"),
+            (1, mult_hi), "documents"),
     }
     only = set(sys.argv[1:])
     if only:
