@@ -12181,6 +12181,106 @@ ORDER BY decile
 """
 
 
+def fuzzy_link_report(spark, sf):
+    """Blocked fuzzy record linkage (X109 — the Fellegi & Sunter 1969
+    blocking + edit-distance compare shape every entity-resolution
+    pipeline uses; Christen 2012 ch.4: block to kill the n² candidate
+    space, then a cheap exact comparator inside blocks). Probes are a
+    deterministic corruption of every 7th part's name (first vowel
+    deleted — regexp, edit distance exactly 1 when a vowel exists);
+    blocking key = the UNCHANGED last name word, so candidates per probe
+    are ~N/|noun-vocab| rows, NEVER the full catalog — the tiny probe
+    frame broadcasts, the catalog never shuffles (the X21 membership
+    idiom). Inside a block the comparator is the codegen levenshtein
+    (integer, engine-identical); survivors are lev ≤ 2 and the best
+    match is the deterministic (distance, partkey) struct-min. n_cands
+    per probe ships as the blocking-selectivity audit column.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    p = t(spark, sf, "part").select("p_partkey", "p_name")
+    probes = p.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.regexp_replace(F.col("p_name"), r"^([^aeiou]*)[aeiou]", r"$1").alias(
+            "probe_name"
+        ),
+    )
+    probes = probes.select(
+        "probe_key",
+        "probe_name",
+        F.element_at(F.split(F.col("probe_name"), " "), -1).alias("_blk"),
+    )
+    cat = p.select(
+        F.col("p_partkey").alias("_ck"),
+        F.col("p_name").alias("_cname"),
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("_blk"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cat, "_blk")
+        .select(
+            "probe_key",
+            "probe_name",
+            "_ck",
+            F.levenshtein(F.col("probe_name"), F.col("_cname")).cast("long").alias(
+                "_d"
+            ),
+        )
+        .filter(F.col("_d") <= 2)
+    )
+    best = cand.groupBy("probe_key", "probe_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.min(F.struct(F.col("_d").alias("d"), F.col("_ck").alias("k"))).alias("_b"),
+    )
+    return (
+        probes.select("probe_key", "probe_name")
+        .join(best, ["probe_key", "probe_name"], "left")
+        .select(
+            "probe_key",
+            "probe_name",
+            F.col("_b.k").cast("long").alias("match_key"),
+            F.col("_b.d").cast("long").alias("lev_dist"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        )
+        .orderBy("probe_key")
+    )
+
+
+ORACLE_FUZZY_LINK = r"""
+WITH probes AS (
+  SELECT p_partkey AS probe_key,
+         regexp_replace(p_name, '^([^aeiou]*)[aeiou]', '\1') AS probe_name
+  FROM part WHERE p_partkey % 7 = 0
+),
+pb AS (
+  SELECT probe_key, probe_name,
+         string_split(probe_name, ' ')[-1] AS _blk
+  FROM probes
+),
+cat AS (
+  SELECT p_partkey AS _ck, p_name AS _cname,
+         string_split(p_name, ' ')[-1] AS _blk
+  FROM part
+),
+cand AS (
+  SELECT probe_key, probe_name, _ck,
+         CAST(levenshtein(probe_name, _cname) AS BIGINT) AS _d
+  FROM pb JOIN cat USING (_blk)
+  WHERE levenshtein(probe_name, _cname) <= 2
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY probe_key ORDER BY _d, _ck) AS _rn,
+         CAST(count(*) OVER (PARTITION BY probe_key) AS BIGINT) AS _nc
+  FROM cand
+)
+SELECT pb.probe_key, pb.probe_name,
+       CAST(r._ck AS BIGINT) AS match_key,
+       CAST(r._d AS BIGINT) AS lev_dist,
+       CAST(coalesce(r._nc, 0) AS BIGINT) AS n_candidates
+FROM pb LEFT JOIN (SELECT * FROM ranked WHERE _rn = 1) r USING (probe_key)
+ORDER BY pb.probe_key
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -12374,6 +12474,7 @@ QUERIES = {
     "kappa_report": kappa_report,
     "ca_trend_report": ca_trend_report,
     "gains_report": gains_report,
+    "fuzzy_link_report": fuzzy_link_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -12531,6 +12632,7 @@ ORACLES = {
     "kappa_report": _oracle_kappa(),
     "ca_trend_report": ORACLE_CA_TREND,
     "gains_report": ORACLE_GAINS,
+    "fuzzy_link_report": ORACLE_FUZZY_LINK,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -37,7 +37,7 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BASE = dict(documents=5_000, events=100_000, embeddings=2_000)
+BASE = dict(documents=5_000, events=100_000, embeddings=2_000, part=2_000)
 _SEED = "ooe-scale-spot-v2"  # v2: "scroll" -> "error" so the temporal joins (asof/range, r4) have non-trivial pairs
 
 _VOCAB = [
@@ -74,6 +74,15 @@ def doc_row(i: int) -> tuple:
     lang = ("en", "de", "fr", "zh", "bo")[_h(i, "lang") % 5]
     source = f"src{_h(i, 'src') % 20}"
     return (i, text, lang, source, len(text))
+
+
+_ADJ = ("small", "red", "blue", "hot", "cold", "dark", "pale", "worn")
+_NOUN = ("ring", "bolt", "gear", "gizmo", "widget", "cog", "pin", "clip")
+
+
+def part_row(i: int) -> tuple:
+    name = f"{_ADJ[_h(i, 'adj') % 8]} {_NOUN[_h(i, 'noun') % 8]}"
+    return (i, name, "type", 1.0)
 
 
 def event_row(i: int, n_users: int) -> tuple:
@@ -139,6 +148,11 @@ def ensure_tables(spark, mult: int, needed: set[str] | None = None) -> str:
             emb_row,
             ["vec_id", "embedding", "label"],
             "vec_id long, embedding array<float>, label int",
+        ),
+        "part": gen(
+            part_row,
+            ["p_partkey", "p_name", "p_type", "p_retailprice"],
+            "p_partkey long, p_name string, p_type string, p_retailprice double",
         ),
     }
     for tbl in sorted(needed):
@@ -243,6 +257,7 @@ def main() -> None:
         mann_kendall_report,
         brier_report,
         ca_trend_report,
+        fuzzy_link_report,
         gains_report,
         pr_curve_report,
         survival_report,
@@ -569,6 +584,11 @@ def main() -> None:
         "gains_report": (
             lambda s, d: gains_report(s, d, scorer="len_bucket"),
             (1, mult_hi), "documents"),
+        # r5d: X109 — probes broadcast, catalog blocked on the last name
+        # word (candidates/probe ~ N/|noun-vocab|, never the full catalog);
+        # work grows ~n·(n/vocab) inside blocks at fixed vocab — the spot
+        # pins candidate growth stays linear-in-rows per probe
+        "fuzzy_link_report": (fuzzy_link_report, (1, mult_hi), "part"),
     }
     only = set(sys.argv[1:])
     if only:
