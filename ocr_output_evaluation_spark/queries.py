@@ -12281,6 +12281,162 @@ ORDER BY pb.probe_key
 """
 
 
+_MARKOV_ITERS = 20
+
+
+def markov_report(spark, sf):
+    """Event-type Markov chain: transition matrix + stationary
+    distribution (X110 — the first-order Markov model of user behavior,
+    Kemeny & Snell 1960; power iteration π_{k+1} = π_k P from uniform,
+    the PageRank-without-teleport special case — which page-type do
+    sessions settle into?). Consecutive per-user event pairs come from
+    ONE lag window (the only data-bound leg, sessionize-shaped); counts
+    combine map-side to the ≤|types|² cell frame. EVERYTHING else is
+    integer: p_nano = (c·1e9 + rowtot/2) DIV rowtot (half-up), and all
+    {_MARKOV_ITERS} power iterations run in nano BIGINTs — each step
+    π_b = Σ_a (π_a·p_ab + 5e8) DIV 1e9 then an integer renormalization
+    to Σ=1e9 (also absorbs substochastic mass loss from types with no
+    outgoing edges). Products π·p ≤ 1e18 < 2^63; no float enters the
+    result at all, so both engines produce bit-identical BIGINTs. The
+    iteration frame is |types| rows — driver-scale-free.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("_us", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("_from"), F.col("event_type").alias("_to")
+    ).filter(F.col("_from").isNotNull())
+    c = pairs.groupBy("_from", "_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    rt = c.groupBy("_from").agg(F.sum("n_trans").cast("long").alias("_rt"))
+    trans = c.join(rt, "_from").select(
+        "_from",
+        "_to",
+        "n_trans",
+        F.expr("(n_trans * 1000000000 + _rt DIV 2) DIV _rt").cast("long").alias(
+            "p_nano"
+        ),
+    )
+    types = (
+        c.select(F.col("_from").alias("_t"))
+        .unionAll(c.select(F.col("_to").alias("_t")))
+        .distinct()
+    )
+    nt = types.count()  # |types| is tiny and bounded — driver-side by design
+    pi = types.select("_t", F.lit(1_000_000_000 // max(nt, 1)).cast("long").alias("_pi"))
+    tr = trans.select("_from", "_to", "p_nano").localCheckpoint()
+    for _ in range(_MARKOV_ITERS):
+        nxt = (
+            pi.join(tr, pi["_t"] == tr["_from"])
+            .groupBy(F.col("_to").alias("_t"))
+            .agg(
+                F.sum(F.expr("(_pi * p_nano + 500000000) DIV 1000000000"))
+                .cast("long")
+                .alias("_raw")
+            )
+        )
+        # keep every type in the frame (types with no inbound mass -> 0)
+        # localCheckpoint is load-bearing twice over: `tot` re-references the
+        # nxt subtree, so without truncation the plan DOUBLES per iteration
+        # (2^20 analysis blow-up); and it pins the |types|-row frame so each
+        # tiny iteration job starts from materialized rows, not a replay.
+        nxt = (
+            types.join(nxt, "_t", "left")
+            .select("_t", F.coalesce("_raw", F.lit(0)).cast("long").alias("_raw"))
+            .localCheckpoint(eager=True)
+        )
+        tot = nxt.agg(F.sum("_raw").cast("long").alias("_tot"))
+        pi = nxt.crossJoin(F.broadcast(tot)).select(
+            "_t",
+            F.when(
+                F.col("_tot") > 0, F.expr("(_raw * 1000000000) DIV _tot")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_pi"),
+        )
+    return (
+        trans.join(pi.select(F.col("_t").alias("_from"), "_pi"), "_from")
+        .select(
+            F.col("_from").alias("from_type"),
+            F.col("_to").alias("to_type"),
+            "n_trans",
+            "p_nano",
+            F.col("_pi").alias("stat_from_nano"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def _oracle_markov() -> str:
+    its = []
+    prev = "pi0"
+    for k in range(1, _MARKOV_ITERS + 1):
+        its.append(
+            f"""raw{k} AS MATERIALIZED (
+  SELECT t._t,
+         CAST(coalesce(sum(({prev}._pi * tr.p_nano + 500000000) // 1000000000), 0)
+              AS BIGINT) AS _raw
+  FROM types t
+  LEFT JOIN tr ON tr._to = t._t
+  LEFT JOIN {prev} ON {prev}._t = tr._from
+  GROUP BY 1
+),
+pi{k} AS MATERIALIZED (
+  SELECT _t,
+         CAST(CASE WHEN (SELECT sum(_raw) FROM raw{k}) > 0
+              THEN (_raw * 1000000000) // (SELECT sum(_raw) FROM raw{k})
+              ELSE 0 END AS BIGINT) AS _pi
+  FROM raw{k}
+)"""
+        )
+        prev = f"pi{k}"
+    chain = ",\n".join(its)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS _us FROM events
+),
+pairs AS MATERIALIZED (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY _us, event_id)
+           AS _from,
+         event_type AS _to
+  FROM e
+),
+c AS MATERIALIZED (
+  SELECT _from, _to, CAST(count(*) AS BIGINT) AS n_trans
+  FROM pairs WHERE _from IS NOT NULL GROUP BY 1, 2
+),
+rt AS MATERIALIZED (
+  SELECT _from, CAST(sum(n_trans) AS BIGINT) AS _rt FROM c GROUP BY 1
+),
+tr AS MATERIALIZED (
+  SELECT c._from, c._to, n_trans,
+         CAST((n_trans * 1000000000 + _rt // 2) // _rt AS BIGINT) AS p_nano
+  FROM c JOIN rt ON c._from = rt._from
+),
+types AS MATERIALIZED (
+  SELECT DISTINCT _t FROM (SELECT _from AS _t FROM c UNION ALL
+                           SELECT _to AS _t FROM c)
+),
+pi0 AS MATERIALIZED (
+  SELECT _t,
+         CAST(1000000000 // greatest((SELECT count(*) FROM types), 1)
+              AS BIGINT) AS _pi
+  FROM types
+),
+{chain}
+SELECT tr._from AS from_type, tr._to AS to_type, tr.n_trans, tr.p_nano,
+       CAST(p._pi AS BIGINT) AS stat_from_nano
+FROM tr JOIN {prev} p ON p._t = tr._from
+ORDER BY from_type, to_type
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -12475,6 +12631,7 @@ QUERIES = {
     "ca_trend_report": ca_trend_report,
     "gains_report": gains_report,
     "fuzzy_link_report": fuzzy_link_report,
+    "markov_report": markov_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -12633,6 +12790,7 @@ ORACLES = {
     "ca_trend_report": ORACLE_CA_TREND,
     "gains_report": ORACLE_GAINS,
     "fuzzy_link_report": ORACLE_FUZZY_LINK,
+    "markov_report": _oracle_markov(),
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -255,6 +255,7 @@ def main() -> None:
         kn_perplexity_report,
         kruskal_report,
         mann_kendall_report,
+        markov_report,
         brier_report,
         ca_trend_report,
         fuzzy_link_report,
@@ -589,6 +590,11 @@ def main() -> None:
         # work grows ~n·(n/vocab) inside blocks at fixed vocab — the spot
         # pins candidate growth stays linear-in-rows per probe
         "fuzzy_link_report": (fuzzy_link_report, (1, mult_hi), "part"),
+        # r5d: X110 — the lag window over events is the only data-bound
+        # leg; transitions combine map-side to the ≤|types|² cell frame and
+        # all 20 power iterations ride |types|-row checkpointed frames
+        # whatever n; ~linear
+        "markov_report": (markov_report, (1, mult_hi), "events"),
     }
     only = set(sys.argv[1:])
     if only:
