@@ -12437,6 +12437,111 @@ ORDER BY from_type, to_type
 """
 
 
+def anova_report(spark, sf):
+    """One-way ANOVA F across sources (X111 — Fisher 1925 variance
+    decomposition SST = SSB + SSW with F = (SSB/(k−1))/(SSW/(N−k)):
+    exactly scipy.stats.f_oneway — does MEAN document length differ by
+    source? The parametric complement to X104's rank-based
+    Kruskal-Wallis). ONE map-side-combined groupBy collapses the corpus
+    to the k-row (n_g, Σv, Σv²) frame — n_chars sums BIGINT-exact to
+    ~9e14 chars/source, Σv² to ~9e10 rows at 10k chars; the grand
+    totals ride a broadcast crossJoin exactly like X104. SSB =
+    Σ S_g²/n_g − S²/N with each S_g²/n_g an IEEE double of exact
+    BIGINTs (X104's precedent, same fixed association on both engines);
+    SSW = Q − Σ S_g²/n_g off the exact Σv² — never a second pass over
+    the data. Per-source rows carry the exact BIGINTs plus the constant
+    F / eta² columns. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("_v")
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_v").cast("long").alias("sum_v"),
+        F.sum(F.expr("_v * _v")).cast("long").alias("sum_v2"),
+    )
+    wall = W.partitionBy()
+    g = g.select(
+        "*",
+        F.sum("n_docs").over(wall).cast("long").alias("_nt"),
+        F.sum("sum_v").over(wall).cast("long").alias("_st"),
+        F.sum("sum_v2").over(wall).cast("long").alias("_qt"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_groups"),
+        F.sum(
+            F.col("sum_v").cast("double")
+            * F.col("sum_v").cast("double")
+            / F.col("n_docs").cast("double")
+        )
+        .over(wall)
+        .alias("_sb"),
+    )
+    nt = F.col("_nt").cast("double")
+    st = F.col("_st").cast("double")
+    ssb = F.col("_sb") - st * st / nt
+    ssw = F.col("_qt").cast("double") - F.col("_sb")
+    sst = F.col("_qt").cast("double") - st * st / nt
+    k = F.col("n_groups").cast("double")
+    f_ok = (F.col("n_groups") > 1) & (F.col("_nt") > F.col("n_groups")) & (ssw > 0)
+    return g.select(
+        "source",
+        "n_docs",
+        "sum_v",
+        "sum_v2",
+        _r(F.col("sum_v").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_v"
+        ),
+        "n_groups",
+        _r(ssb).alias("ss_between"),
+        _r(ssw).alias("ss_within"),
+        _r(F.when(f_ok, (ssb / (k - 1)) / (ssw / (nt - k)))).alias("f_stat"),
+        _r(F.when(sst > 0, ssb / sst)).alias("eta_sq"),
+    ).orderBy("source")
+
+
+ORACLE_ANOVA = r"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS _v FROM documents
+),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(_v) AS BIGINT) AS sum_v,
+         CAST(sum(_v * _v) AS BIGINT) AS sum_v2
+  FROM d GROUP BY 1
+),
+gg AS (
+  SELECT g.*,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS _nt,
+         CAST(sum(sum_v) OVER () AS BIGINT) AS _st,
+         CAST(sum(sum_v2) OVER () AS BIGINT) AS _qt,
+         CAST(count(*) OVER () AS BIGINT) AS n_groups,
+         sum(CAST(sum_v AS DOUBLE) * CAST(sum_v AS DOUBLE)
+             / CAST(n_docs AS DOUBLE)) OVER () AS _sb
+  FROM g
+)
+SELECT source, n_docs, sum_v, sum_v2,
+       round(CAST(sum_v AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_v,
+       n_groups,
+       round(_sb - CAST(_st AS DOUBLE) * CAST(_st AS DOUBLE)
+                   / CAST(_nt AS DOUBLE), 6) AS ss_between,
+       round(CAST(_qt AS DOUBLE) - _sb, 6) AS ss_within,
+       round(CASE WHEN n_groups > 1 AND _nt > n_groups
+                       AND CAST(_qt AS DOUBLE) - _sb > 0
+             THEN ((_sb - CAST(_st AS DOUBLE) * CAST(_st AS DOUBLE)
+                          / CAST(_nt AS DOUBLE)) / (CAST(n_groups AS DOUBLE) - 1))
+                  / ((CAST(_qt AS DOUBLE) - _sb)
+                     / (CAST(_nt AS DOUBLE) - CAST(n_groups AS DOUBLE)))
+             END, 6) AS f_stat,
+       round(CASE WHEN CAST(_qt AS DOUBLE) - CAST(_st AS DOUBLE) * CAST(_st AS DOUBLE)
+                       / CAST(_nt AS DOUBLE) > 0
+             THEN (_sb - CAST(_st AS DOUBLE) * CAST(_st AS DOUBLE) / CAST(_nt AS DOUBLE))
+                  / (CAST(_qt AS DOUBLE) - CAST(_st AS DOUBLE) * CAST(_st AS DOUBLE)
+                     / CAST(_nt AS DOUBLE))
+             END, 6) AS eta_sq
+FROM gg
+ORDER BY source
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -12632,6 +12737,7 @@ QUERIES = {
     "gains_report": gains_report,
     "fuzzy_link_report": fuzzy_link_report,
     "markov_report": markov_report,
+    "anova_report": anova_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -12791,6 +12897,7 @@ ORACLES = {
     "gains_report": ORACLE_GAINS,
     "fuzzy_link_report": ORACLE_FUZZY_LINK,
     "markov_report": _oracle_markov(),
+    "anova_report": ORACLE_ANOVA,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

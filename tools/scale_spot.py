@@ -239,6 +239,7 @@ def _lshindex_delta_spot(spark, sf_dir: str):
 
 def main() -> None:
     from ocr_output_evaluation_spark.queries import (
+        anova_report,
         asof_attribution_report,
         bloom_contamination_report,
         bm25_search_report,
@@ -567,6 +568,9 @@ def main() -> None:
         # the bounded n_chars domain; ranks, rank sums and H ride
         # domain/group-sized frames whatever n; ~linear
         "kruskal_report": (kruskal_report, (1, mult_hi), "documents"),
+        # r5d: X111 — ONE map-side-combined groupBy to the k-row moment
+        # frame; F/eta² ride that frame whatever n; ~linear
+        "anova_report": (anova_report, (1, mult_hi), "documents"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
