@@ -12542,6 +12542,244 @@ ORDER BY source
 """
 
 
+def mcnemar_report(spark, sf):
+    """McNemar's paired test between two English-detectors (X112 —
+    McNemar 1947 χ² = (b−c)²/(b+c) on the discordant pairs, plus the
+    Edwards 1948 continuity-corrected (|b−c|−1)²/(b+c): THE test for
+    "is classifier A better than B on the SAME items?", Dietterich
+    1998's recommendation for comparing classifiers without retraining).
+    Detector A = the X106 stopword lang-ID (argmax over per-lang hit
+    counts, NULL→non-en); detector B = the bare keyword heuristic
+    "contains the word 'the'" — truth is lang = 'en'. ONE scan; both
+    predictions and the truth are codegen expressions; the corpus
+    collapses map-side to the 4-cell discordance grid. χ²/accuracies
+    are IEEE doubles of exact BIGINTs (one row). Reference analog:
+    none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents")
+    truth = (F.col("lang") == "en").cast("int")
+    pred_a = (
+        F.coalesce(lang_id_scores(F.col("text"))["lang_pred"], F.lit("und")) == "en"
+    ).cast("int")
+    pred_b = F.lower(F.col("text")).rlike(r"\bthe\b").cast("int")
+    p = d.select(
+        (pred_a == truth).cast("long").alias("_a_ok"),
+        (pred_b == truth).cast("long").alias("_b_ok"),
+    )
+    g = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("_a_ok") * F.col("_b_ok")).cast("long").alias("n_both"),
+        F.sum(F.col("_a_ok") * (1 - F.col("_b_ok"))).cast("long").alias("n_a_only"),
+        F.sum((1 - F.col("_a_ok")) * F.col("_b_ok")).cast("long").alias("n_b_only"),
+        F.sum((1 - F.col("_a_ok")) * (1 - F.col("_b_ok")))
+        .cast("long")
+        .alias("n_neither"),
+    )
+    b = F.col("n_a_only").cast("double")
+    c = F.col("n_b_only").cast("double")
+    disc = F.col("n_a_only") + F.col("n_b_only")
+    return g.select(
+        "n_docs",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        _r((F.col("n_both") + F.col("n_a_only")).cast("double")
+           / F.col("n_docs").cast("double")).alias("acc_a"),
+        _r((F.col("n_both") + F.col("n_b_only")).cast("double")
+           / F.col("n_docs").cast("double")).alias("acc_b"),
+        _r(F.when(disc > 0, (b - c) * (b - c) / (b + c))).alias("chi2"),
+        _r(
+            F.when(
+                disc > 0,
+                (F.abs(b - c) - 1) * (F.abs(b - c) - 1) / (b + c),
+            )
+        ).alias("chi2_cc"),
+    )
+
+
+def _oracle_mcnemar() -> str:
+    cols, chain = _langid_pred_sql()
+    return f"""
+WITH s AS (
+  SELECT lang, text,
+         {cols}
+  FROM documents
+),
+p AS (
+  SELECT CASE WHEN (CASE WHEN coalesce({chain}, 'und') = 'en' THEN 1 ELSE 0 END)
+                   = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS _a_ok,
+         CASE WHEN (CASE WHEN regexp_matches(lower(text), '\\bthe\\b')
+                         THEN 1 ELSE 0 END)
+                   = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS _b_ok
+  FROM s
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(_a_ok * _b_ok) AS BIGINT) AS n_both,
+         CAST(sum(_a_ok * (1 - _b_ok)) AS BIGINT) AS n_a_only,
+         CAST(sum((1 - _a_ok) * _b_ok) AS BIGINT) AS n_b_only,
+         CAST(sum((1 - _a_ok) * (1 - _b_ok)) AS BIGINT) AS n_neither
+  FROM p
+)
+SELECT n_docs, n_both, n_a_only, n_b_only, n_neither,
+       round(CAST(n_both + n_a_only AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS acc_a,
+       round(CAST(n_both + n_b_only AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS acc_b,
+       round(CASE WHEN n_a_only + n_b_only > 0
+             THEN (CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+                  * (CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+                  / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE))
+             END, 6) AS chi2,
+       round(CASE WHEN n_a_only + n_b_only > 0
+             THEN (abs(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE)) - 1)
+                  * (abs(CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE)) - 1)
+                  / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE))
+             END, 6) AS chi2_cc
+FROM g
+"""
+
+
+def wasserstein_report(spark, sf):
+    """Per-source 1D Wasserstein-1 (earth mover's) distance to the
+    pooled length distribution (X113 — Vaserstein 1969; for 1D ECDFs
+    W₁ = ∫|F_g − F_pool| dv, exactly scipy.stats.wasserstein_distance:
+    the drift metric that, unlike X92's KS sup-gap, weighs HOW FAR mass
+    is displaced, not just the worst crossing — the standard
+    dataset-shift monitor). The corpus collapses map-side to the
+    per-(source, v) and per-v count frames on the bounded n_chars
+    domain; the source×domain grid (crossJoined, both sides tiny) gets
+    per-source and pooled cumulative windows; each inter-value gap
+    contributes |cum_g·n_t − cum_t·n_g|·(v' − v) — BIGINT-exact while
+    n_g·n_t·gap·|domain| < 2^63 (~2e5 docs/source at a 10⁴-wide
+    domain; DECIMAL swap documented for cluster scale). The only float
+    is the final per-source division by n_g·n_t. Reference analog:
+    none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("_v")
+    )
+    pv = d.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_ct"))
+    wv = W.orderBy("_v")
+    pool = pv.select(
+        "_v",
+        F.sum("_ct").over(wv.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("_cumt"),
+        (F.lead("_v").over(wv) - F.col("_v")).alias("_gap"),
+    )
+    sv = d.groupBy("source", "_v").agg(F.count(F.lit(1)).cast("long").alias("_cg"))
+    srcs = sv.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(pool))
+        .join(sv, ["source", "_v"], "left")
+        .select(
+            "source",
+            "_v",
+            "_cumt",
+            "_gap",
+            F.coalesce("_cg", F.lit(0)).cast("long").alias("_cg"),
+        )
+    )
+    ws = W.partitionBy("source").orderBy("_v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    g = grid.select(
+        "source",
+        "_cumt",
+        "_gap",
+        F.sum("_cg").over(ws).cast("long").alias("_cumg"),
+    )
+    ng = sv.groupBy("source").agg(F.sum("_cg").cast("long").alias("n_docs"))
+    tot = pv.agg(F.sum("_ct").cast("long").alias("_nt"))
+    per = (
+        g.join(F.broadcast(ng), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.max("_nt").cast("long").alias("_nt"),
+            F.sum(
+                F.when(
+                    F.col("_gap").isNotNull(),
+                    F.abs(
+                        F.col("_cumg") * F.col("_nt")
+                        - F.col("_cumt") * F.col("n_docs")
+                    )
+                    * F.col("_gap"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("w1_num"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "w1_num",
+        _r(
+            F.col("w1_num").cast("double")
+            / (F.col("n_docs").cast("double") * F.col("_nt").cast("double"))
+        ).alias("w1"),
+    ).orderBy("source")
+
+
+ORACLE_WASSERSTEIN = r"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS _v FROM documents
+),
+pv AS (
+  SELECT _v, CAST(count(*) AS BIGINT) AS _ct FROM d GROUP BY 1
+),
+pool AS (
+  SELECT _v,
+         CAST(sum(_ct) OVER (ORDER BY _v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS _cumt,
+         lead(_v) OVER (ORDER BY _v) - _v AS _gap
+  FROM pv
+),
+sv AS (
+  SELECT source, _v, CAST(count(*) AS BIGINT) AS _cg FROM d GROUP BY 1, 2
+),
+srcs AS (
+  SELECT DISTINCT source FROM sv
+),
+grid AS (
+  SELECT s.source, p._v, p._cumt, p._gap,
+         CAST(coalesce(sv._cg, 0) AS BIGINT) AS _cg
+  FROM srcs s CROSS JOIN pool p
+  LEFT JOIN sv ON sv.source = s.source AND sv._v = p._v
+),
+g AS (
+  SELECT source, _cumt, _gap,
+         CAST(sum(_cg) OVER (PARTITION BY source ORDER BY _v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cumg
+  FROM grid
+),
+ng AS (
+  SELECT source, CAST(sum(_cg) AS BIGINT) AS n_docs FROM sv GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(_ct) AS BIGINT) AS _nt FROM pv
+),
+per AS (
+  SELECT g.source, CAST(max(ng.n_docs) AS BIGINT) AS n_docs,
+         CAST(max(tot._nt) AS BIGINT) AS _nt,
+         CAST(sum(CASE WHEN g._gap IS NOT NULL
+                  THEN abs(g._cumg * tot._nt - g._cumt * ng.n_docs) * g._gap
+                  ELSE 0 END) AS BIGINT) AS w1_num
+  FROM g JOIN ng ON ng.source = g.source CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT source, n_docs, w1_num,
+       round(CAST(w1_num AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE) * CAST(_nt AS DOUBLE)), 6) AS w1
+FROM per
+ORDER BY source
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -12738,6 +12976,8 @@ QUERIES = {
     "fuzzy_link_report": fuzzy_link_report,
     "markov_report": markov_report,
     "anova_report": anova_report,
+    "mcnemar_report": mcnemar_report,
+    "wasserstein_report": wasserstein_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -12898,6 +13138,8 @@ ORACLES = {
     "fuzzy_link_report": ORACLE_FUZZY_LINK,
     "markov_report": _oracle_markov(),
     "anova_report": ORACLE_ANOVA,
+    "mcnemar_report": _oracle_mcnemar(),
+    "wasserstein_report": ORACLE_WASSERSTEIN,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

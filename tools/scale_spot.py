@@ -257,6 +257,8 @@ def main() -> None:
         kruskal_report,
         mann_kendall_report,
         markov_report,
+        mcnemar_report,
+        wasserstein_report,
         brier_report,
         ca_trend_report,
         fuzzy_link_report,
@@ -571,6 +573,14 @@ def main() -> None:
         # r5d: X111 — ONE map-side-combined groupBy to the k-row moment
         # frame; F/eta² ride that frame whatever n; ~linear
         "anova_report": (anova_report, (1, mult_hi), "documents"),
+        # r5d: X112 — one scan with codegen predictions collapsing map-side
+        # to a 4-cell grid; the regex scan is the only data-bound leg;
+        # ~linear
+        "mcnemar_report": (mcnemar_report, (1, mult_hi), "documents"),
+        # r5d: X113 — counts collapse map-side to the bounded n_chars
+        # domain; the source×domain grid and its cumulative windows are
+        # domain-sized whatever n; ~linear
+        "wasserstein_report": (wasserstein_report, (1, mult_hi), "documents"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
