@@ -12780,6 +12780,91 @@ ORDER BY source
 """
 
 
+def apriori_report(spark, sf):
+    """Association rules over per-user event-type baskets (X114 —
+    Agrawal & Srikant 1994 Apriori support/confidence + the lift of
+    Brin et al. 1997: which behaviors co-occur in the same users? The
+    market-basket audit, run over sessions-as-baskets). Baskets are the
+    per-user DISTINCT event-type sets (ONE distinct shuffle — the only
+    data-bound leg); the pair frame is a per-user self-join with
+    fan-out ≤ |types|²/2 per user (bounded whatever n, never a global
+    cross join); every rule A→B over the ≤|types|² ordered pairs gets
+    support = n_ab/N, confidence = n_ab/n_a, lift = n_ab·N/(n_a·n_b) —
+    all IEEE doubles of exact BIGINT counts. No minimum-support prune:
+    the itemset lattice is |types|-bounded, so the full rule table IS
+    the deterministic output. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    b = t(spark, sf, "events").select("user_id", "event_type").distinct()
+    tot = b.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    c1 = b.groupBy(F.col("event_type").alias("_i")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    lhs = b.select("user_id", F.col("event_type").alias("_a"))
+    rhs = b.select("user_id", F.col("event_type").alias("_b"))
+    pairs = (
+        lhs.join(rhs, "user_id")
+        .filter(F.col("_a") != F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    j = (
+        pairs.join(F.broadcast(c1.select(F.col("_i").alias("_a"),
+                                         F.col("_n").alias("n_a"))), "_a")
+        .join(F.broadcast(c1.select(F.col("_i").alias("_b"),
+                                    F.col("_n").alias("n_b"))), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nbl = F.col("n_users").cast("double")
+    return j.select(
+        F.col("_a").alias("antecedent"),
+        F.col("_b").alias("consequent"),
+        "n_users",
+        "n_ab",
+        "n_a",
+        "n_b",
+        _r(F.col("n_ab").cast("double") / nbl).alias("support"),
+        _r(F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+            "confidence"
+        ),
+        _r(
+            F.col("n_ab").cast("double")
+            * nbl
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("lift"),
+    ).orderBy("antecedent", "consequent")
+
+
+ORACLE_APRIORI = r"""
+WITH b AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+nb AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM b
+),
+c1 AS (
+  SELECT event_type AS _i, CAST(count(*) AS BIGINT) AS _n FROM b GROUP BY 1
+),
+pairs AS (
+  SELECT l.event_type AS _a, r.event_type AS _b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM b l JOIN b r ON l.user_id = r.user_id AND l.event_type <> r.event_type
+  GROUP BY 1, 2
+)
+SELECT p._a AS antecedent, p._b AS consequent, nb.n_users,
+       p.n_ab, ca._n AS n_a, cb._n AS n_b,
+       round(CAST(p.n_ab AS DOUBLE) / CAST(nb.n_users AS DOUBLE), 6)
+         AS support,
+       round(CAST(p.n_ab AS DOUBLE) / CAST(ca._n AS DOUBLE), 6) AS confidence,
+       round(CAST(p.n_ab AS DOUBLE) * CAST(nb.n_users AS DOUBLE)
+             / (CAST(ca._n AS DOUBLE) * CAST(cb._n AS DOUBLE)), 6) AS lift
+FROM pairs p
+CROSS JOIN nb
+JOIN c1 ca ON ca._i = p._a
+JOIN c1 cb ON cb._i = p._b
+ORDER BY antecedent, consequent
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -12978,6 +13063,7 @@ QUERIES = {
     "anova_report": anova_report,
     "mcnemar_report": mcnemar_report,
     "wasserstein_report": wasserstein_report,
+    "apriori_report": apriori_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -13140,6 +13226,7 @@ ORACLES = {
     "anova_report": ORACLE_ANOVA,
     "mcnemar_report": _oracle_mcnemar(),
     "wasserstein_report": ORACLE_WASSERSTEIN,
+    "apriori_report": ORACLE_APRIORI,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -240,6 +240,7 @@ def _lshindex_delta_spot(spark, sf_dir: str):
 def main() -> None:
     from ocr_output_evaluation_spark.queries import (
         anova_report,
+        apriori_report,
         asof_attribution_report,
         bloom_contamination_report,
         bm25_search_report,
@@ -581,6 +582,10 @@ def main() -> None:
         # domain; the source×domain grid and its cumulative windows are
         # domain-sized whatever n; ~linear
         "wasserstein_report": (wasserstein_report, (1, mult_hi), "documents"),
+        # r5d: X114 — one distinct shuffle to per-user baskets; the
+        # per-user self-join fans out ≤|types|²/2 per user (bounded);
+        # the rule table is ≤|types|² rows whatever n; ~linear
+        "apriori_report": (apriori_report, (1, mult_hi), "events"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
