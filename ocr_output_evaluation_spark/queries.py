@@ -12865,6 +12865,124 @@ ORDER BY antecedent, consequent
 """
 
 
+def cusum_report(spark, sf):
+    """CUSUM changepoint detection over per-type daily event volume
+    (X115 — Page 1954 cumulative sums; the offline single-changepoint
+    locator argmax_k |Σ_{i≤k}(c_i − c̄)|, the mean-shift scan statistic
+    behind every crawl-volume regression monitor). Events collapse
+    map-side to the (type, epoch-day) count frame; the dense day grid
+    (global [min,max] span × types, both tiny, sequence+explode off a
+    1-row bounds frame) zero-fills silent days so a crawl outage IS a
+    shift. EVERYTHING is BIGINT: the centered prefix scaled by D is
+    cus_k = D·prefix_k − k·T exactly; the changepoint is the
+    row_number=1 row under the explicit (|cus| DESC, day ASC) total
+    order, the always-zero k=D endpoint excluded (kept only when D=1).
+    Only mean_per_day is float. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("_d"))
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type", "_d", F.coalesce("_c", F.lit(0)).cast("long").alias("_c")
+        )
+    )
+    wt = W.partitionBy("event_type").orderBy("_d")
+    p = grid.select(
+        "event_type",
+        "_d",
+        F.sum("_c").over(wt.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("_pre"),
+        F.row_number().over(wt).cast("long").alias("_k"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).cast("long").alias("_nd"),
+        F.sum("_c").over(W.partitionBy("event_type")).cast("long").alias("_T"),
+    )
+    cus = p.select(
+        "*",
+        (F.col("_nd") * F.col("_pre") - F.col("_k") * F.col("_T"))
+        .cast("long")
+        .alias("_cus"),
+    ).filter((F.col("_k") < F.col("_nd")) | (F.col("_nd") == 1))
+    pick = cus.select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(F.abs("_cus").desc(), F.col("_d")))
+        .alias("_rnk"),
+    ).filter(F.col("_rnk") == 1)
+    return pick.select(
+        "event_type",
+        F.col("_nd").alias("n_days"),
+        F.col("_T").alias("n_events"),
+        F.col("_d").alias("cp_day"),
+        F.col("_k").alias("cp_k"),
+        F.col("_cus").alias("cusum_scaled"),
+        F.abs("_cus").alias("max_abs_cusum"),
+        _r(F.col("_T").cast("double") / F.col("_nd").cast("double")).alias(
+            "mean_per_day"
+        ),
+    ).orderBy("event_type")
+
+
+ORACLE_CUSUM = r"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(_d) AS _lo, max(_d) AS _hi FROM e
+),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d FROM bounds
+),
+types AS (
+  SELECT DISTINCT event_type FROM cnt
+),
+grid AS (
+  SELECT ty.event_type, dy._d, CAST(coalesce(c._c, 0) AS BIGINT) AS _c
+  FROM types ty CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+p AS (
+  SELECT event_type, _d,
+         CAST(sum(_c) OVER (PARTITION BY event_type ORDER BY _d
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _pre,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY _d)
+              AS BIGINT) AS _k,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS _nd,
+         CAST(sum(_c) OVER (PARTITION BY event_type) AS BIGINT) AS _T
+  FROM grid
+),
+cus AS (
+  SELECT *, CAST(_nd * _pre - _k * _T AS BIGINT) AS _cus
+  FROM p WHERE _k < _nd OR _nd = 1
+),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(_cus) DESC, _d) AS _rnk
+  FROM cus
+)
+SELECT event_type, _nd AS n_days, _T AS n_events, _d AS cp_day, _k AS cp_k,
+       _cus AS cusum_scaled, abs(_cus) AS max_abs_cusum,
+       round(CAST(_T AS DOUBLE) / CAST(_nd AS DOUBLE), 6) AS mean_per_day
+FROM pick WHERE _rnk = 1
+ORDER BY event_type
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -13064,6 +13182,7 @@ QUERIES = {
     "mcnemar_report": mcnemar_report,
     "wasserstein_report": wasserstein_report,
     "apriori_report": apriori_report,
+    "cusum_report": cusum_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -13227,6 +13346,7 @@ ORACLES = {
     "mcnemar_report": _oracle_mcnemar(),
     "wasserstein_report": ORACLE_WASSERSTEIN,
     "apriori_report": ORACLE_APRIORI,
+    "cusum_report": ORACLE_CUSUM,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -246,6 +246,7 @@ def main() -> None:
         bm25_search_report,
         cms_heavy_hitters_report,
         contamination_report,
+        cusum_report,
         hll_distinct_report,
         auc_report,
         bh_fdr_report,
@@ -586,6 +587,10 @@ def main() -> None:
         # per-user self-join fans out ≤|types|²/2 per user (bounded);
         # the rule table is ≤|types|² rows whatever n; ~linear
         "apriori_report": (apriori_report, (1, mult_hi), "events"),
+        # r5d: X115 — events collapse map-side to the (type, day) frame;
+        # the dense grid and its windows are |types|×|days|-bounded
+        # whatever n; ~linear
+        "cusum_report": (cusum_report, (1, mult_hi), "events"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
