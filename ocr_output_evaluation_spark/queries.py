@@ -12983,6 +12983,143 @@ ORDER BY event_type
 """
 
 
+_ACF_MAX_LAG = 14
+
+
+def acf_report(spark, sf):
+    """Autocorrelation function of per-type daily event volume at lags
+    1..14 (X116 — Box & Jenkins 1970 ch.2 sample ACF r_h =
+    Σ(c_t−c̄)(c_{t+h}−c̄)/Σ(c_t−c̄)², the seasonality/burst fingerprint
+    read before any forecast is trusted; a weekly crawl cadence shows
+    as an r_7 spike). The dense zero-filled day grid is X115's; the
+    mean never becomes a float: dev_t = D·c_t − T makes every product
+    (D·c_t−T)(D·c_{t+h}−T) BIGINT-exact (the D² scaling cancels in the
+    ratio) — exact while (D·c_max)²·D < 2^63 (~1e5 events/day/type at
+    a year span; DECIMAL swap documented). Lag pairs come from ONE
+    equi-join of the domain-sized grid to a fresh-exprId copy on
+    (type, day+lag) — day-domain-bounded whatever n; acf = num/den is
+    the only float. Emits exact num/den BIGINTs per (type, lag) for
+    hash strength. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("_d"))
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type", "_d", F.coalesce("_c", F.lit(0)).cast("long").alias("_c")
+        )
+    )
+    wt = W.partitionBy("event_type")
+    dev = grid.select(
+        "event_type",
+        "_d",
+        (
+            F.count(F.lit(1)).over(wt).cast("long") * F.col("_c")
+            - F.sum("_c").over(wt).cast("long")
+        )
+        .cast("long")
+        .alias("_dev"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("_nd"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.expr("_dev * _dev")).cast("long").alias("acf_den"),
+        F.max("_nd").cast("long").alias("n_days"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("long").alias("lag"))
+    a = dev.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", (F.col("_d") + F.col("lag")).alias("_dj"), "_dev"
+    )
+    b = dev.toDF(*dev.columns).select(  # fresh exprIds: self-join safe
+        "event_type", F.col("_d").alias("_dj"), F.col("_dev").alias("_devb")
+    )
+    num = (
+        a.join(b, ["event_type", "_dj"])
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.expr("_dev * _devb")).cast("long").alias("acf_num"))
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_days",
+            "acf_num",
+            "acf_den",
+            _r(
+                F.when(
+                    F.col("acf_den") != 0,
+                    F.col("acf_num").cast("double") / F.col("acf_den").cast("double"),
+                )
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+ORACLE_ACF = rf"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(_d) AS _lo, max(_d) AS _hi FROM e
+),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d FROM bounds
+),
+types AS (
+  SELECT DISTINCT event_type FROM cnt
+),
+grid AS (
+  SELECT ty.event_type, dy._d, CAST(coalesce(c._c, 0) AS BIGINT) AS _c
+  FROM types ty CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+dev AS (
+  SELECT event_type, _d,
+         CAST(count(*) OVER (PARTITION BY event_type) * _c
+              - sum(_c) OVER (PARTITION BY event_type) AS BIGINT) AS _dev,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS _ndays
+  FROM grid
+),
+den AS (
+  SELECT event_type, CAST(sum(_dev * _dev) AS BIGINT) AS acf_den,
+         CAST(max(_ndays) AS BIGINT) AS n_days
+  FROM dev GROUP BY 1
+),
+lags AS (
+  SELECT CAST(unnest(range(1, {_ACF_MAX_LAG + 1})) AS BIGINT) AS lag
+),
+num AS (
+  SELECT a.event_type, l.lag,
+         CAST(sum(a._dev * b._dev) AS BIGINT) AS acf_num
+  FROM dev a
+  CROSS JOIN lags l
+  JOIN dev b ON b.event_type = a.event_type AND b._d = a._d + l.lag
+  GROUP BY 1, 2
+)
+SELECT n.event_type, n.lag, d.n_days, n.acf_num, d.acf_den,
+       round(CASE WHEN d.acf_den <> 0
+             THEN CAST(n.acf_num AS DOUBLE) / CAST(d.acf_den AS DOUBLE)
+             END, 6) AS acf
+FROM num n JOIN den d ON d.event_type = n.event_type
+ORDER BY n.event_type, n.lag
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -13183,6 +13320,7 @@ QUERIES = {
     "wasserstein_report": wasserstein_report,
     "apriori_report": apriori_report,
     "cusum_report": cusum_report,
+    "acf_report": acf_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -13347,6 +13485,7 @@ ORACLES = {
     "wasserstein_report": ORACLE_WASSERSTEIN,
     "apriori_report": ORACLE_APRIORI,
     "cusum_report": ORACLE_CUSUM,
+    "acf_report": ORACLE_ACF,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -239,6 +239,7 @@ def _lshindex_delta_spot(spark, sf_dir: str):
 
 def main() -> None:
     from ocr_output_evaluation_spark.queries import (
+        acf_report,
         anova_report,
         apriori_report,
         asof_attribution_report,
@@ -591,6 +592,9 @@ def main() -> None:
         # the dense grid and its windows are |types|×|days|-bounded
         # whatever n; ~linear
         "cusum_report": (cusum_report, (1, mult_hi), "events"),
+        # r5d: X116 — same bounded day-grid shape as X115; the lag join is
+        # grid×14 rows (domain-sized) whatever n; ~linear
+        "acf_report": (acf_report, (1, mult_hi), "events"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
