@@ -13120,6 +13120,146 @@ ORDER BY n.event_type, n.lag
 """
 
 
+# log10(1 + 1/d), d = 1..9, in nanos (hardcoded so NEITHER engine computes
+# a transcendental — the only way the expected distribution is bit-identical)
+_BENFORD_NANO = {
+    1: 301_029_996,
+    2: 176_091_259,
+    3: 124_938_737,
+    4: 96_910_013,
+    5: 79_181_246,
+    6: 66_946_790,
+    7: 57_991_947,
+    8: 51_152_522,
+    9: 45_757_491,
+}
+
+
+def benford_report(spark, sf):
+    """Benford first-digit audit over order totals (X117 — Newcomb 1881 /
+    Benford 1938 P(d) = log10(1+1/d); Nigrini 2012's χ² + MAD tests, the
+    standard forensic screen for fabricated or truncated monetary data —
+    synthetic uniform prices FAIL it, which is itself the audit's point
+    on this corpus). Prices become exact integer cents by the repo-wide
+    money-2dp rule; the first significant digit is the first character
+    of the cents string (×100 preserves the leading digit — no float
+    log10 whose last ULP could flip a digit across engines); the corpus
+    collapses map-side to the ≤9-row digit frame, zero-filled off a
+    range(1,10) grid. Expected probs are hardcoded nano literals (no
+    transcendental evaluated on either engine); each χ² term and the
+    MAD numerator are doubles/BIGINTs of exact integers; χ²/MAD ride a
+    window over the 9-row frame. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = (
+        t(spark, sf, "orders")
+        .select(cents.alias("_cents"))
+        .filter(F.col("_cents") > 0)
+        .select(F.substring(F.col("_cents").cast("string"), 1, 1).cast("long")
+                .alias("digit"))
+    )
+    cnt = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    digits = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
+    p_nano = F.element_at(
+        F.array(*[F.lit(_BENFORD_NANO[i]) for i in range(1, 10)]),
+        F.col("digit").cast("int"),
+    ).cast("long")
+    g = (
+        digits.join(cnt, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_obs"),
+            p_nano.alias("p_nano"),
+        )
+    )
+    wall = W.partitionBy()
+    g = g.select(
+        "*",
+        F.sum("n_obs").over(wall).cast("long").alias("_nt"),
+    ).select(
+        "*",
+        (F.col("n_obs") * F.lit(1_000_000_000) - F.col("_nt") * F.col("p_nano"))
+        .cast("long")
+        .alias("_dev_nano"),
+    )
+    term = (
+        F.col("_dev_nano").cast("double")
+        * F.col("_dev_nano").cast("double")
+        / (F.lit(1e9) * F.col("_nt").cast("double") * F.col("p_nano").cast("double"))
+    )
+    return (
+        g.select(
+            "*",
+            F.sum(term).over(wall).alias("_chi2"),
+            F.sum(F.abs("_dev_nano")).over(wall).cast("long").alias("_mad_num"),
+        )
+        .select(
+            "digit",
+            "n_obs",
+            "p_nano",
+            F.col("_nt").alias("n_orders"),
+            "_dev_nano",
+            _r(F.col("n_obs").cast("double") / F.col("_nt").cast("double")).alias(
+                "obs_prop"
+            ),
+            _r(
+                F.col("_nt").cast("double") * F.col("p_nano").cast("double") / F.lit(1e9)
+            ).alias("exp_count"),
+            _r(F.col("_chi2")).alias("chi2"),
+            _r(
+                F.col("_mad_num").cast("double")
+                / (F.lit(9e9) * F.col("_nt").cast("double"))
+            ).alias("mad"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _oracle_benford() -> str:
+    arr = ", ".join(str(_BENFORD_NANO[i]) for i in range(1, 10))
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+),
+cnt AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS _n FROM d GROUP BY 1
+),
+digits AS (
+  SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit
+),
+p AS (
+  SELECT dd.digit, CAST(coalesce(c._n, 0) AS BIGINT) AS n_obs,
+         CAST(([{arr}])[dd.digit] AS BIGINT) AS p_nano
+  FROM digits dd LEFT JOIN cnt c ON c.digit = dd.digit
+),
+g AS (
+  SELECT *, CAST(sum(n_obs) OVER () AS BIGINT) AS _nt FROM p
+),
+g2 AS (
+  SELECT *, CAST(n_obs * 1000000000 - _nt * p_nano AS BIGINT) AS _dev_nano
+  FROM g
+),
+g3 AS (
+  SELECT *,
+         sum(CAST(_dev_nano AS DOUBLE) * CAST(_dev_nano AS DOUBLE)
+             / (1e9 * CAST(_nt AS DOUBLE) * CAST(p_nano AS DOUBLE))) OVER ()
+           AS _chi2,
+         CAST(sum(abs(_dev_nano)) OVER () AS BIGINT) AS _mad_num
+  FROM g2
+)
+SELECT digit, n_obs, p_nano, _nt AS n_orders, _dev_nano,
+       round(CAST(n_obs AS DOUBLE) / CAST(_nt AS DOUBLE), 6) AS obs_prop,
+       round(CAST(_nt AS DOUBLE) * CAST(p_nano AS DOUBLE) / 1e9, 6) AS exp_count,
+       round(_chi2, 6) AS chi2,
+       round(CAST(_mad_num AS DOUBLE) / (9e9 * CAST(_nt AS DOUBLE)), 6) AS mad
+FROM g3
+ORDER BY digit
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -13321,6 +13461,7 @@ QUERIES = {
     "apriori_report": apriori_report,
     "cusum_report": cusum_report,
     "acf_report": acf_report,
+    "benford_report": benford_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -13486,6 +13627,7 @@ ORACLES = {
     "apriori_report": ORACLE_APRIORI,
     "cusum_report": ORACLE_CUSUM,
     "acf_report": ORACLE_ACF,
+    "benford_report": _oracle_benford(),
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -37,7 +37,8 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BASE = dict(documents=5_000, events=100_000, embeddings=2_000, part=2_000)
+BASE = dict(documents=5_000, events=100_000, embeddings=2_000, part=2_000,
+            orders=20_000)
 _SEED = "ooe-scale-spot-v2"  # v2: "scroll" -> "error" so the temporal joins (asof/range, r4) have non-trivial pairs
 
 _VOCAB = [
@@ -83,6 +84,14 @@ _NOUN = ("ring", "bolt", "gear", "gizmo", "widget", "cog", "pin", "clip")
 def part_row(i: int) -> tuple:
     name = f"{_ADJ[_h(i, 'adj') % 8]} {_NOUN[_h(i, 'noun') % 8]}"
     return (i, name, "type", 1.0)
+
+
+def order_row(i: int) -> tuple:
+    # price spans ~4 decades with a smooth geometric ramp so first digits
+    # roughly Benford-distribute; deterministic off the seeded hash
+    price = round(10 ** (2 + (_h(i, "op") % 10_000) / 10_000 * 4), 2)
+    date = pd.Timestamp("2024-01-01") + pd.Timedelta(days=_h(i, "od") % 120)
+    return (i, _h(i, "oc") % 1000, "F", price, date, "1-URGENT")
 
 
 def event_row(i: int, n_users: int) -> tuple:
@@ -148,6 +157,13 @@ def ensure_tables(spark, mult: int, needed: set[str] | None = None) -> str:
             emb_row,
             ["vec_id", "embedding", "label"],
             "vec_id long, embedding array<float>, label int",
+        ),
+        "orders": gen(
+            order_row,
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
         ),
         "part": gen(
             part_row,
@@ -258,6 +274,7 @@ def main() -> None:
         kendall_report,
         kn_perplexity_report,
         kruskal_report,
+        benford_report,
         mann_kendall_report,
         markov_report,
         mcnemar_report,
@@ -595,6 +612,11 @@ def main() -> None:
         # r5d: X116 — same bounded day-grid shape as X115; the lag join is
         # grid×14 rows (domain-sized) whatever n; ~linear
         "acf_report": (acf_report, (1, mult_hi), "events"),
+        # r5d: X117 — first-digit counts combine map-side to a 9-row frame
+        # off the synthetic orders fixture (geometric price ramp, so the
+        # audit has a realistic spread); constant-frame stats whatever n;
+        # ~linear
+        "benford_report": (benford_report, (1, mult_hi), "orders"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
