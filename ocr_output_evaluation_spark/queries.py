@@ -13260,6 +13260,168 @@ ORDER BY digit
 """
 
 
+def mutual_info_report(spark, sf):
+    """Mutual information between language and length bucket (X118 —
+    Shannon 1948 I(X;Y) = Σ p(x,y)·log2(p(x,y)/(p(x)p(y))), plus the
+    Strehl & Ghosh 2002 normalized MI = I/√(H(X)H(Y)) — the
+    feature-dependence audit run before stratifying or balancing a
+    corpus on correlated axes; kappa (X106) needs matching label sets,
+    MI doesn't). The corpus collapses map-side to the
+    ≤|langs|×|buckets| cell frame (bucket = n_chars DIV 100, bounded);
+    marginals broadcast back; every cell term (n_xy/N)·log2(n_xy·N/
+    (n_x·n_y)) is a double of exact BIGINTs nano-quantized to a BIGINT
+    (the X90 discipline) so sums are order-independent and both engines
+    agree bit-for-bit. Per-lang rows carry the lang's own MI
+    contribution + exact marginals; I/H(X)/H(Y)/NMI ride as constant
+    columns. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    LOG2 = 0.6931471805599453  # ln 2, shared literal with the oracle
+    d = t(spark, sf, "documents").select(
+        "lang", F.expr("CAST(n_chars AS BIGINT) DIV 100").alias("_b")
+    )
+    cell = d.groupBy("lang", "_b").agg(F.count(F.lit(1)).cast("long").alias("_nxy"))
+    nx = cell.groupBy("lang").agg(
+        F.sum("_nxy").cast("long").alias("_nx"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    ny = cell.groupBy("_b").agg(F.sum("_nxy").cast("long").alias("_ny"))
+    tot = cell.agg(F.sum("_nxy").cast("long").alias("_nt"))
+
+    def h_nano(frame, cnt_col):
+        p = F.col(cnt_col).cast("double") / F.col("_nt").cast("double")
+        term = p * (F.log(p) / F.lit(LOG2))
+        return (
+            frame.crossJoin(F.broadcast(tot))
+            .select(F.round(term * F.lit(1e9)).cast("long").alias("_tn"))
+            .agg((-F.sum("_tn")).cast("long").alias("_h"))
+        )
+
+    hx = h_nano(nx.select("_nx"), "_nx").withColumnRenamed("_h", "hx_nano")
+    hy = h_nano(ny.select("_ny"), "_ny").withColumnRenamed("_h", "hy_nano")
+    arg = (
+        F.col("_nxy").cast("double") * F.col("_nt").cast("double")
+        / (F.col("_nx").cast("double") * F.col("_ny").cast("double"))
+    )
+    term = (
+        F.col("_nxy").cast("double") / F.col("_nt").cast("double")
+        * (F.log(arg) / F.lit(LOG2))
+    )
+    parts = (
+        cell.join(F.broadcast(nx), "lang")
+        .join(F.broadcast(ny), "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "_nx",
+            "n_cells",
+            F.round(term * F.lit(1e9)).cast("long").alias("_tn"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.max("_nx").cast("long").alias("n_docs"),
+            F.max("n_cells").cast("long").alias("n_cells"),
+            F.sum("_tn").cast("long").alias("mi_part_nano"),
+        )
+    )
+    wall = W.partitionBy()
+    g = (
+        parts.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "*",
+            F.sum("mi_part_nano").over(wall).cast("long").alias("mi_nano"),
+        )
+    )
+    mi = F.col("mi_nano").cast("double") / F.lit(1e9)
+    hxd = F.col("hx_nano").cast("double") / F.lit(1e9)
+    hyd = F.col("hy_nano").cast("double") / F.lit(1e9)
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_cells",
+        "mi_part_nano",
+        "mi_nano",
+        "hx_nano",
+        "hy_nano",
+        F.col("_nt").alias("n_total"),
+        _r(mi).alias("mi_bits"),
+        _r(hxd).alias("h_lang_bits"),
+        _r(hyd).alias("h_bucket_bits"),
+        _r(
+            F.when(
+                (F.col("hx_nano") > 0) & (F.col("hy_nano") > 0),
+                mi / F.sqrt(hxd * hyd),
+            )
+        ).alias("nmi"),
+    ).orderBy("lang")
+
+
+ORACLE_MUTUAL_INFO = r"""
+WITH d AS (
+  SELECT lang, CAST(n_chars AS BIGINT) // 100 AS _b FROM documents
+),
+cell AS (
+  SELECT lang, _b, CAST(count(*) AS BIGINT) AS _nxy FROM d GROUP BY 1, 2
+),
+nx AS (
+  SELECT lang, CAST(sum(_nxy) AS BIGINT) AS _nx,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM cell GROUP BY 1
+),
+ny AS (
+  SELECT _b, CAST(sum(_nxy) AS BIGINT) AS _ny FROM cell GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(_nxy) AS BIGINT) AS _nt FROM cell
+),
+hx AS (
+  SELECT CAST(-sum(CAST(round((CAST(_nx AS DOUBLE) / CAST(_nt AS DOUBLE))
+                   * (ln(CAST(_nx AS DOUBLE) / CAST(_nt AS DOUBLE))
+                      / 0.6931471805599453) * 1e9) AS BIGINT)) AS BIGINT)
+           AS hx_nano
+  FROM nx CROSS JOIN tot
+),
+hy AS (
+  SELECT CAST(-sum(CAST(round((CAST(_ny AS DOUBLE) / CAST(_nt AS DOUBLE))
+                   * (ln(CAST(_ny AS DOUBLE) / CAST(_nt AS DOUBLE))
+                      / 0.6931471805599453) * 1e9) AS BIGINT)) AS BIGINT)
+           AS hy_nano
+  FROM ny CROSS JOIN tot
+),
+parts AS (
+  SELECT c.lang, CAST(max(nx._nx) AS BIGINT) AS n_docs,
+         CAST(max(nx.n_cells) AS BIGINT) AS n_cells,
+         CAST(sum(CAST(round((CAST(c._nxy AS DOUBLE) / CAST(tot._nt AS DOUBLE))
+              * (ln(CAST(c._nxy AS DOUBLE) * CAST(tot._nt AS DOUBLE)
+                    / (CAST(nx._nx AS DOUBLE) * CAST(ny._ny AS DOUBLE)))
+                 / 0.6931471805599453) * 1e9) AS BIGINT)) AS BIGINT)
+           AS mi_part_nano
+  FROM cell c
+  JOIN nx ON nx.lang = c.lang
+  JOIN ny ON ny._b = c._b
+  CROSS JOIN tot
+  GROUP BY 1
+),
+g AS (
+  SELECT p.*, hx.hx_nano, hy.hy_nano, tot._nt,
+         CAST(sum(mi_part_nano) OVER () AS BIGINT) AS mi_nano
+  FROM parts p CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot
+)
+SELECT lang, n_docs, n_cells, mi_part_nano, mi_nano, hx_nano, hy_nano,
+       _nt AS n_total,
+       round(CAST(mi_nano AS DOUBLE) / 1e9, 6) AS mi_bits,
+       round(CAST(hx_nano AS DOUBLE) / 1e9, 6) AS h_lang_bits,
+       round(CAST(hy_nano AS DOUBLE) / 1e9, 6) AS h_bucket_bits,
+       round(CASE WHEN hx_nano > 0 AND hy_nano > 0
+             THEN (CAST(mi_nano AS DOUBLE) / 1e9)
+                  / sqrt((CAST(hx_nano AS DOUBLE) / 1e9)
+                         * (CAST(hy_nano AS DOUBLE) / 1e9))
+             END, 6) AS nmi
+FROM g
+ORDER BY lang
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -13462,6 +13624,7 @@ QUERIES = {
     "cusum_report": cusum_report,
     "acf_report": acf_report,
     "benford_report": benford_report,
+    "mutual_info_report": mutual_info_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -13628,6 +13791,7 @@ ORACLES = {
     "cusum_report": ORACLE_CUSUM,
     "acf_report": ORACLE_ACF,
     "benford_report": _oracle_benford(),
+    "mutual_info_report": ORACLE_MUTUAL_INFO,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -278,6 +278,7 @@ def main() -> None:
         mann_kendall_report,
         markov_report,
         mcnemar_report,
+        mutual_info_report,
         wasserstein_report,
         brier_report,
         ca_trend_report,
@@ -617,6 +618,10 @@ def main() -> None:
         # audit has a realistic spread); constant-frame stats whatever n;
         # ~linear
         "benford_report": (benford_report, (1, mult_hi), "orders"),
+        # r5d: X118 — the corpus collapses map-side to the bounded
+        # lang×bucket cell frame; nano-log terms ride that frame
+        # whatever n; ~linear
+        "mutual_info_report": (mutual_info_report, (1, mult_hi), "documents"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
