@@ -13422,6 +13422,200 @@ ORDER BY lang
 """
 
 
+def theil_report(spark, sf):
+    """Theil T inequality index of document lengths with the
+    between/within-source decomposition (X119 — Theil 1967; Shorrocks
+    1980 proved it the additively-decomposable inequality family's
+    member: T = T_between + Σ (S_g/S)·T_g exactly, unlike X84's Gini
+    which does NOT decompose — "is length inequality a between-source
+    mix effect or within-source spread?"). Lengths collapse map-side to
+    the per-(source, v) count frame on the bounded n_chars domain;
+    every term (c·v/S)·ln(v·N/S) is a double of exact BIGINTs
+    nano-quantized to BIGINT (X90 discipline, v=0 contributing the
+    x·ln x → 0 limit) so sums are order-independent; the emitted
+    decomposition gap pins Theil's identity to nano rounding noise
+    (X103's precedent). Per-source rows carry n_g/S_g/T_g plus the
+    constant totals. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("_v")
+    )
+    sv = d.groupBy("source", "_v").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    ng = sv.groupBy("source").agg(
+        F.sum("_c").cast("long").alias("n_docs"),
+        F.sum(F.expr("_c * _v")).cast("long").alias("sum_v"),
+    )
+    tot = ng.agg(
+        F.sum("n_docs").cast("long").alias("_nt"),
+        F.sum("sum_v").cast("long").alias("_st"),
+    )
+
+    def nano(expr):
+        return F.round(expr * F.lit(1e9)).cast("long")
+
+    cells = (
+        sv.join(F.broadcast(ng), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            # within-g term: (c·v/S_g)·ln(v·n_g/S_g); v=0 -> 0 (x ln x limit)
+            F.when(
+                F.col("_v") > 0,
+                nano(
+                    F.col("_c").cast("double")
+                    * F.col("_v").cast("double")
+                    / F.col("sum_v").cast("double")
+                    * F.log(
+                        F.col("_v").cast("double")
+                        * F.col("n_docs").cast("double")
+                        / F.col("sum_v").cast("double")
+                    )
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_tw"),
+            # direct total term: (c·v/S)·ln(v·N/S)
+            F.when(
+                F.col("_v") > 0,
+                nano(
+                    F.col("_c").cast("double")
+                    * F.col("_v").cast("double")
+                    / F.col("_st").cast("double")
+                    * F.log(
+                        F.col("_v").cast("double")
+                        * F.col("_nt").cast("double")
+                        / F.col("_st").cast("double")
+                    )
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_tt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("_tw").cast("long").alias("theil_within_nano"),
+            F.sum("_tt").cast("long").alias("_tt_part"),
+        )
+    )
+    g = (
+        ng.join(cells, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "*",
+            # between term: (S_g/S)·ln(S_g·N/(S·n_g))
+            nano(
+                F.col("sum_v").cast("double")
+                / F.col("_st").cast("double")
+                * F.log(
+                    F.col("sum_v").cast("double")
+                    * F.col("_nt").cast("double")
+                    / (F.col("_st").cast("double") * F.col("n_docs").cast("double"))
+                )
+            ).alias("_tb"),
+            # income-share-weighted within: (S_g/S)·T_g off the nano T_g
+            F.round(
+                F.col("sum_v").cast("double")
+                / F.col("_st").cast("double")
+                * F.col("theil_within_nano").cast("double")
+            )
+            .cast("long")
+            .alias("_tww"),
+        )
+    )
+    wall = W.partitionBy()
+    g = g.select(
+        "*",
+        F.sum("_tt_part").over(wall).cast("long").alias("theil_total_nano"),
+        F.sum("_tb").over(wall).cast("long").alias("theil_between_nano"),
+        F.sum("_tww").over(wall).cast("long").alias("theil_within_sum_nano"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "sum_v",
+        "theil_within_nano",
+        F.col("_tb").alias("between_term_nano"),
+        "theil_total_nano",
+        "theil_between_nano",
+        "theil_within_sum_nano",
+        _r(F.col("theil_total_nano").cast("double") / F.lit(1e9)).alias("theil_total"),
+        (
+            _r(
+                (
+                    F.col("theil_total_nano")
+                    - F.col("theil_between_nano")
+                    - F.col("theil_within_sum_nano")
+                ).cast("double")
+                / F.lit(1e9)
+            )
+            + F.lit(0.0)  # normalize -0.0 (engines disagree on its sign)
+        ).alias("decomp_gap"),
+    ).orderBy("source")
+
+
+ORACLE_THEIL = r"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS _v FROM documents
+),
+sv AS (
+  SELECT source, _v, CAST(count(*) AS BIGINT) AS _c FROM d GROUP BY 1, 2
+),
+ng AS (
+  SELECT source, CAST(sum(_c) AS BIGINT) AS n_docs,
+         CAST(sum(_c * _v) AS BIGINT) AS sum_v
+  FROM sv GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS _nt, CAST(sum(sum_v) AS BIGINT) AS _st
+  FROM ng
+),
+cells AS (
+  SELECT sv.source,
+         CAST(sum(CASE WHEN sv._v > 0 THEN CAST(round(
+             CAST(sv._c AS DOUBLE) * CAST(sv._v AS DOUBLE)
+             / CAST(ng.sum_v AS DOUBLE)
+             * ln(CAST(sv._v AS DOUBLE) * CAST(ng.n_docs AS DOUBLE)
+                  / CAST(ng.sum_v AS DOUBLE)) * 1e9) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS theil_within_nano,
+         CAST(sum(CASE WHEN sv._v > 0 THEN CAST(round(
+             CAST(sv._c AS DOUBLE) * CAST(sv._v AS DOUBLE)
+             / CAST(tot._st AS DOUBLE)
+             * ln(CAST(sv._v AS DOUBLE) * CAST(tot._nt AS DOUBLE)
+                  / CAST(tot._st AS DOUBLE)) * 1e9) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS _tt_part
+  FROM sv JOIN ng ON ng.source = sv.source CROSS JOIN tot
+  GROUP BY 1
+),
+g AS (
+  SELECT ng.*, c.theil_within_nano, c._tt_part, tot._nt, tot._st,
+         CAST(round(CAST(ng.sum_v AS DOUBLE) / CAST(tot._st AS DOUBLE)
+              * ln(CAST(ng.sum_v AS DOUBLE) * CAST(tot._nt AS DOUBLE)
+                   / (CAST(tot._st AS DOUBLE) * CAST(ng.n_docs AS DOUBLE)))
+              * 1e9) AS BIGINT) AS _tb,
+         CAST(round(CAST(ng.sum_v AS DOUBLE) / CAST(tot._st AS DOUBLE)
+              * CAST(c.theil_within_nano AS DOUBLE)) AS BIGINT) AS _tww
+  FROM ng JOIN cells c ON c.source = ng.source CROSS JOIN tot
+),
+g2 AS (
+  SELECT *,
+         CAST(sum(_tt_part) OVER () AS BIGINT) AS theil_total_nano,
+         CAST(sum(_tb) OVER () AS BIGINT) AS theil_between_nano,
+         CAST(sum(_tww) OVER () AS BIGINT) AS theil_within_sum_nano
+  FROM g
+)
+SELECT source, n_docs, sum_v, theil_within_nano, _tb AS between_term_nano,
+       theil_total_nano, theil_between_nano, theil_within_sum_nano,
+       round(CAST(theil_total_nano AS DOUBLE) / 1e9, 6) AS theil_total,
+       round(CAST(theil_total_nano - theil_between_nano
+                  - theil_within_sum_nano AS DOUBLE) / 1e9, 6) + 0.0
+         AS decomp_gap
+FROM g2
+ORDER BY source
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -13625,6 +13819,7 @@ QUERIES = {
     "acf_report": acf_report,
     "benford_report": benford_report,
     "mutual_info_report": mutual_info_report,
+    "theil_report": theil_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -13792,6 +13987,7 @@ ORACLES = {
     "acf_report": ORACLE_ACF,
     "benford_report": _oracle_benford(),
     "mutual_info_report": ORACLE_MUTUAL_INFO,
+    "theil_report": ORACLE_THEIL,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

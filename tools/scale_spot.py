@@ -279,6 +279,7 @@ def main() -> None:
         markov_report,
         mcnemar_report,
         mutual_info_report,
+        theil_report,
         wasserstein_report,
         brier_report,
         ca_trend_report,
@@ -622,6 +623,10 @@ def main() -> None:
         # lang×bucket cell frame; nano-log terms ride that frame
         # whatever n; ~linear
         "mutual_info_report": (mutual_info_report, (1, mult_hi), "documents"),
+        # r5d: X119 — lengths collapse map-side to the bounded
+        # (source, v) frame; nano-log terms ride that frame whatever n;
+        # ~linear
+        "theil_report": (theil_report, (1, mult_hi), "documents"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
