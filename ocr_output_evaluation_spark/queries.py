@@ -13616,6 +13616,166 @@ ORDER BY source
 """
 
 
+def levene_report(spark, sf):
+    """Brown-Forsythe variance-homogeneity test across sources (X120 —
+    Levene 1960 via the median-centered variant of Brown & Forsythe
+    1974, exactly scipy.stats.levene(center='median'): do sources
+    differ in length SPREAD, not just mean? The robust precondition
+    check behind X111's equal-variance assumption). Per-source medians
+    come off the bounded (source, v) count frame (cum window, two-middle
+    ×2 idiom so med2 = v_lo + v_hi stays BIGINT); the absolute
+    deviations z2 = |2v − med2| are integers, so the one-way ANOVA on z
+    (the test statistic) runs on X111's exact BIGINT moment machine —
+    the ×2 scaling cancels in F. ONE extra domain-frame pass over
+    X111's plan; never a second corpus scan. Per-source rows carry
+    exact moment BIGINTs + the constant W statistic. Reference analog:
+    none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("_v")
+    )
+    sv = d.groupBy("source", "_v").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    wsrc = W.partitionBy("source").orderBy("_v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = sv.select(
+        "source",
+        "_v",
+        "_c",
+        F.sum("_c").over(wsrc).cast("long").alias("_cum"),
+        F.sum("_c").over(W.partitionBy("source")).cast("long").alias("_n"),
+    )
+    # two-middle median ×2: lo at INTEGER rank (n+1) DIV 2, hi at
+    # (n+2) DIV 2 (for odd n both ranks coincide — continuous /2 would
+    # wrongly push hi one value up)
+    rlo = F.expr("(_n + 1) DIV 2")
+    rhi = F.expr("(_n + 2) DIV 2")
+    med = (
+        cum.select(
+            "source",
+            F.when(
+                (F.col("_cum") - F.col("_c") < rlo) & (rlo <= F.col("_cum")),
+                F.col("_v"),
+            ).alias("_lo"),
+            F.when(
+                (F.col("_cum") - F.col("_c") < rhi) & (rhi <= F.col("_cum")),
+                F.col("_v"),
+            ).alias("_hi"),
+        )
+        .groupBy("source")
+        .agg(
+            (F.max("_lo") + F.max("_hi")).cast("long").alias("med2"),
+        )
+    )
+    z = (
+        sv.join(F.broadcast(med), "source")
+        .select(
+            "source",
+            "med2",
+            "_c",
+            F.abs(F.lit(2) * F.col("_v") - F.col("med2")).cast("long").alias("_z"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("med2").cast("long").alias("med2"),
+            F.sum("_c").cast("long").alias("n_docs"),
+            F.sum(F.expr("_c * _z")).cast("long").alias("sum_z"),
+            F.sum(F.expr("_c * _z * _z")).cast("long").alias("sum_z2"),
+        )
+    )
+    wall = W.partitionBy()
+    g = z.select(
+        "*",
+        F.sum("n_docs").over(wall).cast("long").alias("_nt"),
+        F.sum("sum_z").over(wall).cast("long").alias("_st"),
+        F.sum("sum_z2").over(wall).cast("long").alias("_qt"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_groups"),
+        F.sum(
+            F.col("sum_z").cast("double")
+            * F.col("sum_z").cast("double")
+            / F.col("n_docs").cast("double")
+        )
+        .over(wall)
+        .alias("_sb"),
+    )
+    nt = F.col("_nt").cast("double")
+    st = F.col("_st").cast("double")
+    ssb = F.col("_sb") - st * st / nt
+    ssw = F.col("_qt").cast("double") - F.col("_sb")
+    k = F.col("n_groups").cast("double")
+    ok = (F.col("n_groups") > 1) & (F.col("_nt") > F.col("n_groups")) & (ssw > 0)
+    return g.select(
+        "source",
+        "n_docs",
+        "med2",
+        "sum_z",
+        "sum_z2",
+        _r(
+            F.col("sum_z").cast("double") / (F.lit(2.0) * F.col("n_docs").cast("double"))
+        ).alias("mean_absdev"),
+        "n_groups",
+        _r(F.when(ok, (ssb / (k - 1)) / (ssw / (nt - k)))).alias("w_stat"),
+    ).orderBy("source")
+
+
+ORACLE_LEVENE = r"""
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS _v FROM documents
+),
+sv AS (
+  SELECT source, _v, CAST(count(*) AS BIGINT) AS _c FROM d GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, _v, _c,
+         CAST(sum(_c) OVER (PARTITION BY source ORDER BY _v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum,
+         CAST(sum(_c) OVER (PARTITION BY source) AS BIGINT) AS _n
+  FROM sv
+),
+med AS (
+  SELECT source,
+         CAST(max(CASE WHEN _cum - _c < (_n + 1) // 2
+                            AND (_n + 1) // 2 <= _cum THEN _v END)
+              + max(CASE WHEN _cum - _c < (_n + 2) // 2
+                              AND (_n + 2) // 2 <= _cum THEN _v END)
+              AS BIGINT) AS med2
+  FROM cum GROUP BY 1
+),
+z AS (
+  SELECT sv.source, CAST(max(med.med2) AS BIGINT) AS med2,
+         CAST(sum(_c) AS BIGINT) AS n_docs,
+         CAST(sum(_c * abs(2 * _v - med.med2)) AS BIGINT) AS sum_z,
+         CAST(sum(_c * abs(2 * _v - med.med2) * abs(2 * _v - med.med2))
+              AS BIGINT) AS sum_z2
+  FROM sv JOIN med ON med.source = sv.source
+  GROUP BY 1
+),
+g AS (
+  SELECT z.*,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS _nt,
+         CAST(sum(sum_z) OVER () AS BIGINT) AS _st,
+         CAST(sum(sum_z2) OVER () AS BIGINT) AS _qt,
+         CAST(count(*) OVER () AS BIGINT) AS n_groups,
+         sum(CAST(sum_z AS DOUBLE) * CAST(sum_z AS DOUBLE)
+             / CAST(n_docs AS DOUBLE)) OVER () AS _sb
+  FROM z
+)
+SELECT source, n_docs, med2, sum_z, sum_z2,
+       round(CAST(sum_z AS DOUBLE) / (2.0 * CAST(n_docs AS DOUBLE)), 6)
+         AS mean_absdev,
+       n_groups,
+       round(CASE WHEN n_groups > 1 AND _nt > n_groups
+                       AND CAST(_qt AS DOUBLE) - _sb > 0
+             THEN ((_sb - CAST(_st AS DOUBLE) * CAST(_st AS DOUBLE)
+                          / CAST(_nt AS DOUBLE))
+                   / (CAST(n_groups AS DOUBLE) - 1))
+                  / ((CAST(_qt AS DOUBLE) - _sb)
+                     / (CAST(_nt AS DOUBLE) - CAST(n_groups AS DOUBLE)))
+             END, 6) AS w_stat
+FROM g
+ORDER BY source
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -13820,6 +13980,7 @@ QUERIES = {
     "benford_report": benford_report,
     "mutual_info_report": mutual_info_report,
     "theil_report": theil_report,
+    "levene_report": levene_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -13988,6 +14149,7 @@ ORACLES = {
     "benford_report": _oracle_benford(),
     "mutual_info_report": ORACLE_MUTUAL_INFO,
     "theil_report": ORACLE_THEIL,
+    "levene_report": ORACLE_LEVENE,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

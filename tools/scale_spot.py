@@ -274,6 +274,7 @@ def main() -> None:
         kendall_report,
         kn_perplexity_report,
         kruskal_report,
+        levene_report,
         benford_report,
         mann_kendall_report,
         markov_report,
@@ -627,6 +628,10 @@ def main() -> None:
         # (source, v) frame; nano-log terms ride that frame whatever n;
         # ~linear
         "theil_report": (theil_report, (1, mult_hi), "documents"),
+        # r5d: X120 — medians and deviations both ride the bounded
+        # (source, v) frame; the ANOVA-on-z runs on the k-row moment
+        # frame whatever n; ~linear
+        "levene_report": (levene_report, (1, mult_hi), "documents"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
