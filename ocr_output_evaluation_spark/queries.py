@@ -13776,6 +13776,125 @@ ORDER BY source
 """
 
 
+def cochran_q_report(spark, sf):
+    """Cochran's Q across three English-detectors on the same docs
+    (X121 — Cochran 1950: the k-related-proportions extension of X112's
+    McNemar, Q = (k−1)(k·ΣC_j² − T²)/(k·T − ΣR_i²); with k=2 it
+    degenerates to McNemar's χ² exactly — do the three detectors have
+    the same accuracy, accounting for per-document difficulty?).
+    Detector A = the X106 stopword argmax, B = the bare '\\bthe\\b'
+    keyword, C = "≥2 English stopword hits"; truth = lang='en'. ONE
+    codegen scan; the corpus collapses map-side to eight BIGINTs
+    (three column sums, ΣR, ΣR², the R-histogram) — Q is one float
+    division of exact integers, den=0 (all-agree) guarded NULL.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents")
+    truth = (F.col("lang") == "en").cast("int")
+    s = lang_id_scores(F.col("text"))
+    pa = (F.coalesce(s["lang_pred"], F.lit("und")) == "en").cast("int")
+    pb = F.lower(F.col("text")).rlike(r"\bthe\b").cast("int")
+    pc = (s["hits_en"] >= 2).cast("int")
+    p = d.select(
+        (pa == truth).cast("long").alias("_xa"),
+        (pb == truth).cast("long").alias("_xb"),
+        (pc == truth).cast("long").alias("_xc"),
+    ).select(
+        "_xa", "_xb", "_xc", (F.col("_xa") + F.col("_xb") + F.col("_xc")).alias("_r")
+    )
+    g = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_xa").cast("long").alias("c_a"),
+        F.sum("_xb").cast("long").alias("c_b"),
+        F.sum("_xc").cast("long").alias("c_c"),
+        F.sum("_r").cast("long").alias("sum_r"),
+        F.sum(F.expr("_r * _r")).cast("long").alias("sum_r2"),
+        F.sum(F.when(F.col("_r") == 0, 1).otherwise(0)).cast("long").alias("n_r0"),
+        F.sum(F.when(F.col("_r") == 1, 1).otherwise(0)).cast("long").alias("n_r1"),
+        F.sum(F.when(F.col("_r") == 2, 1).otherwise(0)).cast("long").alias("n_r2"),
+        F.sum(F.when(F.col("_r") == 3, 1).otherwise(0)).cast("long").alias("n_r3"),
+    )
+    num = (
+        F.lit(2)
+        * (
+            F.lit(3)
+            * (
+                F.col("c_a") * F.col("c_a")
+                + F.col("c_b") * F.col("c_b")
+                + F.col("c_c") * F.col("c_c")
+            )
+            - F.col("sum_r") * F.col("sum_r")
+        )
+    ).cast("long")
+    den = (F.lit(3) * F.col("sum_r") - F.col("sum_r2")).cast("long")
+    return g.select(
+        "n_docs",
+        "c_a",
+        "c_b",
+        "c_c",
+        "sum_r",
+        "sum_r2",
+        "n_r0",
+        "n_r1",
+        "n_r2",
+        "n_r3",
+        num.alias("q_num"),
+        den.alias("q_den"),
+        _r(
+            F.when(den > 0, num.cast("double") / den.cast("double"))
+        ).alias("q_stat"),
+    )
+
+
+def _oracle_cochran_q() -> str:
+    cols, chain = _langid_pred_sql()
+    return f"""
+WITH s AS (
+  SELECT lang, text,
+         {cols}
+  FROM documents
+),
+p AS (
+  SELECT CASE WHEN (CASE WHEN coalesce({chain}, 'und') = 'en' THEN 1 ELSE 0 END)
+                   = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS _xa,
+         CASE WHEN (CASE WHEN regexp_matches(lower(text), '\\bthe\\b')
+                         THEN 1 ELSE 0 END)
+                   = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS _xb,
+         CASE WHEN (CASE WHEN h_en >= 2 THEN 1 ELSE 0 END)
+                   = (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS _xc
+  FROM s
+),
+p2 AS (
+  SELECT *, _xa + _xb + _xc AS _r FROM p
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(_xa) AS BIGINT) AS c_a,
+         CAST(sum(_xb) AS BIGINT) AS c_b,
+         CAST(sum(_xc) AS BIGINT) AS c_c,
+         CAST(sum(_r) AS BIGINT) AS sum_r,
+         CAST(sum(_r * _r) AS BIGINT) AS sum_r2,
+         CAST(sum(CASE WHEN _r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r0,
+         CAST(sum(CASE WHEN _r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r1,
+         CAST(sum(CASE WHEN _r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
+         CAST(sum(CASE WHEN _r = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_r3
+  FROM p2
+)
+SELECT n_docs, c_a, c_b, c_c, sum_r, sum_r2, n_r0, n_r1, n_r2, n_r3,
+       CAST(2 * (3 * (c_a * c_a + c_b * c_b + c_c * c_c)
+                 - sum_r * sum_r) AS BIGINT) AS q_num,
+       CAST(3 * sum_r - sum_r2 AS BIGINT) AS q_den,
+       round(CASE WHEN 3 * sum_r - sum_r2 > 0
+             THEN CAST(2 * (3 * (c_a * c_a + c_b * c_b + c_c * c_c)
+                            - sum_r * sum_r) AS DOUBLE)
+                  / CAST(3 * sum_r - sum_r2 AS DOUBLE)
+             END, 6) AS q_stat
+FROM g
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -13981,6 +14100,7 @@ QUERIES = {
     "mutual_info_report": mutual_info_report,
     "theil_report": theil_report,
     "levene_report": levene_report,
+    "cochran_q_report": cochran_q_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -14150,6 +14270,7 @@ ORACLES = {
     "mutual_info_report": ORACLE_MUTUAL_INFO,
     "theil_report": ORACLE_THEIL,
     "levene_report": ORACLE_LEVENE,
+    "cochran_q_report": _oracle_cochran_q(),
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -262,6 +262,7 @@ def main() -> None:
         bloom_contamination_report,
         bm25_search_report,
         cms_heavy_hitters_report,
+        cochran_q_report,
         contamination_report,
         cusum_report,
         hll_distinct_report,
@@ -632,6 +633,9 @@ def main() -> None:
         # (source, v) frame; the ANOVA-on-z runs on the k-row moment
         # frame whatever n; ~linear
         "levene_report": (levene_report, (1, mult_hi), "documents"),
+        # r5d: X121 — one codegen scan to eight BIGINTs; the regex legs are
+        # the only data-bound work; ~linear
+        "cochran_q_report": (cochran_q_report, (1, mult_hi), "documents"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
