@@ -13895,6 +13895,213 @@ FROM g
 """
 
 
+def runs_test_report(spark, sf):
+    """Wald-Wolfowitz runs test on per-type daily volume (X122 — Wald &
+    Wolfowitz 1940: is the above/below-median day sequence random, or
+    does volume cluster in runs? The model-free serial-dependence check
+    that complements X116's ACF — bursts and regime shifts both shrink
+    the run count below E[R] = 1 + 2n₁n₂/N). X115's dense zero-filled
+    day grid; the day-domain median via X120's integer two-middle ×2
+    idiom; equal-to-median days dropped (the standard tie rule, scipy's
+    runstest convention); runs counted as sign-changes + 1 with ONE lag
+    window over the surviving day sequence. n₁/n₂/R are exact BIGINTs;
+    E[R], Var[R] and z are doubles of exact integers (one sqrt),
+    degenerate n₁=0 or n₂=0 NULL-guarded. Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("_d"))
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type", "_d", F.coalesce("_c", F.lit(0)).cast("long").alias("_c")
+        )
+    )
+    # day-domain median of the count values, X120's integer two-middle idiom
+    cv = grid.groupBy("event_type", "_c").agg(
+        F.count(F.lit(1)).cast("long").alias("_f")
+    )
+    wc = W.partitionBy("event_type").orderBy("_c").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = cv.select(
+        "event_type",
+        "_c",
+        "_f",
+        F.sum("_f").over(wc).cast("long").alias("_cum"),
+        F.sum("_f").over(W.partitionBy("event_type")).cast("long").alias("_n"),
+    )
+    rlo = F.expr("(_n + 1) DIV 2")
+    rhi = F.expr("(_n + 2) DIV 2")
+    med = (
+        cum.select(
+            "event_type",
+            F.when(
+                (F.col("_cum") - F.col("_f") < rlo) & (rlo <= F.col("_cum")),
+                F.col("_c"),
+            ).alias("_lo"),
+            F.when(
+                (F.col("_cum") - F.col("_f") < rhi) & (rhi <= F.col("_cum")),
+                F.col("_c"),
+            ).alias("_hi"),
+        )
+        .groupBy("event_type")
+        .agg((F.max("_lo") + F.max("_hi")).cast("long").alias("med2"))
+    )
+    signs = (
+        grid.join(F.broadcast(med), "event_type")
+        .filter(F.lit(2) * F.col("_c") != F.col("med2"))
+        .select(
+            "event_type",
+            "_d",
+            "med2",
+            F.when(F.lit(2) * F.col("_c") > F.col("med2"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("_s"),
+        )
+    )
+    wd = W.partitionBy("event_type").orderBy("_d")
+    runs = signs.select(
+        "event_type",
+        "med2",
+        "_s",
+        F.when(
+            F.lag("_s").over(wd).isNull() | (F.lag("_s").over(wd) != F.col("_s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new_run"),
+    )
+    g = runs.groupBy("event_type").agg(
+        F.max("med2").cast("long").alias("med2"),
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).cast("long").alias("n_above"),
+        F.sum(F.when(F.col("_s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum("_new_run").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    e_runs = F.lit(1.0) + 2.0 * n1 * n2 / nn
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (nn * nn * (nn - 1.0))
+    )
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (nn > 1)
+    return g.select(
+        "event_type",
+        "med2",
+        "n_above",
+        "n_below",
+        "n_runs",
+        _r(F.when(ok, e_runs)).alias("e_runs"),
+        _r(F.when(ok & (var > 0), (F.col("n_runs").cast("double") - e_runs)
+                  / F.sqrt(var))).alias("z"),
+    ).orderBy("event_type")
+
+
+ORACLE_RUNS_TEST = r"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(_d) AS _lo, max(_d) AS _hi FROM e
+),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d FROM bounds
+),
+types AS (
+  SELECT DISTINCT event_type FROM cnt
+),
+grid AS (
+  SELECT ty.event_type, dy._d, CAST(coalesce(c._c, 0) AS BIGINT) AS _c
+  FROM types ty CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+cv AS (
+  SELECT event_type, _c, CAST(count(*) AS BIGINT) AS _f FROM grid GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, _c, _f,
+         CAST(sum(_f) OVER (PARTITION BY event_type ORDER BY _c
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum,
+         CAST(sum(_f) OVER (PARTITION BY event_type) AS BIGINT) AS _n
+  FROM cv
+),
+med AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN _cum - _f < (_n + 1) // 2
+                            AND (_n + 1) // 2 <= _cum THEN _c END)
+              + max(CASE WHEN _cum - _f < (_n + 2) // 2
+                              AND (_n + 2) // 2 <= _cum THEN _c END)
+              AS BIGINT) AS med2
+  FROM cum GROUP BY 1
+),
+signs AS (
+  SELECT g.event_type, g._d, m.med2,
+         CASE WHEN 2 * g._c > m.med2 THEN 1 ELSE -1 END AS _s
+  FROM grid g JOIN med m ON m.event_type = g.event_type
+  WHERE 2 * g._c <> m.med2
+),
+runs AS (
+  SELECT event_type, med2, _s,
+         CASE WHEN lag(_s) OVER (PARTITION BY event_type ORDER BY _d) IS NULL
+                   OR lag(_s) OVER (PARTITION BY event_type ORDER BY _d) <> _s
+              THEN 1 ELSE 0 END AS _new_run
+  FROM signs
+),
+g AS (
+  SELECT event_type, CAST(max(med2) AS BIGINT) AS med2,
+         CAST(sum(CASE WHEN _s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         CAST(sum(CASE WHEN _s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         CAST(sum(_new_run) AS BIGINT) AS n_runs
+  FROM runs GROUP BY 1
+)
+SELECT event_type, med2, n_above, n_below, n_runs,
+       round(CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+             THEN 1.0 + 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                  / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+             END, 6) AS e_runs,
+       round(CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+                  AND 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                      * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                         - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))
+                      / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                         * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                         * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)
+                            - 1.0)) > 0
+             THEN (CAST(n_runs AS DOUBLE)
+                   - (1.0 + 2.0 * CAST(n_above AS DOUBLE)
+                      * CAST(n_below AS DOUBLE)
+                      / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))))
+                  / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                         * (2.0 * CAST(n_above AS DOUBLE)
+                            * CAST(n_below AS DOUBLE)
+                            - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE))
+                         / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                            * (CAST(n_above AS DOUBLE)
+                               + CAST(n_below AS DOUBLE))
+                            * (CAST(n_above AS DOUBLE)
+                               + CAST(n_below AS DOUBLE) - 1.0)))
+             END, 6) AS z
+FROM g
+ORDER BY event_type
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -14101,6 +14308,7 @@ QUERIES = {
     "theil_report": theil_report,
     "levene_report": levene_report,
     "cochran_q_report": cochran_q_report,
+    "runs_test_report": runs_test_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -14271,6 +14479,7 @@ ORACLES = {
     "theil_report": ORACLE_THEIL,
     "levene_report": ORACLE_LEVENE,
     "cochran_q_report": _oracle_cochran_q(),
+    "runs_test_report": ORACLE_RUNS_TEST,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -292,6 +292,7 @@ def main() -> None:
         ks_test_report,
         spearman_report,
         rrf_fusion_report,
+        runs_test_report,
         cohort_retention_report,
         pagerank_report,
         triangle_count_report,
@@ -636,6 +637,9 @@ def main() -> None:
         # r5d: X121 — one codegen scan to eight BIGINTs; the regex legs are
         # the only data-bound work; ~linear
         "cochran_q_report": (cochran_q_report, (1, mult_hi), "documents"),
+        # r5d: X122 — the day grid, count-value median and lag window all
+        # ride |types|×|days|-bounded frames whatever n; ~linear
+        "runs_test_report": (runs_test_report, (1, mult_hi), "events"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
