@@ -14102,6 +14102,190 @@ ORDER BY event_type
 """
 
 
+def url_canon_report(spark, sf):
+    """Canonical-URL dedup over deterministically synthesized messy
+    variants (X123 — the RFC 3986 §6 normalization subset every crawl
+    frontier and URL-keyed dedup applies: fragment strip, case-fold
+    scheme/host, default-port drop, dot-segment/slash collapse,
+    tracking-param strip + byte-sorted query; see
+    functions/urlnorm.py). Each doc synthesizes THREE messy variants of
+    its URL (uppercase host + :80 + utm param / param-swap + fragment /
+    dot-segment + duplicate slashes + gclid) — every 10th doc's third
+    variant instead points at a genuinely different path, so canonical
+    clusters are a 3/2+1 mix and the cluster-size histogram is the
+    planted truth. The canonicalizer is pure codegen string exprs; the
+    histogram is two map-side-combined groupBys on
+    domain-bounded frames. Emits the histogram + the 5 lexicographic
+    smallest canonical URLs as a spot-check (explicit total order).
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.urlnorm import canonical_url
+
+    d = t(spark, sf, "documents").select("doc_id")
+    base = F.concat(F.lit("example"), (F.col("doc_id") % 37).cast("string"))
+    pathseg = F.concat(F.lit("page"), (F.col("doc_id") % 53).cast("string"))
+    v1 = F.concat(
+        F.lit("HTTP://WWW."),
+        F.upper(base),
+        F.lit(".COM:80/a/"),
+        pathseg,
+        F.lit("?b=2&a=1&utm_source=feed"),
+    )
+    v2 = F.concat(
+        F.lit("http://www."),
+        base,
+        F.lit(".com/a/"),
+        pathseg,
+        F.lit("?a=1&b=2#frag"),
+    )
+    v3_same = F.concat(
+        F.lit("http://www."),
+        base,
+        F.lit(".com/a/./"),
+        pathseg,
+        F.lit("//?a=1&b=2&gclid=xyz"),
+    )
+    v3_diff = F.concat(
+        F.lit("http://www."),
+        base,
+        F.lit(".com/other/"),
+        pathseg,
+        F.lit("?a=1&b=2"),
+    )
+    v3 = F.when(F.col("doc_id") % 10 == 0, v3_diff).otherwise(v3_same)
+    urls = d.select(
+        "doc_id", F.explode(F.array(v1, v2, v3)).alias("url")
+    ).select("doc_id", "url", canonical_url(F.col("url")).alias("canon"))
+    clusters = urls.groupBy("canon").agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    hist = clusters.groupBy(F.col("_sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    tot = urls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.count_distinct("canon").cast("long").alias("n_canonical"),
+    )
+    top = (
+        clusters.orderBy("canon")
+        .limit(5)
+        # sort_array forces the join order — collect_list alone does not
+        # guarantee it, and this column feeds the oracle hash
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("canon")), "|").alias(
+                "sample_canon"
+            )
+        )
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "cluster_size", "n_clusters", "n_urls", "n_canonical", "sample_canon"
+        )
+        .orderBy("cluster_size")
+    )
+
+
+ORACLE_URL_CANON = r"""
+WITH d AS (
+  SELECT doc_id FROM documents
+),
+raw AS (
+  SELECT doc_id, unnest([
+    'HTTP://WWW.' || upper('example' || CAST(doc_id % 37 AS VARCHAR))
+      || '.COM:80/a/page' || CAST(doc_id % 53 AS VARCHAR)
+      || '?b=2&a=1&utm_source=feed',
+    'http://www.example' || CAST(doc_id % 37 AS VARCHAR)
+      || '.com/a/page' || CAST(doc_id % 53 AS VARCHAR) || '?a=1&b=2#frag',
+    CASE WHEN doc_id % 10 = 0
+    THEN 'http://www.example' || CAST(doc_id % 37 AS VARCHAR)
+         || '.com/other/page' || CAST(doc_id % 53 AS VARCHAR) || '?a=1&b=2'
+    ELSE 'http://www.example' || CAST(doc_id % 37 AS VARCHAR)
+         || '.com/a/./page' || CAST(doc_id % 53 AS VARCHAR)
+         || '//?a=1&b=2&gclid=xyz'
+    END
+  ]) AS url
+  FROM d
+),
+s1 AS (  -- strip fragment, split scheme
+  SELECT doc_id, url,
+         split_part(url, '#', 1) AS u
+  FROM raw
+),
+s2 AS (
+  SELECT doc_id,
+         lower(split_part(u, '://', 1)) AS scheme,
+         CASE WHEN strpos(u, '://') > 0
+              THEN substr(u, strpos(u, '://') + 3) ELSE '' END AS rest
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, scheme,
+         split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
+         CASE WHEN strpos(rest, '/') > 0
+              THEN substr(rest, strpos(rest, '/')) ELSE '' END AS after_host
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(lower(hostport), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(lower(hostport), ':443$', '')
+              ELSE lower(hostport) END AS host,
+         split_part(after_host, '?', 1) AS path,
+         CASE WHEN strpos(after_host, '?') > 0
+              THEN substr(after_host, strpos(after_host, '?') + 1)
+              ELSE '' END AS query
+  FROM s3
+),
+s5 AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(path, '/\./', '/', 'g'),
+                     '/\./', '/', 'g'), '/{2,}', '/', 'g'), '/$', '') = ''
+              THEN '/'
+              ELSE regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(path, '/\./', '/', 'g'),
+                     '/\./', '/', 'g'), '/{2,}', '/', 'g'), '/$', '')
+         END AS p,
+         list_aggregate(
+           list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT starts_with(lower(x), 'utm_')
+                  AND NOT starts_with(lower(x), 'fbclid')
+                  AND NOT starts_with(lower(x), 'gclid'))),
+           'string_agg', '&') AS q
+  FROM s4
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || p
+           || CASE WHEN q IS NOT NULL AND q <> '' THEN '?' || q ELSE '' END
+           AS canon
+  FROM s5
+),
+clusters AS (
+  SELECT canon, CAST(count(*) AS BIGINT) AS _sz FROM canon GROUP BY 1
+),
+hist AS (
+  SELECT _sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+  FROM clusters GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical
+  FROM canon
+),
+top AS (
+  SELECT string_agg(canon, '|' ORDER BY canon) AS sample_canon
+  FROM (SELECT canon FROM clusters ORDER BY canon LIMIT 5)
+)
+SELECT cluster_size, n_clusters, n_urls, n_canonical, sample_canon
+FROM hist CROSS JOIN tot CROSS JOIN top
+ORDER BY cluster_size
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -14309,6 +14493,7 @@ QUERIES = {
     "levene_report": levene_report,
     "cochran_q_report": cochran_q_report,
     "runs_test_report": runs_test_report,
+    "url_canon_report": url_canon_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -14480,6 +14665,7 @@ ORACLES = {
     "levene_report": ORACLE_LEVENE,
     "cochran_q_report": _oracle_cochran_q(),
     "runs_test_report": ORACLE_RUNS_TEST,
+    "url_canon_report": ORACLE_URL_CANON,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

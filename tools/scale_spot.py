@@ -282,6 +282,7 @@ def main() -> None:
         mcnemar_report,
         mutual_info_report,
         theil_report,
+        url_canon_report,
         wasserstein_report,
         brier_report,
         ca_trend_report,
@@ -640,6 +641,10 @@ def main() -> None:
         # r5d: X122 — the day grid, count-value median and lag window all
         # ride |types|×|days|-bounded frames whatever n; ~linear
         "runs_test_report": (runs_test_report, (1, mult_hi), "events"),
+        # r5d: X123 — explode ×3 then two map-side-combined groupBys; the
+        # canonicalizer is codegen string exprs; cluster keys are
+        # data-linear but the shuffle carries only (canon, count); ~linear
+        "url_canon_report": (url_canon_report, (1, mult_hi), "documents"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
