@@ -14286,6 +14286,159 @@ ORDER BY cluster_size
 """
 
 
+_HAAR_LEVELS = 5  # 32-slot dyadic analysis window
+
+
+def haar_report(spark, sf):
+    """Haar wavelet energy decomposition of per-type daily volume (X124
+    — Haar 1910 via Mallat 1989's pyramid: at which TIME SCALE does
+    crawl volume fluctuate? Day-to-day jitter loads level 1, weekly
+    cadence levels 2-3, regime drift the coarse levels — the
+    multi-resolution complement to X116's single-lag ACF). Analysis
+    window = the first 32 days of the span, zero-padded past the span
+    end (fixed dyadic window, documented; X115's grid supplies the
+    dense zero-filled slots). The UNNORMALIZED Haar pyramid keeps
+    everything BIGINT: a'_i = a_{2i}+a_{2i+1}, d_i = a_{2i}−a_{2i+1},
+    energy_k = Σ d² exact (the 2^k normalization is a per-level
+    constant, folded into the float share column only); each of the 5
+    unrolled levels is a map-side-combined groupBy on a ≤16-row/type
+    frame, localCheckpointed so the energy taps don't re-derive the
+    scan 2^5 times. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    lo = e.agg(F.min("_d").alias("_lo"))
+    slots = lo.select(
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("_s"), "_lo"
+    ).select("_s", (F.col("_lo") + F.col("_s")).alias("_d"))
+    types = cnt.select("event_type").distinct()
+    level = (
+        types.crossJoin(F.broadcast(slots))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type",
+            "_s",
+            F.coalesce("_c", F.lit(0)).cast("long").alias("_a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    energies = []
+    for k in range(1, _HAAR_LEVELS + 1):
+        nxt = (
+            level.groupBy("event_type", F.expr("_s DIV 2").alias("_s2"))
+            .agg(
+                F.sum("_a").cast("long").alias("_a"),
+                F.sum(
+                    F.when(F.expr("_s % 2 = 0"), F.col("_a")).otherwise(-F.col("_a"))
+                )
+                .cast("long")
+                .alias("_dv"),
+            )
+            .select("event_type", F.col("_s2").alias("_s"), "_a", "_dv")
+            .localCheckpoint(eager=True)
+        )
+        energies.append(
+            nxt.groupBy("event_type").agg(
+                F.lit(k).cast("long").alias("level"),
+                F.sum(F.expr("_dv * _dv")).cast("long").alias("energy"),
+            )
+        )
+        level = nxt
+    total = level.select(
+        "event_type", F.col("_a").cast("long").alias("window_total")
+    )
+    alle = energies[0]
+    for x in energies[1:]:
+        alle = alle.unionAll(x)
+    g = alle.join(F.broadcast(total), "event_type").select(
+        "*",
+        F.sum("energy")
+        .over(W.partitionBy("event_type"))
+        .cast("long")
+        .alias("_etot"),
+    )
+    return g.select(
+        "event_type",
+        "level",
+        "energy",
+        "window_total",
+        _r(
+            F.when(
+                F.col("_etot") > 0,
+                F.col("energy").cast("double") / F.col("_etot").cast("double"),
+            )
+        ).alias("energy_share"),
+    ).orderBy("event_type", "level")
+
+
+def _oracle_haar() -> str:
+    lvls = []
+    prev = "lvl0"
+    for k in range(1, _HAAR_LEVELS + 1):
+        lvls.append(
+            f"""lvl{k} AS MATERIALIZED (
+  SELECT event_type, _s // 2 AS _s,
+         CAST(sum(_a) AS BIGINT) AS _a,
+         CAST(sum(CASE WHEN _s % 2 = 0 THEN _a ELSE -_a END) AS BIGINT) AS _dv
+  FROM {prev} GROUP BY 1, 2
+)"""
+        )
+        prev = f"lvl{k}"
+    chain = ",\n".join(lvls)
+    energy_union = "\nUNION ALL\n".join(
+        f"SELECT event_type, CAST({k} AS BIGINT) AS level, "
+        f"CAST(sum(_dv * _dv) AS BIGINT) AS energy FROM lvl{k} GROUP BY 1"
+        for k in range(1, _HAAR_LEVELS + 1)
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS MATERIALIZED (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+lo AS (
+  SELECT min(_d) AS _lo FROM e
+),
+slots AS (
+  SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS _s
+),
+lvl0 AS MATERIALIZED (
+  SELECT ty.event_type, s._s,
+         CAST(coalesce(c._c, 0) AS BIGINT) AS _a
+  FROM (SELECT DISTINCT event_type FROM cnt) ty
+  CROSS JOIN slots s
+  CROSS JOIN lo
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = lo._lo + s._s
+),
+{chain},
+en AS MATERIALIZED (
+{energy_union}
+),
+total AS (
+  SELECT event_type, CAST(_a AS BIGINT) AS window_total FROM lvl{_HAAR_LEVELS}
+),
+g AS (
+  SELECT en.*, t.window_total,
+         CAST(sum(energy) OVER (PARTITION BY en.event_type) AS BIGINT) AS _etot
+  FROM en JOIN total t ON t.event_type = en.event_type
+)
+SELECT event_type, level, energy, window_total,
+       round(CASE WHEN _etot > 0
+             THEN CAST(energy AS DOUBLE) / CAST(_etot AS DOUBLE) END, 6)
+         AS energy_share
+FROM g
+ORDER BY event_type, level
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -14494,6 +14647,7 @@ QUERIES = {
     "cochran_q_report": cochran_q_report,
     "runs_test_report": runs_test_report,
     "url_canon_report": url_canon_report,
+    "haar_report": haar_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -14666,6 +14820,7 @@ ORACLES = {
     "cochran_q_report": _oracle_cochran_q(),
     "runs_test_report": ORACLE_RUNS_TEST,
     "url_canon_report": ORACLE_URL_CANON,
+    "haar_report": _oracle_haar(),
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

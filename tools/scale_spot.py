@@ -265,6 +265,7 @@ def main() -> None:
         cochran_q_report,
         contamination_report,
         cusum_report,
+        haar_report,
         hll_distinct_report,
         auc_report,
         bh_fdr_report,
@@ -645,6 +646,10 @@ def main() -> None:
         # canonicalizer is codegen string exprs; cluster keys are
         # data-linear but the shuffle carries only (canon, count); ~linear
         "url_canon_report": (url_canon_report, (1, mult_hi), "documents"),
+        # r5d: X124 — the day scan collapses map-side to the 32-slot/type
+        # window; the 5-level pyramid rides ≤16-row/type checkpointed
+        # frames whatever n; ~linear
+        "haar_report": (haar_report, (1, mult_hi), "events"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
