@@ -14439,6 +14439,97 @@ ORDER BY event_type, level
 """
 
 
+def vocab_overlap_report(spark, sf):
+    """Cross-source vocabulary-overlap matrix (X125 — Jaccard 1912
+    |A∩B|/|A∪B| + the Szymkiewicz-Simpson overlap coefficient
+    |A∩B|/min(|A\|,|B|) between per-source vocabularies: the corpus-mix
+    audit run before blending sources — near-duplicate source FEEDS
+    show up as overlap ≈ 1 long before document-level dedup fires;
+    X85's JS divergence compares length SHAPES, this compares the
+    actual words). Vocabularies are per-source DISTINCT normalized
+    tokens (one explode + distinct — the only data-bound legs);
+    intersections come from a token-keyed self-join whose fan-out per
+    token is ≤ |sources| (never a global cross join); sizes broadcast
+    back onto the ≤|sources|²/2 ordered-pair frame. All counts exact
+    BIGINTs; Jaccard/overlap are final float divisions. Reference
+    analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    tok = (
+        d.select("source", F.explode(word_tokens(F.col("text"))).alias("_t"))
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    a = tok.select(F.col("source").alias("_sa"), "_t")
+    b = tok.toDF(*tok.columns).select(F.col("source").alias("_sb"), "_t")
+    inter = (
+        a.join(b, "_t")
+        .filter(F.col("_sa") < F.col("_sb"))
+        .groupBy("_sa", "_sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    j = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("_sa"),
+                                     F.col("_v").alias("v_a"))),
+            "_sa",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("_sb"),
+                                     F.col("_v").alias("v_b"))),
+            "_sb",
+        )
+    )
+    union = F.col("v_a") + F.col("v_b") - F.col("n_common")
+    return j.select(
+        F.col("_sa").alias("source_a"),
+        F.col("_sb").alias("source_b"),
+        "v_a",
+        "v_b",
+        "n_common",
+        _r(F.col("n_common").cast("double") / union.cast("double")).alias("jaccard"),
+        _r(
+            F.col("n_common").cast("double")
+            / F.least("v_a", "v_b").cast("double")
+        ).alias("overlap_coef"),
+    ).orderBy("source_a", "source_b")
+
+
+ORACLE_VOCAB_OVERLAP = r"""
+WITH tok AS (
+  SELECT DISTINCT source, _t
+  FROM (
+    SELECT source,
+           unnest(string_split(
+             trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+',
+                                                ' ', 'g'),
+                                 '\s+', ' ', 'g')), ' ')) AS _t
+    FROM documents
+  )
+  WHERE _t <> ''
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS _v FROM tok GROUP BY 1
+),
+inter AS (
+  SELECT a.source AS _sa, b.source AS _sb, CAST(count(*) AS BIGINT) AS n_common
+  FROM tok a JOIN tok b ON a._t = b._t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i._sa AS source_a, i._sb AS source_b,
+       sa._v AS v_a, sb._v AS v_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE)
+             / CAST(sa._v + sb._v - i.n_common AS DOUBLE), 6) AS jaccard,
+       round(CAST(i.n_common AS DOUBLE)
+             / CAST(least(sa._v, sb._v) AS DOUBLE), 6) AS overlap_coef
+FROM inter i
+JOIN sizes sa ON sa.source = i._sa
+JOIN sizes sb ON sb.source = i._sb
+ORDER BY source_a, source_b
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -14648,6 +14739,7 @@ QUERIES = {
     "runs_test_report": runs_test_report,
     "url_canon_report": url_canon_report,
     "haar_report": haar_report,
+    "vocab_overlap_report": vocab_overlap_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -14821,6 +14913,7 @@ ORACLES = {
     "runs_test_report": ORACLE_RUNS_TEST,
     "url_canon_report": ORACLE_URL_CANON,
     "haar_report": _oracle_haar(),
+    "vocab_overlap_report": ORACLE_VOCAB_OVERLAP,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -284,6 +284,7 @@ def main() -> None:
         mutual_info_report,
         theil_report,
         url_canon_report,
+        vocab_overlap_report,
         wasserstein_report,
         brier_report,
         ca_trend_report,
@@ -650,6 +651,12 @@ def main() -> None:
         # window; the 5-level pyramid rides ≤16-row/type checkpointed
         # frames whatever n; ~linear
         "haar_report": (haar_report, (1, mult_hi), "events"),
+        # r5d: X125 — explode+distinct then a token-keyed self-join with
+        # fan-out ≤|sources| per token; intersection counts combine
+        # map-side to the ≤|sources|² pair frame; ~linear (vocab growth
+        # is sublinear in n — fixed fixture vocab)
+        "vocab_overlap_report": (vocab_overlap_report, (1, mult_hi),
+                                 "documents"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
