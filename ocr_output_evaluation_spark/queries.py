@@ -14530,6 +14530,137 @@ ORDER BY source_a, source_b
 """
 
 
+def ols_trend_report(spark, sf):
+    """OLS daily-volume trend per event type (X126 — Gauss/Legendre
+    least squares with Pearson's R²: the parametric drift line
+    complementing X101's robust Theil-Sen — slope agreement between the
+    two is itself an outlier audit). X115's dense zero-filled day grid;
+    x = day index 1..D, y = count; the scatter moments S_xx = nΣx²−
+    (Σx)², S_xy = nΣxy−ΣxΣy, S_yy = nΣy²−(Σy)² are pure-BIGINT
+    combinations of map-side-combined sums (exact while n·Σxy < 2^63 —
+    ~6e8 events/day/type at a year span); slope = S_xy/S_xx,
+    intercept = (Σy − slope·Σx)/n and R² = S_xy²/(S_xx·S_yy) are the
+    only floats, zero-variance degenerates NULL-guarded. Exact moment
+    BIGINTs emitted per type for hash strength. Reference analog:
+    none — rebuild-only (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("_d"), "_lo"
+    ).select("_d", (F.col("_d") - F.col("_lo") + 1).cast("long").alias("_x"))
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type",
+            "_x",
+            F.coalesce("_c", F.lit(0)).cast("long").alias("_y"),
+        )
+    )
+    g = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.expr("_x * _x")).cast("long").alias("_sxx"),
+        F.sum(F.expr("_x * _y")).cast("long").alias("_sxy"),
+        F.sum(F.expr("_y * _y")).cast("long").alias("_syy"),
+    )
+    sxx = (F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("long")
+    sxy = (F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("long")
+    syy = (F.col("n_days") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("long")
+    g = g.select("*", sxx.alias("s_xx"), sxy.alias("s_xy"), syy.alias("s_yy"))
+    slope = F.col("s_xy").cast("double") / F.col("s_xx").cast("double")
+    return g.select(
+        "event_type",
+        "n_days",
+        F.col("_sy").alias("n_events"),
+        "s_xx",
+        "s_xy",
+        "s_yy",
+        _r(F.when(F.col("s_xx") > 0, slope)).alias("slope_per_day"),
+        _r(
+            F.when(
+                F.col("s_xx") > 0,
+                (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double"))
+                / F.col("n_days").cast("double"),
+            )
+        ).alias("intercept"),
+        _r(
+            F.when(
+                (F.col("s_xx") > 0) & (F.col("s_yy") > 0),
+                F.col("s_xy").cast("double")
+                * F.col("s_xy").cast("double")
+                / (F.col("s_xx").cast("double") * F.col("s_yy").cast("double")),
+            )
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+ORACLE_OLS_TREND = r"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(_d) AS _lo, max(_d) AS _hi FROM e
+),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d,
+         CAST(unnest(range(_lo, _hi + 1)) - _lo + 1 AS BIGINT) AS _x
+  FROM bounds
+),
+grid AS (
+  SELECT ty.event_type, dy._x, CAST(coalesce(c._c, 0) AS BIGINT) AS _y
+  FROM (SELECT DISTINCT event_type FROM cnt) ty
+  CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(_x) AS BIGINT) AS _sx,
+         CAST(sum(_y) AS BIGINT) AS _sy,
+         CAST(sum(_x * _x) AS BIGINT) AS _sxx,
+         CAST(sum(_x * _y) AS BIGINT) AS _sxy,
+         CAST(sum(_y * _y) AS BIGINT) AS _syy
+  FROM grid GROUP BY 1
+),
+m AS (
+  SELECT *,
+         CAST(n_days * _sxx - _sx * _sx AS BIGINT) AS s_xx,
+         CAST(n_days * _sxy - _sx * _sy AS BIGINT) AS s_xy,
+         CAST(n_days * _syy - _sy * _sy AS BIGINT) AS s_yy
+  FROM g
+)
+SELECT event_type, n_days, _sy AS n_events, s_xx, s_xy, s_yy,
+       round(CASE WHEN s_xx > 0
+             THEN CAST(s_xy AS DOUBLE) / CAST(s_xx AS DOUBLE) END, 6)
+         AS slope_per_day,
+       round(CASE WHEN s_xx > 0
+             THEN (CAST(_sy AS DOUBLE)
+                   - (CAST(s_xy AS DOUBLE) / CAST(s_xx AS DOUBLE))
+                     * CAST(_sx AS DOUBLE)) / CAST(n_days AS DOUBLE)
+             END, 6) AS intercept,
+       round(CASE WHEN s_xx > 0 AND s_yy > 0
+             THEN CAST(s_xy AS DOUBLE) * CAST(s_xy AS DOUBLE)
+                  / (CAST(s_xx AS DOUBLE) * CAST(s_yy AS DOUBLE))
+             END, 6) AS r2
+FROM m
+ORDER BY event_type
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -14740,6 +14871,7 @@ QUERIES = {
     "url_canon_report": url_canon_report,
     "haar_report": haar_report,
     "vocab_overlap_report": vocab_overlap_report,
+    "ols_trend_report": ols_trend_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -14914,6 +15046,7 @@ ORACLES = {
     "url_canon_report": ORACLE_URL_CANON,
     "haar_report": _oracle_haar(),
     "vocab_overlap_report": ORACLE_VOCAB_OVERLAP,
+    "ols_trend_report": ORACLE_OLS_TREND,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

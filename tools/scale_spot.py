@@ -318,6 +318,7 @@ def main() -> None:
         lexical_concentration_report,
         llr_collocations_report,
         neyman_sample_report,
+        ols_trend_report,
         pareto_frontier_report,
         phrase_search_report,
         rbo_report,
@@ -657,6 +658,9 @@ def main() -> None:
         # is sublinear in n — fixed fixture vocab)
         "vocab_overlap_report": (vocab_overlap_report, (1, mult_hi),
                                  "documents"),
+        # r5d: X126 — one map-side-combined groupBy over the bounded day
+        # grid to the k-row moment frame; ~linear
+        "ols_trend_report": (ols_trend_report, (1, mult_hi), "events"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
