@@ -14661,6 +14661,179 @@ ORDER BY event_type
 """
 
 
+def durbin_watson_report(spark, sf):
+    """Durbin-Watson residual autocorrelation after the X126 OLS trend
+    (X127 — Durbin & Watson 1950 d = Σ(e_t−e_{t−1})²/Σe_t²: does the
+    trend line LEAVE serial structure in the residuals? d≈2 white,
+    d→0 positive autocorrelation (the line is missing a slow regime),
+    d→4 alternation — the diagnostic that says whether X126's fit can
+    be trusted at all). Same dense day grid + BIGINT scatter moments
+    as X126; residuals e_t = y_t − (a + b·x_t) are doubles of exact
+    BIGINTs (identical formula both engines); both quadratic sums are
+    micro-quantized to BIGINTs per day row (X90's discipline at 1e6 —
+    e² ~ 1e6·count² stays far under 2^63) so the 2 sums are
+    order-independent; d is one float division. Emits the exact micro
+    sums per type. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("_d"), "_lo"
+    ).select("_d", (F.col("_d") - F.col("_lo") + 1).cast("long").alias("_x"))
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type",
+            "_x",
+            F.coalesce("_c", F.lit(0)).cast("long").alias("_y"),
+        )
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.expr("_x * _x")).cast("long").alias("_sxx"),
+        F.sum(F.expr("_x * _y")).cast("long").alias("_sxy"),
+    )
+    m = m.select(
+        "event_type",
+        "n_days",
+        "_sx",
+        "_sy",
+        (F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        .cast("long")
+        .alias("s_xx"),
+        (F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("long")
+        .alias("s_xy"),
+    )
+    slope = F.col("s_xy").cast("double") / F.col("s_xx").cast("double")
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / F.col("n_days").cast("double")
+    res = (
+        grid.join(F.broadcast(m), "event_type")
+        .filter(F.col("s_xx") > 0)
+        .select(
+            "event_type",
+            "_x",
+            (F.col("_y").cast("double") - (intercept + slope * F.col("_x").cast("double")))
+            .alias("_e"),
+        )
+    )
+    wd = W.partitionBy("event_type").orderBy("_x")
+    q = res.select(
+        "event_type",
+        F.round(F.col("_e") * F.col("_e") * F.lit(1e6)).cast("long").alias("_e2"),
+        F.when(
+            F.lag("_e").over(wd).isNotNull(),
+            F.round(
+                (F.col("_e") - F.lag("_e").over(wd))
+                * (F.col("_e") - F.lag("_e").over(wd))
+                * F.lit(1e6)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_d2"),
+    )
+    g = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_e2").cast("long").alias("sse_micro"),
+        F.sum("_d2").cast("long").alias("ssd_micro"),
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        "sse_micro",
+        "ssd_micro",
+        _r(
+            F.when(
+                F.col("sse_micro") > 0,
+                F.col("ssd_micro").cast("double") / F.col("sse_micro").cast("double"),
+            )
+        ).alias("dw"),
+    ).orderBy("event_type")
+
+
+ORACLE_DURBIN_WATSON = r"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(_d) AS _lo, max(_d) AS _hi FROM e
+),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d,
+         CAST(unnest(range(_lo, _hi + 1)) - _lo + 1 AS BIGINT) AS _x
+  FROM bounds
+),
+grid AS (
+  SELECT ty.event_type, dy._x, CAST(coalesce(c._c, 0) AS BIGINT) AS _y
+  FROM (SELECT DISTINCT event_type FROM cnt) ty
+  CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(_x) AS BIGINT) AS _sx,
+         CAST(sum(_y) AS BIGINT) AS _sy,
+         CAST(count(*) * sum(_x * _x) - sum(_x) * sum(_x) AS BIGINT) AS s_xx,
+         CAST(count(*) * sum(_x * _y) - sum(_x) * sum(_y) AS BIGINT) AS s_xy
+  FROM grid GROUP BY 1
+),
+res AS (
+  SELECT g.event_type, g._x,
+         CAST(g._y AS DOUBLE)
+           - ((CAST(m._sy AS DOUBLE)
+               - (CAST(m.s_xy AS DOUBLE) / CAST(m.s_xx AS DOUBLE))
+                 * CAST(m._sx AS DOUBLE)) / CAST(m.n_days AS DOUBLE)
+              + (CAST(m.s_xy AS DOUBLE) / CAST(m.s_xx AS DOUBLE))
+                * CAST(g._x AS DOUBLE)) AS _e
+  FROM grid g JOIN m ON m.event_type = g.event_type
+  WHERE m.s_xx > 0
+),
+q AS (
+  SELECT event_type,
+         CAST(round(_e * _e * 1e6) AS BIGINT) AS _e2,
+         CASE WHEN lag(_e) OVER (PARTITION BY event_type ORDER BY _x) IS NULL
+              THEN 0
+              ELSE CAST(round((_e - lag(_e) OVER (PARTITION BY event_type
+                                                  ORDER BY _x))
+                              * (_e - lag(_e) OVER (PARTITION BY event_type
+                                                    ORDER BY _x)) * 1e6)
+                        AS BIGINT) END AS _d2
+  FROM res
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(_e2) AS BIGINT) AS sse_micro,
+         CAST(sum(_d2) AS BIGINT) AS ssd_micro
+  FROM q GROUP BY 1
+)
+SELECT event_type, n_days, sse_micro, ssd_micro,
+       round(CASE WHEN sse_micro > 0
+             THEN CAST(ssd_micro AS DOUBLE) / CAST(sse_micro AS DOUBLE) END, 6)
+         AS dw
+FROM g
+ORDER BY event_type
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -14872,6 +15045,7 @@ QUERIES = {
     "haar_report": haar_report,
     "vocab_overlap_report": vocab_overlap_report,
     "ols_trend_report": ols_trend_report,
+    "durbin_watson_report": durbin_watson_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -15047,6 +15221,7 @@ ORACLES = {
     "haar_report": _oracle_haar(),
     "vocab_overlap_report": ORACLE_VOCAB_OVERLAP,
     "ols_trend_report": ORACLE_OLS_TREND,
+    "durbin_watson_report": ORACLE_DURBIN_WATSON,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

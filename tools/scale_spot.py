@@ -265,6 +265,7 @@ def main() -> None:
         cochran_q_report,
         contamination_report,
         cusum_report,
+        durbin_watson_report,
         haar_report,
         hll_distinct_report,
         auc_report,
@@ -661,6 +662,9 @@ def main() -> None:
         # r5d: X126 — one map-side-combined groupBy over the bounded day
         # grid to the k-row moment frame; ~linear
         "ols_trend_report": (ols_trend_report, (1, mult_hi), "events"),
+        # r5d: X127 — X126's moment frame + one residual pass over the
+        # bounded day grid; ~linear
+        "durbin_watson_report": (durbin_watson_report, (1, mult_hi), "events"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
