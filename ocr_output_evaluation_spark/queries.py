@@ -14834,6 +14834,109 @@ ORDER BY event_type
 """
 
 
+def tfidf_top_report(spark, sf):
+    """TF-IDF top-5 terms per source (X128 — Spärck Jones 1972 idf with
+    source-level documents: which words CHARACTERIZE each feed? The
+    corpus descriptor printed at the top of every dataset card; X89's
+    LLR finds collocations WITHIN text, this ranks terms ACROSS
+    sources). tf = per-(source, token) counts off the normalized token
+    stream (one explode, the only data-bound leg); df = #sources
+    containing the token, idf = ln(S/df) nano-quantized off exact
+    BIGINTs (X90 discipline — idf of an everywhere-token is EXACTLY 0
+    so ubiquitous words can never rank); score = tf·idf_nano stays
+    BIGINT; top-5 per source by the explicit (score DESC, token ASC)
+    total order. Reference analog: none — rebuild-only (SURVEY
+    §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    tf = (
+        d.select("source", F.explode(word_tokens(F.col("text"))).alias("_t"))
+        .groupBy("source", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ns = tf.select("source").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_ns")
+    )
+    idf = df_.crossJoin(F.broadcast(ns)).select(
+        "_t",
+        "df",
+        F.round(
+            F.log(F.col("_ns").cast("double") / F.col("df").cast("double"))
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("idf_nano"),
+    )
+    scored = tf.join(idf, "_t").select(
+        "source",
+        "_t",
+        "tf",
+        "df",
+        "idf_nano",
+        (F.col("tf") * F.col("idf_nano")).cast("long").alias("score_nano"),
+    )
+    wr = W.partitionBy("source").orderBy(
+        F.col("score_nano").desc(), F.col("_t")
+    )
+    return (
+        scored.select("*", F.row_number().over(wr).alias("rank"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "source",
+            "rank",
+            F.col("_t").alias("token"),
+            "tf",
+            "df",
+            "idf_nano",
+            "score_nano",
+        )
+        .orderBy("source", "rank")
+    )
+
+
+ORACLE_TFIDF_TOP = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split(
+           trim(regexp_replace(regexp_replace(lower(text), '[^\p{L} ]+',
+                                              ' ', 'g'),
+                               '\s+', ' ', 'g')), ' ')) AS _t
+  FROM documents
+),
+tf AS (
+  SELECT source, _t, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE _t <> '' GROUP BY 1, 2
+),
+df AS (
+  SELECT _t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+ns AS (
+  SELECT CAST(count(DISTINCT source) AS BIGINT) AS _ns FROM tf
+),
+idf AS (
+  SELECT _t, df,
+         CAST(round(ln(CAST(_ns AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9)
+              AS BIGINT) AS idf_nano
+  FROM df CROSS JOIN ns
+),
+scored AS (
+  SELECT tf.source, tf._t, tf.tf, idf.df, idf.idf_nano,
+         CAST(tf.tf * idf.idf_nano AS BIGINT) AS score_nano
+  FROM tf JOIN idf ON idf._t = tf._t
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score_nano DESC, _t) AS rank
+  FROM scored
+)
+SELECT source, rank, _t AS token, tf, df, idf_nano, score_nano
+FROM ranked WHERE rank <= 5
+ORDER BY source, rank
+"""
+
+
 ORACLE_QUANTILE_NORM = r"""
 WITH c AS (
   SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
@@ -15046,6 +15149,7 @@ QUERIES = {
     "vocab_overlap_report": vocab_overlap_report,
     "ols_trend_report": ols_trend_report,
     "durbin_watson_report": durbin_watson_report,
+    "tfidf_top_report": tfidf_top_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -15222,6 +15326,7 @@ ORACLES = {
     "vocab_overlap_report": ORACLE_VOCAB_OVERLAP,
     "ols_trend_report": ORACLE_OLS_TREND,
     "durbin_watson_report": ORACLE_DURBIN_WATSON,
+    "tfidf_top_report": ORACLE_TFIDF_TOP,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

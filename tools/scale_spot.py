@@ -284,6 +284,7 @@ def main() -> None:
         mcnemar_report,
         mutual_info_report,
         theil_report,
+        tfidf_top_report,
         url_canon_report,
         vocab_overlap_report,
         wasserstein_report,
@@ -665,6 +666,10 @@ def main() -> None:
         # r5d: X127 — X126's moment frame + one residual pass over the
         # bounded day grid; ~linear
         "durbin_watson_report": (durbin_watson_report, (1, mult_hi), "events"),
+        # r5d: X128 — one explode to the (source, token) count frame; df,
+        # idf and the per-source top-5 window all ride vocab-scale frames
+        # (fixed fixture vocab -> flat); ~linear in the explode leg
+        "tfidf_top_report": (tfidf_top_report, (1, mult_hi), "documents"),
         # r5d: X105 — the sessionize shuffle is the only data-bound leg;
         # durations collapse to the bounded (≤7200 s fixture) domain and
         # the risk-set windows ride that frame whatever n; ~linear
