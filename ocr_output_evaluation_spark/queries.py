@@ -14440,7 +14440,7 @@ ORDER BY event_type, level
 
 
 def vocab_overlap_report(spark, sf):
-    """Cross-source vocabulary-overlap matrix (X125 — Jaccard 1912
+    r"""Cross-source vocabulary-overlap matrix (X125 — Jaccard 1912
     |A∩B|/|A∪B| + the Szymkiewicz-Simpson overlap coefficient
     |A∩B|/min(|A\|,|B|) between per-source vocabularies: the corpus-mix
     audit run before blending sources — near-duplicate source FEEDS
@@ -14984,6 +14984,135 @@ ORDER BY source, decile
 """
 
 
+def cvm_test_report(spark, sf, lang_a="en", lang_b="es"):
+    """Two-sample Cramér-von Mises drift test (X129 — Cramér 1928 /
+    von Mises 1931 via Anderson 1962's two-sample form: T =
+    n_a·n_b/N² · Σ_z (F_a(z) − F_b(z))² over every combined
+    observation z). The INTEGRATED-squared-gap companion to X92's KS
+    sup-gap on the same en-vs-es length question: KS sees only the
+    single worst ECDF gap, T accumulates every gap, so it catches
+    broad shape drift (tails, dispersion) that a one-point crossing
+    hides from KS. Same bounded-domain machinery as X92: per-value
+    counts map-side combine to the n_chars domain, one full-outer
+    merge + cumulative window over the distinct-value frame; the gap
+    is carried as the exact BIGINT cross-multiple diff = cum_a·n_b −
+    cum_b·n_a and each term w·diff² (w = combined multiplicity at the
+    value) is summed in DECIMAL(38,0) — exact and order-independent
+    while N·(n_a·n_b)² < 10^38 (~10^9 docs per lang; beyond that the
+    one-line swap is summing diff²·w/2^20 doubles of exact integers).
+    T = S/(n_a·n_b·N²) is the only float; the α=0.05 decision uses
+    the asymptotic limiting-distribution critical value 0.461
+    (Anderson & Darling 1952 table 2). Degenerate one-sided inputs
+    (n_a·n_b = 0) are NULL-guarded. Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select("lang", "n_chars")
+    a = (
+        d.filter(F.col("lang") == lang_a)
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ca"))
+    )
+    b = (
+        d.filter(F.col("lang") == lang_b)
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cb"))
+    )
+    v = a.join(b, "n_chars", "full_outer").select(
+        "n_chars",
+        F.coalesce("_ca", F.lit(0)).cast("long").alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).cast("long").alias("_cb"),
+    )
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = v.select(
+        "n_chars",
+        (F.col("_ca") + F.col("_cb")).cast("long").alias("_w"),
+        F.sum("_ca").over(w).cast("long").alias("_cuma"),
+        F.sum("_cb").over(w).cast("long").alias("_cumb"),
+    )
+    tot = cum.agg(
+        F.max("_cuma").cast("long").alias("n_a"),
+        F.max("_cumb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
+    )
+    diff = (
+        F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col("n_a")
+    ).cast("decimal(18,0)")
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "n_vals",
+        (F.col("_w").cast("decimal(18,0)") * diff * diff).alias("_t"),
+    )
+    g = terms.groupBy("n_a", "n_b", "n_vals").agg(
+        F.sum("_t").cast("decimal(38,0)").alias("_s")
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    ok = F.col("n_a") * F.col("n_b") != 0
+    t_raw = F.col("_s").cast("double") / (na * nb * nn * nn)
+    return g.select(
+        "n_a",
+        "n_b",
+        "n_vals",
+        F.col("_s").cast("string").alias("s_exact"),
+        _r(F.when(ok, t_raw)).alias("t_stat"),
+        F.when(ok, (t_raw > 0.461).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("reject_h0"),
+    )
+
+
+ORACLE_CVM_TEST = """
+WITH a AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS ca
+  FROM documents WHERE lang = 'en' GROUP BY 1
+),
+b AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS cb
+  FROM documents WHERE lang = 'es' GROUP BY 1
+),
+v AS (
+  SELECT coalesce(a.n_chars, b.n_chars) AS val,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.n_chars = b.n_chars
+),
+cum AS (
+  SELECT val, CAST(ca + cb AS BIGINT) AS w,
+         CAST(sum(ca) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+  FROM v
+),
+tot AS (
+  SELECT CAST(max(cuma) AS BIGINT) AS n_a, CAST(max(cumb) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_vals
+  FROM cum
+),
+g AS (
+  SELECT n_a, n_b, n_vals,
+         sum(CAST(w AS HUGEINT)
+             * CAST(cuma * n_b - cumb * n_a AS HUGEINT)
+             * CAST(cuma * n_b - cumb * n_a AS HUGEINT)) AS s
+  FROM cum CROSS JOIN tot
+  GROUP BY 1, 2, 3
+)
+SELECT n_a, n_b, n_vals, CAST(s AS VARCHAR) AS s_exact,
+       round(CASE WHEN n_a * n_b <> 0
+             THEN CAST(s AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                     * CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+             END, 6) AS t_stat,
+       CASE WHEN n_a * n_b <> 0 THEN
+         CAST(CASE WHEN CAST(s AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                     * CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE))
+                > 0.461 THEN 1 ELSE 0 END AS INT)
+       END AS reject_h0
+FROM g
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -15150,6 +15279,7 @@ QUERIES = {
     "ols_trend_report": ols_trend_report,
     "durbin_watson_report": durbin_watson_report,
     "tfidf_top_report": tfidf_top_report,
+    "cvm_test_report": cvm_test_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -15327,6 +15457,7 @@ ORACLES = {
     "ols_trend_report": ORACLE_OLS_TREND,
     "durbin_watson_report": ORACLE_DURBIN_WATSON,
     "tfidf_top_report": ORACLE_TFIDF_TOP,
+    "cvm_test_report": ORACLE_CVM_TEST,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

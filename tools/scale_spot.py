@@ -295,6 +295,7 @@ def main() -> None:
         pr_curve_report,
         survival_report,
         ks_test_report,
+        cvm_test_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -542,6 +543,13 @@ def main() -> None:
         # identical plan, non-degenerate both sides.
         "ks_test_report": (
             lambda s, d: ks_test_report(s, d, lang_b="de"),
+            (1, mult_hi), "documents"),
+        # r5f: X129 — X92's bounded-domain shape (counts, full-outer
+        # merge, one cumulative window) + a decimal term sum on the
+        # distinct-value frame; ~linear tracking the two scans. Same
+        # en-vs-de substitution as the KS drill (no "es" in the fixture).
+        "cvm_test_report": (
+            lambda s, d: cvm_test_report(s, d, lang_b="de"),
             (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
