@@ -15113,6 +15113,179 @@ FROM g
 """
 
 
+def friedman_report(spark, sf):
+    r"""Friedman rank test + Kendall's W across three per-document
+    quality scorers (X130 — Friedman 1937 with the Conover 1999 tie
+    correction; W = χ²/(n(k−1)), Kendall & Babington Smith 1939): do
+    the scorers ORDER the same documents differently, blocking on the
+    document? The k-related-samples extension of X121's Cochran Q from
+    binary detectors to ordinal scorers — the audit run before fusing
+    quality signals (X94 RRF) or training on one of them (X48). Blocks
+    = documents, treatments = k=3 scorers on comparable [0,1] scales:
+    en-stopword ratio a₁/n_tok, distinct-token ratio a₂/n_tok (both
+    over the X90-normalized token stream), raw ASCII-alpha density
+    a₃/len(text). Within-block average ranks are EXACT half-integers
+    carried as 2r ∈ {2..6} via cross-multiplied rational comparisons
+    (a_i·den_j vs a_j·den_i — no float ever ranks); ONE codegen scan
+    collapses map-side to five BIGINTs (n, ΣR_j as Σ2r, Σ(2r)²); with
+    k(k+1)²=48, χ² = (k−1)(ΣS_j² − 48n²)/(A₄ − 48n) is one float
+    division of exact integers (all-tied A₄=48n NULL-guarded), the
+    α=0.05 cut the χ²₍₂₎ literal 5.991464547107979. Zero-token /
+    empty-text blocks are dropped (no rankable triple). Reference
+    analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import normalize_for_scoring
+
+    d = _spread(t(spark, sf, "documents"))
+    nt_ = normalize_for_scoring(F.col("text"))
+    toks = F.when(F.length(nt_) > 0, F.split(nt_, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+    pat = r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+    base = d.select(
+        F.size(F.regexp_extract_all(nt_, F.lit(pat), 0))
+        .cast("long")
+        .alias("a1"),
+        F.size(F.array_distinct(toks)).cast("long").alias("a2"),
+        F.size(toks).cast("long").alias("nt"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+        .cast("long")
+        .alias("a3"),
+        F.length("text").cast("long").alias("b3"),
+    ).filter((F.col("nt") > 0) & (F.col("b3") > 0))
+    # cross-multiplied rational scores: s1=a1/nt, s2=a2/nt, s3=a3/b3
+    s1, s2 = F.col("a1"), F.col("a2")  # shared denominator nt
+    x13, x31 = F.col("a1") * F.col("b3"), F.col("a3") * F.col("nt")
+    x23, x32 = F.col("a2") * F.col("b3"), F.col("a3") * F.col("nt")
+
+    def _r2(lt1, eq1, lt2, eq2):
+        return (
+            F.lit(2)
+            + 2 * (lt1.cast("long") + lt2.cast("long"))
+            + eq1.cast("long")
+            + eq2.cast("long")
+        )
+
+    ranked = base.select(
+        _r2(s2 < s1, s2 == s1, x31 < x13, x31 == x13).alias("r2_1"),
+        _r2(s1 < s2, s1 == s2, x32 < x23, x32 == x23).alias("r2_2"),
+        _r2(x13 < x31, x13 == x31, x23 < x32, x23 == x32).alias("r2_3"),
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("r2_1").cast("long").alias("r2sum_stop"),
+        F.sum("r2_2").cast("long").alias("r2sum_uniq"),
+        F.sum("r2_3").cast("long").alias("r2sum_alpha"),
+        F.sum(
+            F.col("r2_1") * F.col("r2_1")
+            + F.col("r2_2") * F.col("r2_2")
+            + F.col("r2_3") * F.col("r2_3")
+        )
+        .cast("long")
+        .alias("a4"),
+    )
+    n = F.col("n_docs")
+    ssq = (
+        F.col("r2sum_stop") * F.col("r2sum_stop")
+        + F.col("r2sum_uniq") * F.col("r2sum_uniq")
+        + F.col("r2sum_alpha") * F.col("r2sum_alpha")
+    )
+    den = F.col("a4") - 48 * n
+    chi2 = F.when(
+        den != 0,
+        F.lit(2.0) * (ssq - 48 * n * n).cast("double") / den.cast("double"),
+    )
+    crit = 5.991464547107979
+    return g.select(
+        "n_docs",
+        "r2sum_stop",
+        "r2sum_uniq",
+        "r2sum_alpha",
+        "a4",
+        _r(
+            F.when(n > 0, F.col("r2sum_stop").cast("double") / (2 * n).cast("double"))
+        ).alias("mean_rank_stop"),
+        _r(
+            F.when(n > 0, F.col("r2sum_uniq").cast("double") / (2 * n).cast("double"))
+        ).alias("mean_rank_uniq"),
+        _r(
+            F.when(n > 0, F.col("r2sum_alpha").cast("double") / (2 * n).cast("double"))
+        ).alias("mean_rank_alpha"),
+        _r(chi2).alias("chi2_f"),
+        _r(F.when(n > 0, chi2 / (2 * n).cast("double"))).alias("kendall_w"),
+        F.when(den != 0, (chi2 > crit).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("reject_h0"),
+    )
+
+
+ORACLE_FRIEDMAN = r"""
+WITH base AS (
+  SELECT len(regexp_extract_all(t, '\b(the|over|quick|dog|fox)\b')) AS a1,
+         len(list_distinct(string_split(t, ' '))) AS a2,
+         len(string_split(t, ' ')) AS nt,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS a3,
+         length(text) AS b3
+  FROM (
+    SELECT text,
+           coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^\p{L} ]+', ' ', 'g'), '\s+', ' ', 'g')), '') AS t
+    FROM documents
+  )
+  WHERE length(coalesce(trim(regexp_replace(regexp_replace(lower(text),
+               '[^\p{L} ]+', ' ', 'g'), '\s+', ' ', 'g')), '')) > 0
+    AND length(text) > 0
+),
+ranked AS (
+  SELECT
+    2 + 2*((CASE WHEN a2 < a1 THEN 1 ELSE 0 END)
+         + (CASE WHEN a3*nt < a1*b3 THEN 1 ELSE 0 END))
+      + (CASE WHEN a2 = a1 THEN 1 ELSE 0 END)
+      + (CASE WHEN a3*nt = a1*b3 THEN 1 ELSE 0 END) AS r2_1,
+    2 + 2*((CASE WHEN a1 < a2 THEN 1 ELSE 0 END)
+         + (CASE WHEN a3*nt < a2*b3 THEN 1 ELSE 0 END))
+      + (CASE WHEN a1 = a2 THEN 1 ELSE 0 END)
+      + (CASE WHEN a3*nt = a2*b3 THEN 1 ELSE 0 END) AS r2_2,
+    2 + 2*((CASE WHEN a1*b3 < a3*nt THEN 1 ELSE 0 END)
+         + (CASE WHEN a2*b3 < a3*nt THEN 1 ELSE 0 END))
+      + (CASE WHEN a1*b3 = a3*nt THEN 1 ELSE 0 END)
+      + (CASE WHEN a2*b3 = a3*nt THEN 1 ELSE 0 END) AS r2_3
+  FROM base
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(r2_1) AS BIGINT) AS r2sum_stop,
+         CAST(sum(r2_2) AS BIGINT) AS r2sum_uniq,
+         CAST(sum(r2_3) AS BIGINT) AS r2sum_alpha,
+         CAST(sum(r2_1*r2_1 + r2_2*r2_2 + r2_3*r2_3) AS BIGINT) AS a4
+  FROM ranked
+)
+SELECT n_docs, r2sum_stop, r2sum_uniq, r2sum_alpha, a4,
+       round(CASE WHEN n_docs > 0 THEN CAST(r2sum_stop AS DOUBLE)
+             / CAST(2*n_docs AS DOUBLE) END, 6) AS mean_rank_stop,
+       round(CASE WHEN n_docs > 0 THEN CAST(r2sum_uniq AS DOUBLE)
+             / CAST(2*n_docs AS DOUBLE) END, 6) AS mean_rank_uniq,
+       round(CASE WHEN n_docs > 0 THEN CAST(r2sum_alpha AS DOUBLE)
+             / CAST(2*n_docs AS DOUBLE) END, 6) AS mean_rank_alpha,
+       round(CASE WHEN (a4 - 48*n_docs) <> 0
+             THEN 2.0 * CAST(r2sum_stop*r2sum_stop + r2sum_uniq*r2sum_uniq
+                  + r2sum_alpha*r2sum_alpha - 48*n_docs*n_docs AS DOUBLE)
+                  / CAST((a4 - 48*n_docs) AS DOUBLE) END, 6) AS chi2_f,
+       round(CASE WHEN (a4 - 48*n_docs) <> 0
+             THEN 2.0 * CAST(r2sum_stop*r2sum_stop + r2sum_uniq*r2sum_uniq
+                  + r2sum_alpha*r2sum_alpha - 48*n_docs*n_docs AS DOUBLE)
+                  / CAST((a4 - 48*n_docs) AS DOUBLE)
+                  / CAST(2*n_docs AS DOUBLE) END, 6) AS kendall_w,
+       CASE WHEN (a4 - 48*n_docs) <> 0 THEN
+         CAST(CASE WHEN 2.0 * CAST(r2sum_stop*r2sum_stop
+                  + r2sum_uniq*r2sum_uniq + r2sum_alpha*r2sum_alpha
+                  - 48*n_docs*n_docs AS DOUBLE)
+                  / CAST((a4 - 48*n_docs) AS DOUBLE)
+                > 5.991464547107979 THEN 1 ELSE 0 END AS INT)
+       END AS reject_h0
+FROM g
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -15280,6 +15453,7 @@ QUERIES = {
     "durbin_watson_report": durbin_watson_report,
     "tfidf_top_report": tfidf_top_report,
     "cvm_test_report": cvm_test_report,
+    "friedman_report": friedman_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -15458,6 +15632,7 @@ ORACLES = {
     "durbin_watson_report": ORACLE_DURBIN_WATSON,
     "tfidf_top_report": ORACLE_TFIDF_TOP,
     "cvm_test_report": ORACLE_CVM_TEST,
+    "friedman_report": ORACLE_FRIEDMAN,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

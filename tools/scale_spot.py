@@ -296,6 +296,7 @@ def main() -> None:
         survival_report,
         ks_test_report,
         cvm_test_report,
+        friedman_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -551,6 +552,11 @@ def main() -> None:
         "cvm_test_report": (
             lambda s, d: cvm_test_report(s, d, lang_b="de"),
             (1, mult_hi), "documents"),
+        # r5f: X130 — ONE codegen scan collapses map-side to five
+        # BIGINTs; everything after is a 1-row computation; ~linear.
+        # (hex fixture: stopword hits are 0 everywhere, distinct ratio
+        # and alpha density still vary — non-degenerate ranks.)
+        "friedman_report": (friedman_report, (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
