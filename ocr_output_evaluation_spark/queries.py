@@ -15286,6 +15286,139 @@ FROM g
 """
 
 
+def kmv_distinct_report(spark, sf, k=64):
+    """KMV (k-minimum-values) distinct-count sketch per source + the
+    merged union sketch (X131 — Bar-Yossef et al. 2002 with the Beyer
+    et al. 2007 unbiased estimator D̂ = (k−1)/U₍ₖ₎): the ORDER-STATISTIC
+    distinct sketch complementing X40's HLL — same question, different
+    machinery (HLL keeps 2^p max-rank registers, KMV keeps the k
+    smallest hashes; KMV unions by a trivial merge-and-truncate and
+    supports intersection estimates HLL cannot). Deterministic 60-bit
+    hash h = conv(md5(token)[:15], 16, 10) over the per-source DISTINCT
+    normalized-token frame (one explode + distinct, the only data-bound
+    legs — X125's vocabulary scale); the k-th order statistic via ONE
+    rank window per source on that vocab-scale frame; sketches with
+    n ≤ k hold the whole set, so the estimate is exactly n (kth_hash
+    NULL). The '__union__' row runs the same code path on the global
+    distinct-token frame — identical to merging the per-source sketches
+    because the union's k smallest hashes each live in some source's k
+    smallest (the KMV mergeability identity; at cluster scale the merge
+    is a k-list truncate per executor, no rescan). est and rel_err are
+    the only floats. Reference analog: none — rebuild-only (SURVEY
+    §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    per_src = (
+        d.select("source", F.explode(word_tokens(F.col("text"))).alias("_t"))
+        .distinct()
+    )
+    both = per_src.unionByName(
+        per_src.select(F.lit("__union__").alias("source"), "_t").distinct()
+    )
+    hashed = both.select(
+        "source",
+        "_t",
+        F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    wr = W.partitionBy("source").orderBy("_h", "_t")
+    ranked = hashed.select(
+        "source",
+        "_h",
+        F.row_number().over(wr).alias("_r"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("source"))
+        .cast("long")
+        .alias("n_exact"),
+    )
+    kth = ranked.filter(F.col("_r") == k).select(
+        "source", F.col("_h").alias("kth_hash")
+    )
+    g = (
+        ranked.groupBy("source", "n_exact")
+        .agg(F.lit(1).alias("_x"))
+        .join(kth, "source", "left")
+    )
+    two60 = F.lit(1152921504606846976.0)
+    est = F.when(
+        F.col("n_exact") <= k, F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * two60 / F.col("kth_hash").cast("double")
+    )
+    return g.select(
+        "source",
+        "n_exact",
+        F.least(F.lit(k).cast("long"), F.col("n_exact")).alias("k_used"),
+        F.when(F.col("n_exact") > k, F.col("kth_hash"))
+        .cast("long")
+        .alias("kth_hash"),
+        _r(est).alias("est"),
+        _r(
+            F.when(
+                F.col("n_exact") > 0,
+                (est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+            )
+        ).alias("rel_err"),
+    ).orderBy("source")
+
+
+ORACLE_KMV_DISTINCT = r"""
+WITH norm AS (
+  SELECT source,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\p{L} ]+', ' ', 'g'), '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+per_src AS (
+  SELECT DISTINCT source, UNNEST(string_split(t, ' ')) AS tok
+  FROM norm WHERE length(t) > 0
+),
+allsrc AS (
+  SELECT source, tok FROM per_src
+  UNION ALL
+  SELECT DISTINCT '__union__' AS source, tok FROM per_src
+),
+hashed AS (
+  SELECT source, tok,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM allsrc
+),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, tok) AS r,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_exact
+  FROM hashed
+),
+kth AS (
+  SELECT source, h AS kth_hash FROM ranked WHERE r = 64
+),
+g AS (
+  SELECT DISTINCT ranked.source, n_exact, kth.kth_hash
+  FROM ranked LEFT JOIN kth ON kth.source = ranked.source
+),
+est AS (
+  SELECT source, n_exact,
+         CASE WHEN n_exact <= 64 THEN CAST(n_exact AS DOUBLE)
+              ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
+         END AS e,
+         kth_hash
+  FROM g
+)
+SELECT source, n_exact,
+       CAST(least(64, n_exact) AS BIGINT) AS k_used,
+       CAST(CASE WHEN n_exact > 64 THEN kth_hash END AS BIGINT) AS kth_hash,
+       round(e, 6) AS est,
+       round(CASE WHEN n_exact > 0
+             THEN (e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+             END, 6) AS rel_err
+FROM est
+ORDER BY source
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -15454,6 +15587,7 @@ QUERIES = {
     "tfidf_top_report": tfidf_top_report,
     "cvm_test_report": cvm_test_report,
     "friedman_report": friedman_report,
+    "kmv_distinct_report": kmv_distinct_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -15633,6 +15767,7 @@ ORACLES = {
     "tfidf_top_report": ORACLE_TFIDF_TOP,
     "cvm_test_report": ORACLE_CVM_TEST,
     "friedman_report": ORACLE_FRIEDMAN,
+    "kmv_distinct_report": ORACLE_KMV_DISTINCT,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

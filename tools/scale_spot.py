@@ -297,6 +297,7 @@ def main() -> None:
         ks_test_report,
         cvm_test_report,
         friedman_report,
+        kmv_distinct_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -557,6 +558,12 @@ def main() -> None:
         # (hex fixture: stopword hits are 0 everywhere, distinct ratio
         # and alpha density still vary — non-degenerate ranks.)
         "friedman_report": (friedman_report, (1, mult_hi), "documents"),
+        # r5f: X131 — explode+distinct to the vocab-scale (source, token)
+        # frame (the only data-bound legs); the rank windows and the kth
+        # joins all ride vocab-sized frames whatever n; ~linear in the
+        # scan, flat tail at the fixed 500-word fixture vocab.
+        "kmv_distinct_report": (kmv_distinct_report, (1, mult_hi),
+                                "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
