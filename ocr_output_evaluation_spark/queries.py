@@ -15419,6 +15419,200 @@ ORDER BY source
 """
 
 
+# X132: 32-tap adjusted-EWMA weights (1-λ)^j, λ=0.2, micro-quantized to
+# shared integer literals so BOTH engines run pure-integer tap sums (the
+# X117 hardcoded-literal discipline — neither engine ever evaluates the
+# power). 0.8^32 ≈ 8e-4: <0.1% truncation, the windowed-EWMA standard.
+_EWMA_TAPS = 32
+_EWMA_W = tuple(int(round(1e6 * 0.8**j)) for j in range(_EWMA_TAPS))
+
+
+def ewma_chart_report(spark, sf):
+    """EWMA control chart over per-type daily event volume (X132 —
+    Roberts 1959; the small-persistent-shift detector complementing
+    X115's offline CUSUM argmax: CUSUM locates ONE retrospective
+    changepoint, the EWMA chart flags EVERY day the smoothed level
+    leaves the control band, the monitoring view). X115's dense
+    zero-filled day grid; the adjusted EWMA (pandas ewm adjust=True
+    semantics) z_t = Σ_j w_j·x_{t−j} / Σ_j w_j over the 32 micro-
+    quantized taps w_j = round(1e6·0.8^j) — numerator A and partial-
+    window denominator B are exact BIGINTs via 32 unrolled lag() terms
+    in ONE day-ordered window (the grid is dense, so lag j IS day
+    t−j); per-type moments (n, S=Σx, Q=Σx²) ride the same window
+    partition. With λ=0.2, L=3 the classic asymptotic band
+    μ ± L·σ·sqrt(λ/(2−λ)) collapses to EXACTLY μ ± σ, so the alarm
+    test (z−μ)² > σ² cross-multiplies to (A·n − S·B)² > (nQ−S²)·B²
+    — the left diff is BIGINT-exact (documented bound: |A·n| < 2^63
+    up to ~2e8 events/day/type at a 1000-day span), both sides then
+    compared as identically-computed IEEE doubles (square/products
+    only — deterministic on both engines). A constant series has
+    A·n−S·B = 0, never alarming, so no variance guard is needed.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("_d"))
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type", "_d", F.coalesce("_c", F.lit(0)).cast("long").alias("_c")
+        )
+    )
+    wd = W.partitionBy("event_type").orderBy("_d")
+    wp = W.partitionBy("event_type")
+    lags = [F.lag("_c", j).over(wd) for j in range(_EWMA_TAPS)]
+    num = sum(
+        (F.coalesce(lg, F.lit(0)) * F.lit(wj) for lg, wj in zip(lags, _EWMA_W)),
+        F.lit(0),
+    ).cast("long")
+    den = sum(
+        (
+            F.when(lg.isNotNull(), F.lit(wj)).otherwise(F.lit(0))
+            for lg, wj in zip(lags, _EWMA_W)
+        ),
+        F.lit(0),
+    ).cast("long")
+    z = grid.select(
+        "event_type",
+        "_d",
+        num.alias("_a"),
+        den.alias("_b"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("_n"),
+        F.sum("_c").over(wp).cast("long").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).over(wp).cast("long").alias("_q"),
+    )
+    dlt = (F.col("_a") * F.col("_n") - F.col("_s") * F.col("_b")).cast("long")
+    vv = (F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")).cast("long")
+    alarm = (dlt.cast("double") * dlt.cast("double")) > (
+        vv.cast("double") * F.col("_b").cast("double") * F.col("_b").cast("double")
+    )
+    flagged = z.select(
+        "event_type",
+        "_d",
+        "_a",
+        "_b",
+        "_n",
+        "_s",
+        "_q",
+        alarm.cast("int").alias("_alarm"),
+    )
+    g = flagged.groupBy("event_type").agg(
+        F.max("_n").cast("long").alias("n_days"),
+        F.max("_s").alias("_s"),
+        F.max("_q").alias("_q"),
+        F.sum("_alarm").cast("long").alias("n_alarms"),
+        F.min(F.when(F.col("_alarm") == 1, F.col("_d")))
+        .cast("long")
+        .alias("first_alarm_day"),
+        F.max(F.struct(F.col("_d"), F.col("_a"), F.col("_b"))).alias("_last"),
+    )
+    n = F.col("n_days")
+    mu = F.col("_s").cast("double") / n.cast("double")
+    var = (n * F.col("_q") - F.col("_s") * F.col("_s")).cast("double") / (
+        n * n
+    ).cast("double")
+    return g.select(
+        "event_type",
+        "n_days",
+        _r(mu).alias("mu"),
+        _r(F.sqrt(var)).alias("sigma"),
+        F.col("_last._a").alias("z_last_num"),
+        F.col("_last._b").alias("z_last_den"),
+        _r(F.col("_last._a").cast("double") / F.col("_last._b").cast("double")).alias(
+            "z_last"
+        ),
+        "n_alarms",
+        "first_alarm_day",
+    ).orderBy("event_type")
+
+
+def _ewma_oracle() -> str:
+    taps_num = " + ".join(
+        f"coalesce(lag(_c, {j}) OVER w, 0) * {wj}"
+        for j, wj in enumerate(_EWMA_W)
+    )
+    taps_den = " + ".join(
+        f"CASE WHEN lag(_c, {j}) OVER w IS NOT NULL THEN {wj} ELSE 0 END"
+        for j, wj in enumerate(_EWMA_W)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT min(_d) AS _lo, max(_d) AS _hi FROM e),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM cnt),
+grid AS (
+  SELECT ty.event_type, dy._d, CAST(coalesce(c._c, 0) AS BIGINT) AS _c
+  FROM types ty CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+z AS (
+  SELECT event_type, _d,
+         CAST({taps_num} AS BIGINT) AS _a,
+         CAST({taps_den} AS BIGINT) AS _b,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS _n,
+         CAST(sum(_c) OVER (PARTITION BY event_type) AS BIGINT) AS _s,
+         CAST(sum(_c * _c) OVER (PARTITION BY event_type) AS BIGINT) AS _q
+  FROM grid
+  WINDOW w AS (PARTITION BY event_type ORDER BY _d)
+),
+flagged AS (
+  SELECT event_type, _d, _a, _b, _n, _s, _q,
+         CASE WHEN CAST(_a * _n - _s * _b AS DOUBLE)
+                   * CAST(_a * _n - _s * _b AS DOUBLE)
+                 > CAST(_n * _q - _s * _s AS DOUBLE)
+                   * CAST(_b AS DOUBLE) * CAST(_b AS DOUBLE)
+              THEN 1 ELSE 0 END AS _alarm
+  FROM z
+),
+last_day AS (
+  SELECT event_type, _a AS z_last_num, _b AS z_last_den
+  FROM (SELECT event_type, _a, _b,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY _d DESC) AS rr
+        FROM flagged)
+  WHERE rr = 1
+),
+g AS (
+  SELECT f.event_type,
+         CAST(max(f._n) AS BIGINT) AS n_days,
+         max(f._s) AS _s, max(f._q) AS _q,
+         CAST(sum(f._alarm) AS BIGINT) AS n_alarms,
+         CAST(min(CASE WHEN f._alarm = 1 THEN f._d END) AS BIGINT)
+           AS first_alarm_day
+  FROM flagged f GROUP BY 1
+)
+SELECT g.event_type, g.n_days,
+       round(CAST(g._s AS DOUBLE) / CAST(g.n_days AS DOUBLE), 6) AS mu,
+       round(sqrt(CAST(g.n_days * g._q - g._s * g._s AS DOUBLE)
+             / CAST(g.n_days * g.n_days AS DOUBLE)), 6) AS sigma,
+       ld.z_last_num, ld.z_last_den,
+       round(CAST(ld.z_last_num AS DOUBLE) / CAST(ld.z_last_den AS DOUBLE), 6)
+         AS z_last,
+       g.n_alarms, g.first_alarm_day
+FROM g JOIN last_day ld ON ld.event_type = g.event_type
+ORDER BY g.event_type
+"""
+
+
+ORACLE_EWMA_CHART = _ewma_oracle()
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -15588,6 +15782,7 @@ QUERIES = {
     "cvm_test_report": cvm_test_report,
     "friedman_report": friedman_report,
     "kmv_distinct_report": kmv_distinct_report,
+    "ewma_chart_report": ewma_chart_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -15768,6 +15963,7 @@ ORACLES = {
     "cvm_test_report": ORACLE_CVM_TEST,
     "friedman_report": ORACLE_FRIEDMAN,
     "kmv_distinct_report": ORACLE_KMV_DISTINCT,
+    "ewma_chart_report": ORACLE_EWMA_CHART,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

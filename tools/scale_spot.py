@@ -298,6 +298,7 @@ def main() -> None:
         cvm_test_report,
         friedman_report,
         kmv_distinct_report,
+        ewma_chart_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -564,6 +565,10 @@ def main() -> None:
         # scan, flat tail at the fixed 500-word fixture vocab.
         "kmv_distinct_report": (kmv_distinct_report, (1, mult_hi),
                                 "documents"),
+        # r5f: X132 — events collapse map-side to the (type, day) count
+        # frame; the 32-tap lag window and the moment windows all ride
+        # the |types|x|days|-bounded dense grid whatever n; ~linear.
+        "ewma_chart_report": (ewma_chart_report, (1, mult_hi), "events"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
