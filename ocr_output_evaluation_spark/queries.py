@@ -15613,6 +15613,163 @@ ORDER BY g.event_type
 ORACLE_EWMA_CHART = _ewma_oracle()
 
 
+def dow_seasonality_report(spark, sf):
+    """Day-of-week seasonal decomposition + seasonality strength per
+    event type (X133 — the classical-decomposition seasonal means of
+    Kendall & Stuart vol.3 with Hyndman & Athanasopoulos' (fpp3 §4.5)
+    strength-of-seasonality F_s = max(0, 1 − Var(R)/Var(detrended)):
+    does crawl volume carry a weekly cadence, and HOW MUCH of the
+    variance does it explain? The calendar-aligned complement to
+    X116's ACF (which sees lag-7 correlation but not the per-weekday
+    profile) and X124's Haar pyramid (dyadic scales straddle 7).
+    X115's dense zero-filled day grid; dow = (epoch_day + 3) % 7
+    (0 = Monday — pure integer arithmetic, no calendar functions, so
+    both engines agree by construction); per-(type, dow) sums and the
+    grand mean stay exact BIGINT rationals; the residual
+    r_t = (c_t·n_d − S_d)/n_d and deviation (c_t·n − S)/n are doubles
+    of exact integers with their squares micro-quantized (×1e6, X127
+    discipline) so both quadratic sums aggregate order-independently;
+    F_s is one float off the two micro sums, constant series
+    (SSD = 0) NULL-guarded. Emits one row per (type, dow) with the
+    per-type strength as a constant column (X118's
+    contributions+constants shape). Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("_d"))
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type",
+            "_d",
+            F.coalesce("_c", F.lit(0)).cast("long").alias("_c"),
+            ((F.col("_d") + 3) % 7).cast("long").alias("dow"),
+        )
+    )
+    dstat = grid.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_dow"),
+        F.sum("_c").cast("long").alias("sum_dow"),
+    )
+    tstat = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("_c").cast("long").alias("_s"),
+    )
+    joined = (
+        grid.join(F.broadcast(dstat), ["event_type", "dow"])
+        .join(F.broadcast(tstat), "event_type")
+    )
+    resid = (
+        F.col("_c") * F.col("n_days_dow") - F.col("sum_dow")
+    ).cast("double") / F.col("n_days_dow").cast("double")
+    dev = (F.col("_c") * F.col("n_days") - F.col("_s")).cast("double") / F.col(
+        "n_days"
+    ).cast("double")
+    ssq = joined.groupBy("event_type").agg(
+        F.sum(F.round(resid * resid * F.lit(1e6)).cast("long"))
+        .cast("long")
+        .alias("ssr_micro"),
+        F.sum(F.round(dev * dev * F.lit(1e6)).cast("long"))
+        .cast("long")
+        .alias("ssd_micro"),
+    )
+    strength = F.when(
+        F.col("ssd_micro") > 0,
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.col("ssr_micro").cast("double") / F.col("ssd_micro").cast("double"),
+        ),
+    )
+    out = (
+        dstat.join(F.broadcast(tstat), "event_type")
+        .join(F.broadcast(ssq), "event_type")
+    )
+    dow_mean = F.col("sum_dow").cast("double") / F.col("n_days_dow").cast("double")
+    grand = F.col("_s").cast("double") / F.col("n_days").cast("double")
+    return out.select(
+        "event_type",
+        "dow",
+        "n_days_dow",
+        "sum_dow",
+        _r(dow_mean).alias("dow_mean"),
+        _r(dow_mean - grand).alias("seasonal"),
+        "ssr_micro",
+        "ssd_micro",
+        _r(strength).alias("strength"),
+    ).orderBy("event_type", "dow")
+
+
+ORACLE_DOW_SEASONALITY = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT min(_d) AS _lo, max(_d) AS _hi FROM e),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM cnt),
+grid AS (
+  SELECT ty.event_type, dy._d, CAST(coalesce(c._c, 0) AS BIGINT) AS _c,
+         CAST((dy._d + 3) % 7 AS BIGINT) AS dow
+  FROM types ty CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+dstat AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days_dow,
+         CAST(sum(_c) AS BIGINT) AS sum_dow
+  FROM grid GROUP BY 1, 2
+),
+tstat AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(_c) AS BIGINT) AS _s
+  FROM grid GROUP BY 1
+),
+ssq AS (
+  SELECT g.event_type,
+         CAST(sum(CAST(round(CAST(g._c * d.n_days_dow - d.sum_dow AS DOUBLE)
+                  / CAST(d.n_days_dow AS DOUBLE)
+                  * (CAST(g._c * d.n_days_dow - d.sum_dow AS DOUBLE)
+                     / CAST(d.n_days_dow AS DOUBLE)) * 1e6) AS BIGINT))
+              AS BIGINT) AS ssr_micro,
+         CAST(sum(CAST(round(CAST(g._c * t.n_days - t._s AS DOUBLE)
+                  / CAST(t.n_days AS DOUBLE)
+                  * (CAST(g._c * t.n_days - t._s AS DOUBLE)
+                     / CAST(t.n_days AS DOUBLE)) * 1e6) AS BIGINT))
+              AS BIGINT) AS ssd_micro
+  FROM grid g
+  JOIN dstat d ON d.event_type = g.event_type AND d.dow = g.dow
+  JOIN tstat t ON t.event_type = g.event_type
+  GROUP BY 1
+)
+SELECT d.event_type, d.dow, d.n_days_dow, d.sum_dow,
+       round(CAST(d.sum_dow AS DOUBLE) / CAST(d.n_days_dow AS DOUBLE), 6)
+         AS dow_mean,
+       round(CAST(d.sum_dow AS DOUBLE) / CAST(d.n_days_dow AS DOUBLE)
+             - CAST(t._s AS DOUBLE) / CAST(t.n_days AS DOUBLE), 6) AS seasonal,
+       q.ssr_micro, q.ssd_micro,
+       round(CASE WHEN q.ssd_micro > 0
+             THEN greatest(0.0, 1.0 - CAST(q.ssr_micro AS DOUBLE)
+                  / CAST(q.ssd_micro AS DOUBLE)) END, 6) AS strength
+FROM dstat d
+JOIN tstat t ON t.event_type = d.event_type
+JOIN ssq q ON q.event_type = d.event_type
+ORDER BY d.event_type, d.dow
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -15783,6 +15940,7 @@ QUERIES = {
     "friedman_report": friedman_report,
     "kmv_distinct_report": kmv_distinct_report,
     "ewma_chart_report": ewma_chart_report,
+    "dow_seasonality_report": dow_seasonality_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -15964,6 +16122,7 @@ ORACLES = {
     "friedman_report": ORACLE_FRIEDMAN,
     "kmv_distinct_report": ORACLE_KMV_DISTINCT,
     "ewma_chart_report": ORACLE_EWMA_CHART,
+    "dow_seasonality_report": ORACLE_DOW_SEASONALITY,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

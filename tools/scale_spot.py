@@ -299,6 +299,7 @@ def main() -> None:
         friedman_report,
         kmv_distinct_report,
         ewma_chart_report,
+        dow_seasonality_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -569,6 +570,11 @@ def main() -> None:
         # frame; the 32-tap lag window and the moment windows all ride
         # the |types|x|days|-bounded dense grid whatever n; ~linear.
         "ewma_chart_report": (ewma_chart_report, (1, mult_hi), "events"),
+        # r5f: X133 — events collapse map-side to the (type, day) frame;
+        # dow/type stat frames are |types|x7-bounded broadcasts and the
+        # micro-quantized quadratic agg rides the dense grid; ~linear.
+        "dow_seasonality_report": (dow_seasonality_report, (1, mult_hi),
+                                   "events"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
