@@ -15770,6 +15770,235 @@ ORDER BY d.event_type, d.dow
 """
 
 
+_HEAPS_CPS = 16  # doubling prefix-fraction checkpoints (2^(i-16) of the span)
+
+
+def heaps_law_report(spark, sf):
+    """Heaps'-law vocabulary-growth fit V = K·N^β (X134 — Herdan 1960 /
+    Heaps 1978): how fast does the corpus keep minting NEW word types?
+    The growth-side companion to X80's Zipf slope (the two exponents
+    are duals under the power-law tail) and the capacity input to
+    every vocab-size decision (X44-X47 tokenizers). β ≈ 0.5-0.8 for
+    natural text; β → 1 flags boilerplate/ID-like token streams.
+    NO data-wide sort: prefixes are doc_id-VALUE cuts at 16 doubling
+    span fractions c_i = lo + span DIV 2^(16−i) − 1 (exact integer
+    arithmetic off the 1-row bounds frame — roughly-geometric prefix
+    sizes under any near-uniform id density, and V/N are EXACT for
+    whatever prefix each cut defines). Per-token first_doc = min(doc_id)
+    off one explode (vocab-scale); V(c)/N(c)/docs(c) via ≤16× fan-out
+    joins of the vocab-/doc-count frames against the broadcast
+    checkpoint frame (map-side combined to ≤16 rows — the token stream
+    itself is never replicated). ln N, ln V are nano-quantized off
+    exact BIGINTs (X90 discipline); the ≤16-point OLS runs its moment
+    sums in DECIMAL(38,0)/HUGEINT (xy products overflow BIGINT at
+    nano scale), β/lnK/R² the only floats, degenerate single-distinct-x
+    and zero-variance-y cases NULL-guarded. Emits the checkpoint curve
+    rows with the fit as constant columns (X118's shape). Reference
+    analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        word_tokens(F.col("text")).alias("_toks"),
+    )
+    per_doc = base.select(
+        "doc_id", F.size("_toks").cast("long").alias("_nt")
+    )
+    first = (
+        base.select("doc_id", F.explode("_toks").alias("_t"))
+        .groupBy("_t")
+        .agg(F.min("doc_id").cast("long").alias("_fd"))
+    )
+    bounds = per_doc.agg(
+        F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+    )
+    cps = bounds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("cp"),
+                        (
+                            F.col("_lo")
+                            + F.expr(
+                                f"(_hi - _lo + 1) DIV {2 ** (_HEAPS_CPS - i)}"
+                            )
+                            - F.lit(1)
+                        )
+                        .cast("long")
+                        .alias("cut"),
+                    )
+                    for i in range(1, _HEAPS_CPS + 1)
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.cp", "_s.cut")
+    nn = (
+        per_doc.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") <= F.col("cut"))
+        .groupBy("cp", "cut")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_prefix"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+    vv = (
+        first.crossJoin(F.broadcast(cps))
+        .filter(F.col("_fd") <= F.col("cut"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("long").alias("v_types"))
+    )
+    pts = (
+        nn.join(vv, "cp")
+        .filter((F.col("n_tokens") > 0) & (F.col("v_types") > 0))
+        .select(
+            "cp",
+            "cut",
+            "n_docs_prefix",
+            "n_tokens",
+            "v_types",
+            F.round(F.log(F.col("n_tokens").cast("double")) * F.lit(1e9))
+            .cast("long")
+            .alias("x_nano"),
+            F.round(F.log(F.col("v_types").cast("double")) * F.lit(1e9))
+            .cast("long")
+            .alias("y_nano"),
+        )
+    )
+    dx = F.col("x_nano").cast("decimal(18,0)")
+    dy = F.col("y_nano").cast("decimal(18,0)")
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum(dx).cast("decimal(38,0)").alias("_sx"),
+        F.sum(dy).cast("decimal(38,0)").alias("_sy"),
+        F.sum(dx * dx).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(dx * dy).cast("decimal(38,0)").alias("_sxy"),
+        F.sum(dy * dy).cast("decimal(38,0)").alias("_syy"),
+    )
+    m = F.col("_m").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    den = m * sxx - sx * sx
+    deny = m * syy - sy * sy
+    beta = F.when(den != 0, (m * sxy - sx * sy) / den)
+    lnk = F.when(den != 0, (sy - beta * sx) / m / F.lit(1e9))
+    r2 = F.when(
+        (den != 0) & (deny != 0),
+        (m * sxy - sx * sy) * (m * sxy - sx * sy) / (den * deny),
+    )
+    fit = mom.select(
+        F.col("_m").alias("n_points"),
+        _r(beta).alias("beta"),
+        _r(lnk).alias("log_k"),
+        _r(r2).alias("r2"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "cp",
+            "cut",
+            "n_docs_prefix",
+            "n_tokens",
+            "v_types",
+            "x_nano",
+            "y_nano",
+            "n_points",
+            "beta",
+            "log_k",
+            "r2",
+        )
+        .orderBy("cp")
+    )
+
+
+ORACLE_HEAPS_LAW = rf"""
+WITH norm AS (
+  SELECT doc_id,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\p{{L}} ]+', ' ', 'g'), '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         CASE WHEN length(t) > 0
+              THEN CAST(len(string_split(t, ' ')) AS BIGINT)
+              ELSE 0 END AS _nt
+  FROM norm
+),
+first AS (
+  SELECT tok AS _t, CAST(min(doc_id) AS BIGINT) AS _fd
+  FROM (SELECT doc_id, UNNEST(string_split(t, ' ')) AS tok
+        FROM norm WHERE length(t) > 0)
+  GROUP BY 1
+),
+bounds AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS _lo,
+         CAST(max(doc_id) AS BIGINT) AS _hi
+  FROM per_doc
+),
+cps AS (
+  SELECT CAST(i AS BIGINT) AS cp,
+         CAST(_lo + (_hi - _lo + 1) // CAST(pow(2, {_HEAPS_CPS} - i) AS BIGINT)
+              - 1 AS BIGINT) AS cut
+  FROM bounds, UNNEST(range(1, {_HEAPS_CPS} + 1)) AS u(i)
+),
+nn AS (
+  SELECT cp, cut, CAST(count(*) AS BIGINT) AS n_docs_prefix,
+         CAST(sum(_nt) AS BIGINT) AS n_tokens
+  FROM per_doc CROSS JOIN cps
+  WHERE doc_id <= cut GROUP BY 1, 2
+),
+vv AS (
+  SELECT cp, CAST(count(*) AS BIGINT) AS v_types
+  FROM first CROSS JOIN cps
+  WHERE _fd <= cut GROUP BY 1
+),
+pts AS (
+  SELECT nn.cp, nn.cut, nn.n_docs_prefix, nn.n_tokens, vv.v_types,
+         CAST(round(ln(CAST(nn.n_tokens AS DOUBLE)) * 1e9) AS BIGINT) AS x_nano,
+         CAST(round(ln(CAST(vv.v_types AS DOUBLE)) * 1e9) AS BIGINT) AS y_nano
+  FROM nn JOIN vv ON vv.cp = nn.cp
+  WHERE nn.n_tokens > 0 AND vv.v_types > 0
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS _m,
+         sum(CAST(x_nano AS HUGEINT)) AS _sx,
+         sum(CAST(y_nano AS HUGEINT)) AS _sy,
+         sum(CAST(x_nano AS HUGEINT) * CAST(x_nano AS HUGEINT)) AS _sxx,
+         sum(CAST(x_nano AS HUGEINT) * CAST(y_nano AS HUGEINT)) AS _sxy,
+         sum(CAST(y_nano AS HUGEINT) * CAST(y_nano AS HUGEINT)) AS _syy
+  FROM pts
+),
+fit AS (
+  SELECT _m AS n_points,
+         CAST(_m AS DOUBLE) AS m, CAST(_sx AS DOUBLE) AS sx,
+         CAST(_sy AS DOUBLE) AS sy, CAST(_sxx AS DOUBLE) AS sxx,
+         CAST(_sxy AS DOUBLE) AS sxy, CAST(_syy AS DOUBLE) AS syy
+  FROM mom
+)
+SELECT p.cp, p.cut, p.n_docs_prefix, p.n_tokens, p.v_types,
+       p.x_nano, p.y_nano, f.n_points,
+       round(CASE WHEN f.m * f.sxx - f.sx * f.sx <> 0
+             THEN (f.m * f.sxy - f.sx * f.sy)
+                  / (f.m * f.sxx - f.sx * f.sx) END, 6) AS beta,
+       round(CASE WHEN f.m * f.sxx - f.sx * f.sx <> 0
+             THEN (f.sy - (f.m * f.sxy - f.sx * f.sy)
+                   / (f.m * f.sxx - f.sx * f.sx) * f.sx) / f.m / 1e9
+             END, 6) AS log_k,
+       round(CASE WHEN f.m * f.sxx - f.sx * f.sx <> 0
+                   AND f.m * f.syy - f.sy * f.sy <> 0
+             THEN (f.m * f.sxy - f.sx * f.sy) * (f.m * f.sxy - f.sx * f.sy)
+                  / ((f.m * f.sxx - f.sx * f.sx)
+                     * (f.m * f.syy - f.sy * f.sy)) END, 6) AS r2
+FROM pts p CROSS JOIN fit f
+ORDER BY p.cp
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -15941,6 +16170,7 @@ QUERIES = {
     "kmv_distinct_report": kmv_distinct_report,
     "ewma_chart_report": ewma_chart_report,
     "dow_seasonality_report": dow_seasonality_report,
+    "heaps_law_report": heaps_law_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -16123,6 +16353,7 @@ ORACLES = {
     "kmv_distinct_report": ORACLE_KMV_DISTINCT,
     "ewma_chart_report": ORACLE_EWMA_CHART,
     "dow_seasonality_report": ORACLE_DOW_SEASONALITY,
+    "heaps_law_report": ORACLE_HEAPS_LAW,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

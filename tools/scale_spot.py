@@ -300,6 +300,7 @@ def main() -> None:
         kmv_distinct_report,
         ewma_chart_report,
         dow_seasonality_report,
+        heaps_law_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -575,6 +576,11 @@ def main() -> None:
         # micro-quantized quadratic agg rides the dense grid; ~linear.
         "dow_seasonality_report": (dow_seasonality_report, (1, mult_hi),
                                    "events"),
+        # r5f: X134 — one explode to the vocab-scale first-doc frame +
+        # a per-doc count scan; checkpoint joins fan out <=16x the
+        # vocab/doc-count frames and combine map-side to <=16 rows;
+        # the fit is a 16-point computation; ~linear in the scans.
+        "heaps_law_report": (heaps_law_report, (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
