@@ -15999,6 +15999,97 @@ ORDER BY p.cp
 """
 
 
+def hellinger_report(spark, sf):
+    """Per-source Hellinger distance + Bhattacharyya coefficient vs the
+    pooled length distribution (X135 — Hellinger 1909; Bhattacharyya
+    1943 BC = Σ√(p·q), H = √(1−BC), D_B = −ln BC): which feeds deviate
+    from the corpus-wide length shape, on a PROPER METRIC bounded in
+    [0,1]? The geometry-side member of the drift family — X85's JS is
+    an f-divergence (no triangle inequality in raw form), X113's W₁ is
+    displacement-sensitive, X92/X129's KS/CvM are ECDF gaps; Hellinger
+    is the one that is simultaneously a true metric, bounded, and
+    mass-overlap-interpretable (BC is the overlap integral). Counts
+    collapse map-side to the bounded (source, n_chars) frame; pooled
+    per-value counts broadcast back onto it; each term
+    √(c_s(v)·c(v)) is one sqrt of an exact BIGINT product
+    nano-quantized (X90 discipline) so the per-source sums are
+    order-independent; BC = Σterm/(1e9·√(n_s·n)) and H/D_B are the
+    only floats, the disjoint-support BC=0 case NULL-guards D_B (BC
+    cannot exceed 1 except by nano noise — clamped with least()).
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select("source", "n_chars")
+    cs = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("_cs")
+    )
+    pooled = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    ns = cs.groupBy("source").agg(F.sum("_cs").cast("long").alias("n_docs"))
+    ntot = pooled.agg(F.sum("_c").cast("long").alias("_n"))
+    terms = cs.join(F.broadcast(pooled), "n_chars").select(
+        "source",
+        F.round(F.sqrt((F.col("_cs") * F.col("_c")).cast("double")) * F.lit(1e9))
+        .cast("long")
+        .alias("_t"),
+    )
+    g = (
+        terms.groupBy("source")
+        .agg(F.sum("_t").cast("long").alias("bc_nano_sum"))
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ntot))
+    )
+    bc = F.least(
+        F.lit(1.0),
+        F.col("bc_nano_sum").cast("double")
+        / (F.lit(1e9) * F.sqrt((F.col("n_docs") * F.col("_n")).cast("double"))),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "bc_nano_sum",
+        _r(bc).alias("bhattacharyya_coef"),
+        _r(F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc))).alias("hellinger"),
+        _r(F.when(bc > 0, -F.log(bc))).alias("bhattacharyya_dist"),
+    ).orderBy("source")
+
+
+ORACLE_HELLINGER = """
+WITH cs AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _cs
+  FROM documents GROUP BY 1, 2
+),
+pooled AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS _c
+  FROM documents GROUP BY 1
+),
+ns AS (
+  SELECT source, CAST(sum(_cs) AS BIGINT) AS n_docs FROM cs GROUP BY 1
+),
+ntot AS (SELECT CAST(sum(_c) AS BIGINT) AS _n FROM pooled),
+terms AS (
+  SELECT cs.source,
+         CAST(round(sqrt(CAST(cs._cs * p._c AS DOUBLE)) * 1e9) AS BIGINT) AS _t
+  FROM cs JOIN pooled p ON p.n_chars = cs.n_chars
+),
+g AS (
+  SELECT t.source, CAST(sum(t._t) AS BIGINT) AS bc_nano_sum
+  FROM terms t GROUP BY 1
+),
+j AS (
+  SELECT g.source, ns.n_docs, g.bc_nano_sum,
+         least(1.0, CAST(g.bc_nano_sum AS DOUBLE)
+               / (1e9 * sqrt(CAST(ns.n_docs * nt._n AS DOUBLE)))) AS bc
+  FROM g JOIN ns ON ns.source = g.source CROSS JOIN ntot nt
+)
+SELECT source, n_docs, bc_nano_sum,
+       round(bc, 6) AS bhattacharyya_coef,
+       round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger,
+       round(CASE WHEN bc > 0 THEN -ln(bc) END, 6) AS bhattacharyya_dist
+FROM j
+ORDER BY source
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -16171,6 +16262,7 @@ QUERIES = {
     "ewma_chart_report": ewma_chart_report,
     "dow_seasonality_report": dow_seasonality_report,
     "heaps_law_report": heaps_law_report,
+    "hellinger_report": hellinger_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -16354,6 +16446,7 @@ ORACLES = {
     "ewma_chart_report": ORACLE_EWMA_CHART,
     "dow_seasonality_report": ORACLE_DOW_SEASONALITY,
     "heaps_law_report": ORACLE_HEAPS_LAW,
+    "hellinger_report": ORACLE_HELLINGER,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

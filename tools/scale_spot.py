@@ -301,6 +301,7 @@ def main() -> None:
         ewma_chart_report,
         dow_seasonality_report,
         heaps_law_report,
+        hellinger_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -581,6 +582,10 @@ def main() -> None:
         # vocab/doc-count frames and combine map-side to <=16 rows;
         # the fit is a 16-point computation; ~linear in the scans.
         "heaps_law_report": (heaps_law_report, (1, mult_hi), "documents"),
+        # r5f: X135 — counts combine map-side to the bounded
+        # (source, n_chars) frame; pooled broadcast + nano-term agg ride
+        # that frame whatever n; ~linear in the scan.
+        "hellinger_report": (hellinger_report, (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
