@@ -16090,6 +16090,188 @@ ORDER BY source
 """
 
 
+def cronbach_report(spark, sf):
+    """Cronbach's α internal-consistency reliability across the three
+    quality scorers + alpha-if-item-deleted diagnostics (X136 —
+    Cronbach 1951; the tau-equivalent reliability ρ_T). X130's
+    Friedman asks whether the scorers ORDER documents differently;
+    Cronbach asks the complementary psychometric question — do they
+    COVARY as measurements of one underlying "quality" construct
+    (α ≥ 0.7 = conventionally fusable as a single scale; a higher
+    α when an item is DROPPED flags that scorer as measuring
+    something else). Same three scorers as X130 (en-stopword ratio,
+    distinct-token ratio, raw alpha density), each quantized to an
+    exact 1e4-grid integer (round(1e4·num/den) — doubles of exact
+    integers, identical both engines); ONE codegen scan collapses
+    map-side to eleven BIGINTs (n, three ΣS_j, three ΣQ_j, ΣT, ΣQ_T,
+    three cross sums ΣC_il); the variance/covariance numerators
+    n·Q − S² combine in DECIMAL(38,0)/HUGEINT (n·Q overflows BIGINT
+    past ~500k docs at the 1e4 grid) and α = k/(k−1)·(1 − Σv_j/v_T),
+    α_drop_j = 2·(1 − (v_i+v_l)/(v_i+v_l+2cov_il)) are the only
+    floats, zero-variance denominators NULL-guarded. Unrankable
+    blocks (0 tokens / empty text) dropped as in X130. Reference
+    analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import normalize_for_scoring
+
+    d = _spread(t(spark, sf, "documents"))
+    nt_ = normalize_for_scoring(F.col("text"))
+    toks = F.when(F.length(nt_) > 0, F.split(nt_, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+    pat = r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+    base = d.select(
+        F.size(F.regexp_extract_all(nt_, F.lit(pat), 0))
+        .cast("long")
+        .alias("a1"),
+        F.size(F.array_distinct(toks)).cast("long").alias("a2"),
+        F.size(toks).cast("long").alias("nt"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+        .cast("long")
+        .alias("a3"),
+        F.length("text").cast("long").alias("b3"),
+    ).filter((F.col("nt") > 0) & (F.col("b3") > 0))
+    q = base.select(
+        F.round(F.col("a1").cast("double") / F.col("nt").cast("double") * 1e4)
+        .cast("long")
+        .alias("s1"),
+        F.round(F.col("a2").cast("double") / F.col("nt").cast("double") * 1e4)
+        .cast("long")
+        .alias("s2"),
+        F.round(F.col("a3").cast("double") / F.col("b3").cast("double") * 1e4)
+        .cast("long")
+        .alias("s3"),
+    )
+    g = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("s1").cast("long").alias("sum_stop"),
+        F.sum("s2").cast("long").alias("sum_uniq"),
+        F.sum("s3").cast("long").alias("sum_dens"),
+        F.sum(F.col("s1") * F.col("s1")).cast("long").alias("_q1"),
+        F.sum(F.col("s2") * F.col("s2")).cast("long").alias("_q2"),
+        F.sum(F.col("s3") * F.col("s3")).cast("long").alias("_q3"),
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("_c12"),
+        F.sum(F.col("s1") * F.col("s3")).cast("long").alias("_c13"),
+        F.sum(F.col("s2") * F.col("s3")).cast("long").alias("_c23"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    n = dec(F.col("n_docs"))
+    v1 = n * dec(F.col("_q1")) - dec(F.col("sum_stop")) * dec(F.col("sum_stop"))
+    v2 = n * dec(F.col("_q2")) - dec(F.col("sum_uniq")) * dec(F.col("sum_uniq"))
+    v3 = n * dec(F.col("_q3")) - dec(F.col("sum_dens")) * dec(F.col("sum_dens"))
+    c12 = n * dec(F.col("_c12")) - dec(F.col("sum_stop")) * dec(F.col("sum_uniq"))
+    c13 = n * dec(F.col("_c13")) - dec(F.col("sum_stop")) * dec(F.col("sum_dens"))
+    c23 = n * dec(F.col("_c23")) - dec(F.col("sum_uniq")) * dec(F.col("sum_dens"))
+    vt = v1 + v2 + v3 + 2 * (c12 + c13 + c23)
+    nn2 = (F.col("n_docs") * F.col("n_docs")).cast("double")
+
+    def fv(x):
+        return x.cast("double")
+
+    alpha = F.when(fv(vt) != 0, F.lit(1.5) * (F.lit(1.0) - (fv(v1) + fv(v2) + fv(v3)) / fv(vt)))
+
+    def drop(vi, vl, cil):
+        den2 = fv(vi) + fv(vl) + 2.0 * fv(cil)
+        return F.when(den2 != 0, F.lit(2.0) * (F.lit(1.0) - (fv(vi) + fv(vl)) / den2))
+
+    return g.select(
+        "n_docs",
+        "sum_stop",
+        "sum_uniq",
+        "sum_dens",
+        _r(F.when(n > 0, fv(v1) / nn2)).alias("var_stop"),
+        _r(F.when(n > 0, fv(v2) / nn2)).alias("var_uniq"),
+        _r(F.when(n > 0, fv(v3) / nn2)).alias("var_dens"),
+        _r(F.when(n > 0, fv(vt) / nn2)).alias("var_total"),
+        _r(alpha).alias("alpha"),
+        _r(drop(v2, v3, c23)).alias("alpha_drop_stop"),
+        _r(drop(v1, v3, c13)).alias("alpha_drop_uniq"),
+        _r(drop(v1, v2, c12)).alias("alpha_drop_dens"),
+    )
+
+
+ORACLE_CRONBACH = r"""
+WITH base AS (
+  SELECT len(regexp_extract_all(t, '\b(the|over|quick|dog|fox)\b')) AS a1,
+         len(list_distinct(string_split(t, ' '))) AS a2,
+         len(string_split(t, ' ')) AS nt,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS a3,
+         length(text) AS b3
+  FROM (
+    SELECT text,
+           coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^\p{L} ]+', ' ', 'g'), '\s+', ' ', 'g')), '') AS t
+    FROM documents
+  )
+  WHERE length(coalesce(trim(regexp_replace(regexp_replace(lower(text),
+               '[^\p{L} ]+', ' ', 'g'), '\s+', ' ', 'g')), '')) > 0
+    AND length(text) > 0
+),
+q AS (
+  SELECT CAST(round(CAST(a1 AS DOUBLE) / CAST(nt AS DOUBLE) * 1e4) AS BIGINT) AS s1,
+         CAST(round(CAST(a2 AS DOUBLE) / CAST(nt AS DOUBLE) * 1e4) AS BIGINT) AS s2,
+         CAST(round(CAST(a3 AS DOUBLE) / CAST(b3 AS DOUBLE) * 1e4) AS BIGINT) AS s3
+  FROM base
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(s1) AS BIGINT) AS sum_stop,
+         CAST(sum(s2) AS BIGINT) AS sum_uniq,
+         CAST(sum(s3) AS BIGINT) AS sum_dens,
+         CAST(sum(s1*s1) AS BIGINT) AS _q1,
+         CAST(sum(s2*s2) AS BIGINT) AS _q2,
+         CAST(sum(s3*s3) AS BIGINT) AS _q3,
+         CAST(sum(s1*s2) AS BIGINT) AS _c12,
+         CAST(sum(s1*s3) AS BIGINT) AS _c13,
+         CAST(sum(s2*s3) AS BIGINT) AS _c23
+  FROM q
+),
+v AS (
+  SELECT *,
+         CAST(n_docs AS HUGEINT) * _q1 - CAST(sum_stop AS HUGEINT) * sum_stop AS v1,
+         CAST(n_docs AS HUGEINT) * _q2 - CAST(sum_uniq AS HUGEINT) * sum_uniq AS v2,
+         CAST(n_docs AS HUGEINT) * _q3 - CAST(sum_dens AS HUGEINT) * sum_dens AS v3,
+         CAST(n_docs AS HUGEINT) * _c12 - CAST(sum_stop AS HUGEINT) * sum_uniq AS c12,
+         CAST(n_docs AS HUGEINT) * _c13 - CAST(sum_stop AS HUGEINT) * sum_dens AS c13,
+         CAST(n_docs AS HUGEINT) * _c23 - CAST(sum_uniq AS HUGEINT) * sum_dens AS c23
+  FROM g
+),
+w AS (
+  SELECT *, v1 + v2 + v3 + 2 * (c12 + c13 + c23) AS vt FROM v
+)
+SELECT n_docs, sum_stop, sum_uniq, sum_dens,
+       round(CASE WHEN n_docs > 0 THEN CAST(v1 AS DOUBLE)
+             / CAST(n_docs * n_docs AS DOUBLE) END, 6) AS var_stop,
+       round(CASE WHEN n_docs > 0 THEN CAST(v2 AS DOUBLE)
+             / CAST(n_docs * n_docs AS DOUBLE) END, 6) AS var_uniq,
+       round(CASE WHEN n_docs > 0 THEN CAST(v3 AS DOUBLE)
+             / CAST(n_docs * n_docs AS DOUBLE) END, 6) AS var_dens,
+       round(CASE WHEN n_docs > 0 THEN CAST(vt AS DOUBLE)
+             / CAST(n_docs * n_docs AS DOUBLE) END, 6) AS var_total,
+       round(CASE WHEN CAST(vt AS DOUBLE) <> 0
+             THEN 1.5 * (1.0 - (CAST(v1 AS DOUBLE) + CAST(v2 AS DOUBLE)
+                  + CAST(v3 AS DOUBLE)) / CAST(vt AS DOUBLE)) END, 6) AS alpha,
+       round(CASE WHEN CAST(v2 AS DOUBLE) + CAST(v3 AS DOUBLE)
+                       + 2.0 * CAST(c23 AS DOUBLE) <> 0
+             THEN 2.0 * (1.0 - (CAST(v2 AS DOUBLE) + CAST(v3 AS DOUBLE))
+                  / (CAST(v2 AS DOUBLE) + CAST(v3 AS DOUBLE)
+                     + 2.0 * CAST(c23 AS DOUBLE))) END, 6) AS alpha_drop_stop,
+       round(CASE WHEN CAST(v1 AS DOUBLE) + CAST(v3 AS DOUBLE)
+                       + 2.0 * CAST(c13 AS DOUBLE) <> 0
+             THEN 2.0 * (1.0 - (CAST(v1 AS DOUBLE) + CAST(v3 AS DOUBLE))
+                  / (CAST(v1 AS DOUBLE) + CAST(v3 AS DOUBLE)
+                     + 2.0 * CAST(c13 AS DOUBLE))) END, 6) AS alpha_drop_uniq,
+       round(CASE WHEN CAST(v1 AS DOUBLE) + CAST(v2 AS DOUBLE)
+                       + 2.0 * CAST(c12 AS DOUBLE) <> 0
+             THEN 2.0 * (1.0 - (CAST(v1 AS DOUBLE) + CAST(v2 AS DOUBLE))
+                  / (CAST(v1 AS DOUBLE) + CAST(v2 AS DOUBLE)
+                     + 2.0 * CAST(c12 AS DOUBLE))) END, 6) AS alpha_drop_dens
+FROM w
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -16263,6 +16445,7 @@ QUERIES = {
     "dow_seasonality_report": dow_seasonality_report,
     "heaps_law_report": heaps_law_report,
     "hellinger_report": hellinger_report,
+    "cronbach_report": cronbach_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -16447,6 +16630,7 @@ ORACLES = {
     "dow_seasonality_report": ORACLE_DOW_SEASONALITY,
     "heaps_law_report": ORACLE_HEAPS_LAW,
     "hellinger_report": ORACLE_HELLINGER,
+    "cronbach_report": ORACLE_CRONBACH,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

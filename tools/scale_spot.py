@@ -302,6 +302,7 @@ def main() -> None:
         dow_seasonality_report,
         heaps_law_report,
         hellinger_report,
+        cronbach_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -586,6 +587,9 @@ def main() -> None:
         # (source, n_chars) frame; pooled broadcast + nano-term agg ride
         # that frame whatever n; ~linear in the scan.
         "hellinger_report": (hellinger_report, (1, mult_hi), "documents"),
+        # r5f: X136 — one codegen scan collapses map-side to eleven
+        # BIGINTs; the decimal variance algebra is a 1-row computation.
+        "cronbach_report": (cronbach_report, (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
