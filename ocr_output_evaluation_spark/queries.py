@@ -16272,6 +16272,150 @@ FROM w
 """
 
 
+_HILL_XMIN = 5  # tail threshold: tokens with count >= 5
+
+
+def hill_tail_report(spark, sf):
+    """Hill / power-law tail-index MLE over the token-frequency
+    distribution (X137 — Hill 1975; the continuous MLE popularized for
+    corpora by Clauset, Shalizi & Newman 2009 §3.1: α̂ = 1 + n/Σln(x/x_min),
+    with the standard error (α̂−1)/√n): the MAXIMUM-LIKELIHOOD exponent
+    complementing X80's Zipf log-log REGRESSION slope — CSN09's central
+    warning is that the regression estimator is biased on heavy tails,
+    so disagreement between the two is itself a fit audit. One explode
+    to the vocab-scale token-count frame (the only data-bound leg),
+    collapsed further to the freq-of-freq frame (m_c tokens at count c
+    — X82 Good-Turing's shape); each tail term m_c·ln(c/x_min) is
+    nano-quantized off exact BIGINTs (X90 discipline) so the sum is
+    order-independent; α̂, its SE and the tail share are the only
+    floats; an empty tail (no token reaches x_min=5) NULL-guards
+    everything. Emits the tail freq-of-freq rows with the fit as
+    constant columns (X118's shape). Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    tc = (
+        d.select(F.explode(word_tokens(F.col("text"))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    fof = tc.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("m_c"))
+    tot = fof.agg(
+        F.sum("m_c").cast("long").alias("n_types"),
+        F.sum(F.col("m_c") * F.col("_c")).cast("long").alias("n_tokens"),
+    )
+    tail = fof.filter(F.col("_c") >= _HILL_XMIN).select(
+        F.col("_c").alias("count_value"),
+        "m_c",
+        (
+            F.col("m_c")
+            * F.round(
+                F.log(F.col("_c").cast("double") / F.lit(float(_HILL_XMIN)))
+                * F.lit(1e9)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("term_nano"),
+    )
+    agg = tail.agg(
+        F.sum("m_c").cast("long").alias("n_tail"),
+        F.sum("term_nano").cast("long").alias("sum_log_nano"),
+    )
+    a = F.when(
+        F.col("sum_log_nano") > 0,
+        F.lit(1.0)
+        + F.col("n_tail").cast("double") * F.lit(1e9)
+        / F.col("sum_log_nano").cast("double"),
+    )
+    fit = agg.crossJoin(F.broadcast(tot)).select(
+        "n_tail",
+        "sum_log_nano",
+        "n_types",
+        "n_tokens",
+        _r(a).alias("alpha_hill"),
+        _r(
+            F.when(
+                (F.col("sum_log_nano") > 0) & (F.col("n_tail") > 0),
+                (a - F.lit(1.0)) / F.sqrt(F.col("n_tail").cast("double")),
+            )
+        ).alias("alpha_se"),
+        _r(
+            F.when(
+                F.col("n_types") > 0,
+                F.col("n_tail").cast("double") / F.col("n_types").cast("double"),
+            )
+        ).alias("tail_share"),
+    )
+    return (
+        tail.crossJoin(F.broadcast(fit))
+        .select(
+            "count_value",
+            "m_c",
+            "term_nano",
+            "n_tail",
+            "n_types",
+            "n_tokens",
+            "alpha_hill",
+            "alpha_se",
+            "tail_share",
+        )
+        .orderBy("count_value")
+    )
+
+
+ORACLE_HILL_TAIL = rf"""
+WITH norm AS (
+  SELECT coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\p{{L}} ]+', ' ', 'g'), '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tc AS (
+  SELECT tok AS _t, CAST(count(*) AS BIGINT) AS _c
+  FROM (SELECT UNNEST(string_split(t, ' ')) AS tok
+        FROM norm WHERE length(t) > 0)
+  GROUP BY 1
+),
+fof AS (
+  SELECT _c, CAST(count(*) AS BIGINT) AS m_c FROM tc GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(m_c) AS BIGINT) AS n_types,
+         CAST(sum(m_c * _c) AS BIGINT) AS n_tokens
+  FROM fof
+),
+tail AS (
+  SELECT _c AS count_value, m_c,
+         CAST(m_c * CAST(round(ln(CAST(_c AS DOUBLE)
+              / {float(_HILL_XMIN)}) * 1e9) AS BIGINT) AS BIGINT) AS term_nano
+  FROM fof WHERE _c >= {_HILL_XMIN}
+),
+agg AS (
+  SELECT CAST(coalesce(sum(m_c), 0) AS BIGINT) AS n_tail,
+         CAST(coalesce(sum(term_nano), 0) AS BIGINT) AS sum_log_nano
+  FROM tail
+),
+fit AS (
+  SELECT a.n_tail, a.sum_log_nano, t.n_types, t.n_tokens,
+         CASE WHEN a.sum_log_nano > 0
+              THEN 1.0 + CAST(a.n_tail AS DOUBLE) * 1e9
+                   / CAST(a.sum_log_nano AS DOUBLE) END AS alpha_raw
+  FROM agg a CROSS JOIN tot t
+)
+SELECT tl.count_value, tl.m_c, tl.term_nano,
+       f.n_tail, f.n_types, f.n_tokens,
+       round(f.alpha_raw, 6) AS alpha_hill,
+       round(CASE WHEN f.sum_log_nano > 0 AND f.n_tail > 0
+             THEN (f.alpha_raw - 1.0) / sqrt(CAST(f.n_tail AS DOUBLE))
+             END, 6) AS alpha_se,
+       round(CASE WHEN f.n_types > 0
+             THEN CAST(f.n_tail AS DOUBLE) / CAST(f.n_types AS DOUBLE)
+             END, 6) AS tail_share
+FROM tail tl CROSS JOIN fit f
+ORDER BY tl.count_value
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -16446,6 +16590,7 @@ QUERIES = {
     "heaps_law_report": heaps_law_report,
     "hellinger_report": hellinger_report,
     "cronbach_report": cronbach_report,
+    "hill_tail_report": hill_tail_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -16631,6 +16776,7 @@ ORACLES = {
     "heaps_law_report": ORACLE_HEAPS_LAW,
     "hellinger_report": ORACLE_HELLINGER,
     "cronbach_report": ORACLE_CRONBACH,
+    "hill_tail_report": ORACLE_HILL_TAIL,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

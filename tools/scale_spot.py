@@ -303,6 +303,7 @@ def main() -> None:
         heaps_law_report,
         hellinger_report,
         cronbach_report,
+        hill_tail_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -590,6 +591,9 @@ def main() -> None:
         # r5f: X136 — one codegen scan collapses map-side to eleven
         # BIGINTs; the decimal variance algebra is a 1-row computation.
         "cronbach_report": (cronbach_report, (1, mult_hi), "documents"),
+        # r5f: X137 — one explode to the vocab-scale count frame, then
+        # freq-of-freq collapse; the tail fit is frame-tiny; ~linear.
+        "hill_tail_report": (hill_tail_report, (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
