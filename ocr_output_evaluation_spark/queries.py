@@ -16416,6 +16416,200 @@ ORDER BY tl.count_value
 """
 
 
+def mood_median_report(spark, sf):
+    """Mood's median test across sources (X138 — Mood 1950 §16.4; the
+    2×k chi-square on above/below-the-grand-median counts, exactly
+    scipy.stats.median_test with its default ties='below'): do the
+    sources share a MEDIAN length? The maximally-robust member of the
+    k-sample location family — X111's ANOVA assumes normal+equal-var,
+    X104's Kruskal-Wallis uses full ranks (more power, more
+    assumptions), Mood's test survives any monotone distortion and
+    arbitrary outliers because it keeps ONE bit per document. Grand
+    median via X120's integer two-middle ×2 idiom on the pooled
+    bounded-domain count frame (one unpartitioned window over distinct
+    values only); ties at the median count as 'below' (scipy default,
+    documented); per-source O_above/O_below are exact BIGINTs off the
+    same (source, value) frame; each source's χ² contribution
+    (O·N − n_s·M)²/(N·n_s·M) is a double of exact integers
+    nano-quantized (X90 discipline) so the k-term sum is
+    order-independent; one-sided degenerate marginals (all mass above
+    or below) NULL-guard χ². Emits per-source rows with χ²/df as
+    constant columns (X118's shape). Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select("source", "n_chars")
+    cell = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    pooled = cell.groupBy("n_chars").agg(F.sum("_c").cast("long").alias("_cp"))
+    wc = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = pooled.select(
+        "n_chars",
+        "_cp",
+        F.sum("_cp").over(wc).cast("long").alias("_cum"),
+        F.sum("_cp").over(W.partitionBy()).cast("long").alias("_n"),
+    )
+    rlo = F.expr("(_n + 1) DIV 2")
+    rhi = F.expr("(_n + 2) DIV 2")
+    med = cum.select(
+        F.when(
+            (F.col("_cum") - F.col("_cp") < rlo) & (rlo <= F.col("_cum")),
+            F.col("n_chars"),
+        ).alias("_lo"),
+        F.when(
+            (F.col("_cum") - F.col("_cp") < rhi) & (rhi <= F.col("_cum")),
+            F.col("n_chars"),
+        ).alias("_hi"),
+    ).agg((F.max("_lo") + F.max("_hi")).cast("long").alias("med2"))
+    src = (
+        cell.crossJoin(F.broadcast(med))
+        .groupBy("source", "med2")
+        .agg(
+            F.sum(F.when(F.lit(2) * F.col("n_chars") > F.col("med2"), F.col("_c")))
+            .cast("long")
+            .alias("_oa"),
+            F.sum(
+                F.when(F.lit(2) * F.col("n_chars") <= F.col("med2"), F.col("_c"))
+            )
+            .cast("long")
+            .alias("_ob"),
+        )
+        .select(
+            "source",
+            "med2",
+            F.coalesce("_oa", F.lit(0)).cast("long").alias("n_above"),
+            F.coalesce("_ob", F.lit(0)).cast("long").alias("n_below"),
+        )
+    )
+    marg = src.agg(
+        F.sum("n_above").cast("long").alias("_ta"),
+        F.sum("n_below").cast("long").alias("_tb"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    )
+    j = src.crossJoin(F.broadcast(marg))
+    ns = (F.col("n_above") + F.col("n_below")).cast("long")
+    nn = (F.col("_ta") + F.col("_tb")).cast("long")
+    da = (F.col("n_above") * nn - ns * F.col("_ta")).cast("double")
+    db = (F.col("n_below") * nn - ns * F.col("_tb")).cast("double")
+    dena = nn.cast("double") * ns.cast("double") * F.col("_ta").cast("double")
+    denb = nn.cast("double") * ns.cast("double") * F.col("_tb").cast("double")
+    ok = (F.col("_ta") > 0) & (F.col("_tb") > 0)
+    term = F.when(ok, F.round((da * da / dena + db * db / denb) * F.lit(1e9)))
+    rows = j.select(
+        "source",
+        "med2",
+        "n_above",
+        "n_below",
+        _r(
+            F.when(
+                nn > 0,
+                ns.cast("double") * F.col("_ta").cast("double") / nn.cast("double"),
+            )
+        ).alias("expected_above"),
+        term.cast("long").alias("term_nano"),
+        F.col("_k").alias("n_sources"),
+        nn.alias("n_total"),
+    )
+    chi = rows.agg(
+        F.sum("term_nano").cast("long").alias("_chi_nano"),
+        F.max("n_sources").alias("_k2"),
+    ).select(
+        _r(F.col("_chi_nano").cast("double") / F.lit(1e9)).alias("chi2"),
+        (F.col("_k2") - 1).cast("long").alias("df"),
+    )
+    return (
+        rows.crossJoin(F.broadcast(chi))
+        .select(
+            "source",
+            "med2",
+            "n_above",
+            "n_below",
+            "expected_above",
+            "term_nano",
+            "n_sources",
+            "n_total",
+            "chi2",
+            "df",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MOOD_MEDIAN = """
+WITH cell AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
+  FROM documents GROUP BY 1, 2
+),
+pooled AS (
+  SELECT n_chars, CAST(sum(_c) AS BIGINT) AS _cp FROM cell GROUP BY 1
+),
+cum AS (
+  SELECT n_chars, _cp,
+         CAST(sum(_cp) OVER (ORDER BY n_chars
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum,
+         CAST(sum(_cp) OVER () AS BIGINT) AS _n
+  FROM pooled
+),
+med AS (
+  SELECT CAST(max(CASE WHEN _cum - _cp < (_n + 1) // 2
+                        AND (_n + 1) // 2 <= _cum THEN n_chars END)
+              + max(CASE WHEN _cum - _cp < (_n + 2) // 2
+                          AND (_n + 2) // 2 <= _cum THEN n_chars END)
+              AS BIGINT) AS med2
+  FROM cum
+),
+src AS (
+  SELECT c.source, m.med2,
+         CAST(coalesce(sum(CASE WHEN 2 * c.n_chars > m.med2
+                                THEN c._c END), 0) AS BIGINT) AS n_above,
+         CAST(coalesce(sum(CASE WHEN 2 * c.n_chars <= m.med2
+                                THEN c._c END), 0) AS BIGINT) AS n_below
+  FROM cell c CROSS JOIN med m
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT CAST(sum(n_above) AS BIGINT) AS _ta,
+         CAST(sum(n_below) AS BIGINT) AS _tb,
+         CAST(count(*) AS BIGINT) AS _k
+  FROM src
+),
+rows_ AS (
+  SELECT s.source, s.med2, s.n_above, s.n_below,
+         round(CASE WHEN m._ta + m._tb > 0
+               THEN CAST(s.n_above + s.n_below AS DOUBLE)
+                    * CAST(m._ta AS DOUBLE)
+                    / CAST(m._ta + m._tb AS DOUBLE) END, 6) AS expected_above,
+         CASE WHEN m._ta > 0 AND m._tb > 0 THEN
+           CAST(round((CAST(s.n_above * (m._ta + m._tb)
+                       - (s.n_above + s.n_below) * m._ta AS DOUBLE)
+                       * CAST(s.n_above * (m._ta + m._tb)
+                       - (s.n_above + s.n_below) * m._ta AS DOUBLE)
+                       / (CAST(m._ta + m._tb AS DOUBLE)
+                          * CAST(s.n_above + s.n_below AS DOUBLE)
+                          * CAST(m._ta AS DOUBLE))
+                     + CAST(s.n_below * (m._ta + m._tb)
+                       - (s.n_above + s.n_below) * m._tb AS DOUBLE)
+                       * CAST(s.n_below * (m._ta + m._tb)
+                       - (s.n_above + s.n_below) * m._tb AS DOUBLE)
+                       / (CAST(m._ta + m._tb AS DOUBLE)
+                          * CAST(s.n_above + s.n_below AS DOUBLE)
+                          * CAST(m._tb AS DOUBLE))) * 1e9) AS BIGINT)
+         END AS term_nano,
+         m._k AS n_sources,
+         CAST(m._ta + m._tb AS BIGINT) AS n_total
+  FROM src s CROSS JOIN marg m
+),
+chi AS (
+  SELECT round(CAST(sum(term_nano) AS DOUBLE) / 1e9, 6) AS chi2,
+         CAST(max(n_sources) - 1 AS BIGINT) AS df
+  FROM rows_
+)
+SELECT r.source, r.med2, r.n_above, r.n_below, r.expected_above,
+       r.term_nano, r.n_sources, r.n_total, c.chi2, c.df
+FROM rows_ r CROSS JOIN chi c
+ORDER BY r.source
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -16591,6 +16785,7 @@ QUERIES = {
     "hellinger_report": hellinger_report,
     "cronbach_report": cronbach_report,
     "hill_tail_report": hill_tail_report,
+    "mood_median_report": mood_median_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -16777,6 +16972,7 @@ ORACLES = {
     "hellinger_report": ORACLE_HELLINGER,
     "cronbach_report": ORACLE_CRONBACH,
     "hill_tail_report": ORACLE_HILL_TAIL,
+    "mood_median_report": ORACLE_MOOD_MEDIAN,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -304,6 +304,7 @@ def main() -> None:
         hellinger_report,
         cronbach_report,
         hill_tail_report,
+        mood_median_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -594,6 +595,11 @@ def main() -> None:
         # r5f: X137 — one explode to the vocab-scale count frame, then
         # freq-of-freq collapse; the tail fit is frame-tiny; ~linear.
         "hill_tail_report": (hill_tail_report, (1, mult_hi), "documents"),
+        # r5f: X138 — counts combine map-side to the bounded
+        # (source, n_chars) frame; median window, dichotomized counts
+        # and the 2xk chi-square ride domain/source-sized frames; ~linear.
+        "mood_median_report": (mood_median_report, (1, mult_hi),
+                               "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
