@@ -16610,6 +16610,252 @@ ORDER BY r.source
 """
 
 
+# X139: R/S window sizes and their hardcoded nano ln literals (X117
+# discipline — neither engine evaluates ln on the x side of the fit).
+_HURST_SIZES = (8, 16, 32)
+_HURST_LN = {n: int(round(1e9 * __import__("math").log(n))) for n in _HURST_SIZES}
+
+
+def hurst_rs_report(spark, sf):
+    """Hurst rescaled-range exponent over per-type daily volume (X139 —
+    Hurst 1951 via the Mandelbrot & Wallis 1969 block R/S estimator):
+    is crawl volume PERSISTENT (H>0.5 — trends feed on themselves, the
+    long-memory signature X116's short-lag ACF cannot separate from a
+    regime shift), anti-persistent (H<0.5) or a memoryless walk
+    (H≈0.5)? X115's dense zero-filled day grid ×3 dyadic window sizes
+    {8,16,32} anchored at the span start (incomplete tail blocks
+    dropped); within each block the cumulative deviation rides the
+    X115 scaled-integer trick D_i = n·prefix_i − i·S_b (exact BIGINT,
+    D_n = 0 by construction), R_scaled = max D − min D stays exact,
+    and R/S = R_scaled/√(n·Q_b − S_b²) is one sqrt of exact integers
+    per block, nano-quantized (X90) so the per-size block average is
+    order-independent; zero-variance blocks dropped. H = OLS slope of
+    ln(mean R/S) on ln n over the ≤3 size points — x-side lns are
+    hardcoded nano literals, y-side nano-quantized, moments in
+    DECIMAL(38,0)/HUGEINT; single-point types NULL-guarded. Emits the
+    (type, size) curve with per-type H constants. Reference analog:
+    none — rebuild-only (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("_d"), F.col("_lo")
+    )
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type",
+            "_d",
+            (F.col("_d") - F.col("_lo")).cast("long").alias("_i"),
+            F.coalesce("_c", F.lit(0)).cast("long").alias("_c"),
+        )
+    )
+    sized = grid.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(n).cast("long") for n in _HURST_SIZES])
+        ).alias("size"),
+    ).withColumn("blk", F.expr("_i DIV size"))
+    wb = W.partitionBy("event_type", "size", "blk")
+    wo = wb.orderBy("_d")
+    rows = sized.select(
+        "event_type",
+        "size",
+        "blk",
+        F.row_number().over(wo).cast("long").alias("_pos"),
+        F.sum("_c").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("_pref"),
+        F.sum("_c").over(wb).cast("long").alias("_sb"),
+        F.sum(F.col("_c") * F.col("_c")).over(wb).cast("long").alias("_qb"),
+        F.count(F.lit(1)).over(wb).cast("long").alias("_cnt"),
+    ).filter(F.col("_cnt") == F.col("size"))
+    dd = (F.col("size") * F.col("_pref") - F.col("_pos") * F.col("_sb")).cast(
+        "long"
+    )
+    blocks = (
+        rows.select("event_type", "size", "blk", "_sb", "_qb", dd.alias("_dd"))
+        .groupBy("event_type", "size", "blk")
+        .agg(
+            (F.max("_dd") - F.min("_dd")).cast("long").alias("_r"),
+            (F.max("size") * F.max("_qb") - F.max("_sb") * F.max("_sb"))
+            .cast("long")
+            .alias("_vn"),
+        )
+        .filter(F.col("_vn") > 0)
+        .select(
+            "event_type",
+            "size",
+            F.round(
+                F.col("_r").cast("double")
+                / F.sqrt(F.col("_vn").cast("double"))
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("_rs_nano"),
+        )
+    )
+    per_size = blocks.groupBy("event_type", "size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("_rs_nano").cast("long").alias("sum_rs_nano"),
+    )
+    mean_rs = F.col("sum_rs_nano").cast("double") / (
+        F.lit(1e9) * F.col("n_blocks").cast("double")
+    )
+    xmap = F.when(F.col("size") == _HURST_SIZES[0], F.lit(_HURST_LN[8]))
+    xmap = xmap.when(F.col("size") == _HURST_SIZES[1], F.lit(_HURST_LN[16]))
+    xmap = xmap.when(F.col("size") == _HURST_SIZES[2], F.lit(_HURST_LN[32]))
+    pts = per_size.select(
+        "event_type",
+        "size",
+        "n_blocks",
+        "sum_rs_nano",
+        _r(mean_rs).alias("mean_rs"),
+        xmap.cast("long").alias("x_nano"),
+        F.round(F.log(mean_rs) * F.lit(1e9)).cast("long").alias("y_nano"),
+    )
+    dx = F.col("x_nano").cast("decimal(18,0)")
+    dy = F.col("y_nano").cast("decimal(18,0)")
+    mom = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(dx).cast("decimal(38,0)").alias("_sx"),
+        F.sum(dy).cast("decimal(38,0)").alias("_sy"),
+        F.sum(dx * dx).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(dx * dy).cast("decimal(38,0)").alias("_sxy"),
+    )
+    m = F.col("n_points").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den = m * sxx - sx * sx
+    fit = mom.select(
+        "event_type",
+        "n_points",
+        _r(F.when(den != 0, (m * sxy - sx * sy) / den)).alias("hurst_h"),
+    )
+    return (
+        pts.join(F.broadcast(fit), "event_type")
+        .select(
+            "event_type",
+            "size",
+            "n_blocks",
+            "sum_rs_nano",
+            "mean_rs",
+            "x_nano",
+            "y_nano",
+            "n_points",
+            "hurst_h",
+        )
+        .orderBy("event_type", "size")
+    )
+
+
+def _hurst_oracle() -> str:
+    xcase = " ".join(
+        f"WHEN {n} THEN {_HURST_LN[n]}" for n in _HURST_SIZES
+    )
+    sizes = ", ".join(str(n) for n in _HURST_SIZES)
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT min(_d) AS _lo, max(_d) AS _hi FROM e),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d, _lo FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM cnt),
+grid AS (
+  SELECT ty.event_type, dy._d, CAST(dy._d - dy._lo AS BIGINT) AS _i,
+         CAST(coalesce(c._c, 0) AS BIGINT) AS _c
+  FROM types ty CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+sized AS (
+  SELECT g.*, CAST(s.size AS BIGINT) AS size, g._i // s.size AS blk
+  FROM grid g CROSS JOIN (SELECT unnest([{sizes}]) AS size) s
+),
+rows_ AS (
+  SELECT event_type, size, blk,
+         CAST(row_number() OVER w AS BIGINT) AS _pos,
+         CAST(sum(_c) OVER (PARTITION BY event_type, size, blk ORDER BY _d
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _pref,
+         CAST(sum(_c) OVER wb AS BIGINT) AS _sb,
+         CAST(sum(_c * _c) OVER wb AS BIGINT) AS _qb,
+         CAST(count(*) OVER wb AS BIGINT) AS _cnt
+  FROM sized
+  WINDOW w AS (PARTITION BY event_type, size, blk ORDER BY _d),
+         wb AS (PARTITION BY event_type, size, blk)
+),
+blocks AS (
+  SELECT event_type, size, blk,
+         CAST(max(size * _pref - _pos * _sb)
+              - min(size * _pref - _pos * _sb) AS BIGINT) AS _r,
+         CAST(max(size) * max(_qb) - max(_sb) * max(_sb) AS BIGINT) AS _vn
+  FROM rows_ WHERE _cnt = size
+  GROUP BY 1, 2, 3
+),
+rsn AS (
+  SELECT event_type, size,
+         CAST(round(CAST(_r AS DOUBLE) / sqrt(CAST(_vn AS DOUBLE)) * 1e9)
+              AS BIGINT) AS _rs_nano
+  FROM blocks WHERE _vn > 0
+),
+per_size AS (
+  SELECT event_type, size, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(_rs_nano) AS BIGINT) AS sum_rs_nano
+  FROM rsn GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, size, n_blocks, sum_rs_nano,
+         round(CAST(sum_rs_nano AS DOUBLE)
+               / (1e9 * CAST(n_blocks AS DOUBLE)), 6) AS mean_rs,
+         CAST(CASE size {xcase} END AS BIGINT) AS x_nano,
+         CAST(round(ln(CAST(sum_rs_nano AS DOUBLE)
+              / (1e9 * CAST(n_blocks AS DOUBLE))) * 1e9) AS BIGINT) AS y_nano
+  FROM per_size
+),
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+         sum(CAST(x_nano AS HUGEINT)) AS _sx,
+         sum(CAST(y_nano AS HUGEINT)) AS _sy,
+         sum(CAST(x_nano AS HUGEINT) * CAST(x_nano AS HUGEINT)) AS _sxx,
+         sum(CAST(x_nano AS HUGEINT) * CAST(y_nano AS HUGEINT)) AS _sxy
+  FROM pts GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n_points,
+         round(CASE WHEN CAST(n_points AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                         - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) <> 0
+               THEN (CAST(n_points AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                     - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+                    / (CAST(n_points AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                       - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+               END, 6) AS hurst_h
+  FROM mom
+)
+SELECT p.event_type, p.size, p.n_blocks, p.sum_rs_nano, p.mean_rs,
+       p.x_nano, p.y_nano, f.n_points, f.hurst_h
+FROM pts p JOIN fit f ON f.event_type = p.event_type
+ORDER BY p.event_type, p.size
+"""
+
+
+ORACLE_HURST_RS = _hurst_oracle()
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -16786,6 +17032,7 @@ QUERIES = {
     "cronbach_report": cronbach_report,
     "hill_tail_report": hill_tail_report,
     "mood_median_report": mood_median_report,
+    "hurst_rs_report": hurst_rs_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -16973,6 +17220,7 @@ ORACLES = {
     "cronbach_report": ORACLE_CRONBACH,
     "hill_tail_report": ORACLE_HILL_TAIL,
     "mood_median_report": ORACLE_MOOD_MEDIAN,
+    "hurst_rs_report": ORACLE_HURST_RS,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

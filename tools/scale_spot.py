@@ -305,6 +305,7 @@ def main() -> None:
         cronbach_report,
         hill_tail_report,
         mood_median_report,
+        hurst_rs_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -600,6 +601,10 @@ def main() -> None:
         # and the 2xk chi-square ride domain/source-sized frames; ~linear.
         "mood_median_report": (mood_median_report, (1, mult_hi),
                                "documents"),
+        # r5f: X139 — events collapse map-side to the (type, day) frame;
+        # the x3-size block windows, R/S aggregates and the 3-point fit
+        # all ride the |types|x|days|x3-bounded grid whatever n; ~linear.
+        "hurst_rs_report": (hurst_rs_report, (1, mult_hi), "events"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
