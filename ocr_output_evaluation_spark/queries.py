@@ -16856,6 +16856,144 @@ ORDER BY p.event_type, p.size
 ORACLE_HURST_RS = _hurst_oracle()
 
 
+def ad_test_report(spark, sf, lang_a="en", lang_b="es"):
+    """Two-sample Anderson-Darling statistic (X140 — Anderson & Darling
+    1952 via Pettitt 1976's two-sample form: A² = (N/nm)·Σ_j
+    (F_a−F_b)²/(H(1−H)) over the combined order statistics, H the
+    pooled ECDF). Completes the ECDF drift trio on the en-vs-es length
+    question: X92's KS sees the single worst gap, X129's CvM
+    integrates all gaps EQUALLY, AD's 1/(H(1−H)) weight blows up at
+    the DISTRIBUTION TAILS — the member that catches tail drift
+    (truncation, contamination by extreme lengths) the other two
+    underweight. Same bounded-domain machinery: per-value counts,
+    full-outer merge, one cumulative window; the per-value A²
+    contribution reduces algebraically to w·diff²/(n·m·cum·(N−cum))
+    (diff = cum_a·n_b − cum_b·n_a, all BIGINT-exact) — an O(1)
+    summand computed as a double of exact integers and nano-quantized
+    (X90 discipline) so the sum is order-independent; the
+    pooled-maximum block (cum = N, H = 1) is excluded exactly as the
+    formula requires; A² = nano_sum/1e9, one-sided inputs
+    NULL-guarded. No decision column: the two-sample AD null
+    distribution is sample-size-dependent (Scholz & Stephens 1987) —
+    A² is emitted as a comparable effect size, the X92/X129 reject
+    flags carry the α=0.05 decisions. Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select("lang", "n_chars")
+    a = (
+        d.filter(F.col("lang") == lang_a)
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ca"))
+    )
+    b = (
+        d.filter(F.col("lang") == lang_b)
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cb"))
+    )
+    v = a.join(b, "n_chars", "full_outer").select(
+        "n_chars",
+        F.coalesce("_ca", F.lit(0)).cast("long").alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).cast("long").alias("_cb"),
+    )
+    w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = v.select(
+        "n_chars",
+        (F.col("_ca") + F.col("_cb")).cast("long").alias("_w"),
+        F.sum("_ca").over(w).cast("long").alias("_cuma"),
+        F.sum("_cb").over(w).cast("long").alias("_cumb"),
+    )
+    tot = cum.agg(
+        F.max("_cuma").cast("long").alias("n_a"),
+        F.max("_cumb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    nn = (F.col("n_a") + F.col("n_b")).cast("long")
+    cc = (F.col("_cuma") + F.col("_cumb")).cast("long")
+    diff = (F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col("n_a")).cast(
+        "long"
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    # per-value A² contribution, algebraically reduced:
+    # w·diff²/(n·m·cum·(N−cum)) — O(1) summands, nano-exact
+    term = F.when(
+        ok,
+        F.col("_w").cast("double")
+        * diff.cast("double")
+        * diff.cast("double")
+        / (
+            F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            * cc.cast("double")
+            * (nn - cc).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    g = j.filter(cc < nn).groupBy("n_a", "n_b", "n_vals").agg(
+        F.sum(F.round(term * F.lit(1e9)).cast("long"))
+        .cast("long")
+        .alias("sum_nano"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "n_vals",
+        "n_terms",
+        "sum_nano",
+        _r(
+            F.when(ok, F.col("sum_nano").cast("double") / F.lit(1e9))
+        ).alias("a2_stat"),
+    )
+
+
+ORACLE_AD_TEST = """
+WITH a AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS ca
+  FROM documents WHERE lang = 'en' GROUP BY 1
+),
+b AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS cb
+  FROM documents WHERE lang = 'es' GROUP BY 1
+),
+v AS (
+  SELECT coalesce(a.n_chars, b.n_chars) AS val,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.n_chars = b.n_chars
+),
+cum AS (
+  SELECT val, CAST(ca + cb AS BIGINT) AS w,
+         CAST(sum(ca) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+  FROM v
+),
+tot AS (
+  SELECT CAST(max(cuma) AS BIGINT) AS n_a, CAST(max(cumb) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_vals
+  FROM cum
+),
+g AS (
+  SELECT n_a, n_b, n_vals,
+         CAST(sum(CAST(round(CASE WHEN n_a > 0 AND n_b > 0
+              THEN CAST(w AS DOUBLE)
+                   * CAST(cuma * n_b - cumb * n_a AS DOUBLE)
+                   * CAST(cuma * n_b - cumb * n_a AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      * CAST(cuma + cumb AS DOUBLE)
+                      * CAST(n_a + n_b - cuma - cumb AS DOUBLE))
+              ELSE 0.0 END * 1e9) AS BIGINT)) AS BIGINT) AS sum_nano,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM cum CROSS JOIN tot
+  WHERE cuma + cumb < n_a + n_b
+  GROUP BY 1, 2, 3
+)
+SELECT n_a, n_b, n_vals, n_terms, sum_nano,
+       round(CASE WHEN n_a > 0 AND n_b > 0
+             THEN CAST(sum_nano AS DOUBLE) / 1e9 END, 6) AS a2_stat
+FROM g
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -17033,6 +17171,7 @@ QUERIES = {
     "hill_tail_report": hill_tail_report,
     "mood_median_report": mood_median_report,
     "hurst_rs_report": hurst_rs_report,
+    "ad_test_report": ad_test_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -17221,6 +17360,7 @@ ORACLES = {
     "hill_tail_report": ORACLE_HILL_TAIL,
     "mood_median_report": ORACLE_MOOD_MEDIAN,
     "hurst_rs_report": ORACLE_HURST_RS,
+    "ad_test_report": ORACLE_AD_TEST,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -306,6 +306,7 @@ def main() -> None:
         hill_tail_report,
         mood_median_report,
         hurst_rs_report,
+        ad_test_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -605,6 +606,11 @@ def main() -> None:
         # the x3-size block windows, R/S aggregates and the 3-point fit
         # all ride the |types|x|days|x3-bounded grid whatever n; ~linear.
         "hurst_rs_report": (hurst_rs_report, (1, mult_hi), "events"),
+        # r5f: X140 — X92/X129's bounded-domain shape; the nano term agg
+        # rides the distinct-value frame whatever n; ~linear in scans.
+        "ad_test_report": (
+            lambda s, d: ad_test_report(s, d, lang_b="de"),
+            (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
