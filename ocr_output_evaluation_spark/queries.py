@@ -16994,6 +16994,176 @@ FROM g
 """
 
 
+_DELTA_WORDS = 30  # most-frequent-word panel size
+
+
+def burrows_delta_report(spark, sf):
+    """Burrows' Delta stylometric distance between source pairs (X141 —
+    Burrows 2002, the standard authorship-attribution distance;
+    Δ(s,t) = mean_w |z_s(w) − z_t(w)| over the M most frequent corpus
+    words, z = per-word cross-source standardization): which feeds
+    share a WRITING STYLE? Function-word profiles survive topic
+    change, so Delta clusters template/boilerplate families that
+    X125's vocabulary Jaccard (topic-driven) and X85's length JS
+    (shape-driven) both miss — the standard pre-mixing provenance
+    audit. One explode to the vocab-scale count frame (the only
+    data-bound leg); the M=30 panel under the explicit (count DESC,
+    token ASC) total order; per-source relative frequencies on the
+    DENSE source×panel grid (zeros included — a missing function word
+    IS a style signal) micro-quantized (×1e6) off exact BIGINTs;
+    per-word cross-source moments stay BIGINT (Σf² bounded by K·10¹²);
+    |z_s−z_t| = |f_s−f_t|·K/√(K·Σf²−(Σf)²) is one sqrt of exact
+    integers per (pair, word), nano-quantized for an order-independent
+    pair sum; all-sources-equal words (V=0) dropped, documented. Emits
+    ordered pairs with Δ, the shared panel size and each pair's top
+    contributing word. Reference analog: none — rebuild-only (SURVEY
+    §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    tc = (
+        d.select("source", F.explode(word_tokens(F.col("text"))).alias("_t"))
+        .groupBy("source", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    totals = tc.groupBy("source").agg(F.sum("_c").cast("long").alias("_tt"))
+    corpus = tc.groupBy("_t").agg(F.sum("_c").cast("long").alias("_cc"))
+    panel = (
+        corpus.orderBy(F.col("_cc").desc(), F.col("_t"))
+        .limit(_DELTA_WORDS)
+        .select("_t")
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(panel))
+        .join(tc, ["source", "_t"], "left")
+        .select(
+            "source",
+            "_t",
+            "_tt",
+            F.coalesce("_c", F.lit(0)).cast("long").alias("_c"),
+        )
+    )
+    freq = grid.select(
+        "source",
+        "_t",
+        F.round(F.col("_c").cast("double") / F.col("_tt").cast("double") * 1e6)
+        .cast("long")
+        .alias("_f"),
+    )
+    wstat = freq.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum("_f").cast("long").alias("_sf"),
+        F.sum(F.col("_f") * F.col("_f")).cast("long").alias("_qf"),
+    ).withColumn(
+        "_v", (F.col("_k") * F.col("_qf") - F.col("_sf") * F.col("_sf")).cast("long")
+    ).filter(F.col("_v") > 0)
+    fa = freq.toDF("source_a", "_t", "_fa")
+    fb = freq.toDF("source_b", "_t", "_fb")
+    pairs = (
+        fa.join(fb, "_t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(wstat.select("_t", "_k", "_v")), "_t")
+        .select(
+            "source_a",
+            "source_b",
+            "_t",
+            F.round(
+                F.abs(F.col("_fa") - F.col("_fb")).cast("double")
+                * F.col("_k").cast("double")
+                / F.sqrt(F.col("_v").cast("double"))
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("_z_nano"),
+        )
+    )
+    g = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("_z_nano").cast("long").alias("sum_z_nano"),
+        F.max(F.struct(F.col("_z_nano"), F.col("_t"))).alias("_top"),
+    )
+    return g.select(
+        "source_a",
+        "source_b",
+        "n_words",
+        "sum_z_nano",
+        _r(
+            F.col("sum_z_nano").cast("double")
+            / (F.lit(1e9) * F.col("n_words").cast("double"))
+        ).alias("delta"),
+        F.col("_top._t").alias("top_word"),
+        F.col("_top._z_nano").alias("top_z_nano"),
+    ).orderBy("source_a", "source_b")
+
+
+ORACLE_BURROWS_DELTA = rf"""
+WITH norm AS (
+  SELECT source,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\p{{L}} ]+', ' ', 'g'), '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tc AS (
+  SELECT source, tok AS _t, CAST(count(*) AS BIGINT) AS _c
+  FROM (SELECT source, UNNEST(string_split(t, ' ')) AS tok
+        FROM norm WHERE length(t) > 0)
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, CAST(sum(_c) AS BIGINT) AS _tt FROM tc GROUP BY 1
+),
+panel AS (
+  SELECT _t FROM (
+    SELECT _t, CAST(sum(_c) AS BIGINT) AS _cc FROM tc GROUP BY 1
+  ) ORDER BY _cc DESC, _t LIMIT {_DELTA_WORDS}
+),
+grid AS (
+  SELECT s.source, p._t, s._tt, CAST(coalesce(tc._c, 0) AS BIGINT) AS _c
+  FROM totals s CROSS JOIN panel p
+  LEFT JOIN tc ON tc.source = s.source AND tc._t = p._t
+),
+freq AS (
+  SELECT source, _t,
+         CAST(round(CAST(_c AS DOUBLE) / CAST(_tt AS DOUBLE) * 1e6)
+              AS BIGINT) AS _f
+  FROM grid
+),
+wstat AS (
+  SELECT _t, CAST(count(*) AS BIGINT) AS _k,
+         CAST(sum(_f) AS BIGINT) AS _sf,
+         CAST(sum(_f * _f) AS BIGINT) AS _qf
+  FROM freq GROUP BY 1
+),
+wv AS (
+  SELECT _t, _k, CAST(_k * _qf - _sf * _sf AS BIGINT) AS _v
+  FROM wstat WHERE _k * _qf - _sf * _sf > 0
+),
+pairs AS (
+  SELECT fa.source AS source_a, fb.source AS source_b, fa._t,
+         CAST(round(CAST(abs(fa._f - fb._f) AS DOUBLE)
+              * CAST(w._k AS DOUBLE) / sqrt(CAST(w._v AS DOUBLE)) * 1e9)
+              AS BIGINT) AS _z_nano
+  FROM freq fa
+  JOIN freq fb ON fb._t = fa._t AND fa.source < fb.source
+  JOIN wv w ON w._t = fa._t
+),
+g AS (
+  SELECT source_a, source_b,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(_z_nano) AS BIGINT) AS sum_z_nano,
+         max({{'z': _z_nano, 't': _t}}) AS _top
+  FROM pairs GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_words, sum_z_nano,
+       round(CAST(sum_z_nano AS DOUBLE)
+             / (1e9 * CAST(n_words AS DOUBLE)), 6) AS delta,
+       _top.t AS top_word,
+       CAST(_top.z AS BIGINT) AS top_z_nano
+FROM g
+ORDER BY source_a, source_b
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -17172,6 +17342,7 @@ QUERIES = {
     "mood_median_report": mood_median_report,
     "hurst_rs_report": hurst_rs_report,
     "ad_test_report": ad_test_report,
+    "burrows_delta_report": burrows_delta_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -17361,6 +17532,7 @@ ORACLES = {
     "mood_median_report": ORACLE_MOOD_MEDIAN,
     "hurst_rs_report": ORACLE_HURST_RS,
     "ad_test_report": ORACLE_AD_TEST,
+    "burrows_delta_report": ORACLE_BURROWS_DELTA,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -307,6 +307,7 @@ def main() -> None:
         mood_median_report,
         hurst_rs_report,
         ad_test_report,
+        burrows_delta_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -611,6 +612,11 @@ def main() -> None:
         "ad_test_report": (
             lambda s, d: ad_test_report(s, d, lang_b="de"),
             (1, mult_hi), "documents"),
+        # r5f: X141 — one explode to the vocab-scale count frame; the
+        # 30-word panel, dense K x 30 grid and K^2/2 x 30 pair frame are
+        # all source/panel-bounded whatever n; ~linear in the explode.
+        "burrows_delta_report": (burrows_delta_report, (1, mult_hi),
+                                 "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
