@@ -17164,6 +17164,119 @@ ORDER BY source_a, source_b
 """
 
 
+def stem_fold_report(spark, sf):
+    """Porter-lite stem folding + collision audit (X142 — the Porter
+    1980 step-1 subset in functions/stem.py, chosen to be replayable
+    byte-identically by Java regex AND RE2, i.e. no lookarounds): how
+    much does suffix stripping FOLD the vocabulary, and which stems
+    absorb the most surface forms? The vocabulary-normalization
+    companion to X44-X47's subword tokenizers (stemming folds
+    morphology where BPE splits it) and the input-size estimate for
+    stem-keyed indexes (X72 BM25). One explode + distinct to the
+    vocab-scale token frame (the only data-bound leg); the 6-rule
+    regexp chain is pure codegen string work on that frame; top-10
+    collision stems under the explicit (n_surface DESC, stem ASC)
+    total order with a sort_array-forced 3-surface sample
+    (collect_list order alone is NOT deterministic — the X123 pin);
+    global fold constants (n_types, n_stems, reduction) attached to
+    every row. Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+    from .functions.stem import porter_lite
+
+    d = _spread(t(spark, sf, "documents"))
+    vocab = (
+        d.select(F.explode(word_tokens(F.col("text"))).alias("_t"))
+        .distinct()
+        .select("_t", porter_lite(F.col("_t")).alias("stem"))
+    )
+    per_stem = vocab.groupBy("stem").agg(
+        F.count(F.lit(1)).cast("long").alias("n_surface"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("_t")), 1, 3), "|"
+        ).alias("surfaces"),
+    )
+    tot = per_stem.agg(
+        F.sum("n_surface").cast("long").alias("n_types"),
+        F.count(F.lit(1)).cast("long").alias("n_stems"),
+    )
+    top = (
+        per_stem.orderBy(F.col("n_surface").desc(), F.col("stem"))
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("n_surface").desc(), F.col("stem"))
+            ),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "stem",
+            "n_surface",
+            "surfaces",
+            "n_types",
+            "n_stems",
+            _r(
+                F.when(
+                    F.col("n_types") > 0,
+                    F.lit(1.0)
+                    - F.col("n_stems").cast("double")
+                    / F.col("n_types").cast("double"),
+                )
+            ).alias("reduction"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _stem_fold_oracle() -> str:
+    from .functions.stem import porter_lite_sql
+
+    return rf"""
+WITH norm AS (
+  SELECT coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\p{{L}} ]+', ' ', 'g'), '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+vocab AS (
+  SELECT DISTINCT tok AS _t
+  FROM (SELECT UNNEST(string_split(t, ' ')) AS tok
+        FROM norm WHERE length(t) > 0)
+),
+stemmed AS (
+  SELECT _t, {porter_lite_sql("_t")} AS stem FROM vocab
+),
+per_stem AS (
+  SELECT stem, CAST(count(*) AS BIGINT) AS n_surface,
+         array_to_string(list_sort(list(_t))[1:3], '|') AS surfaces
+  FROM stemmed GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_surface) AS BIGINT) AS n_types,
+         CAST(count(*) AS BIGINT) AS n_stems
+  FROM per_stem
+),
+top AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY n_surface DESC, stem)
+                 AS BIGINT) AS rank
+  FROM per_stem
+  ORDER BY n_surface DESC, stem LIMIT 10
+)
+SELECT CAST(rank AS INT) AS rank, stem, n_surface, surfaces,
+       t.n_types, t.n_stems,
+       round(CASE WHEN t.n_types > 0
+             THEN 1.0 - CAST(t.n_stems AS DOUBLE)
+                  / CAST(t.n_types AS DOUBLE) END, 6) AS reduction
+FROM top CROSS JOIN tot t
+ORDER BY rank
+"""
+
+
+ORACLE_STEM_FOLD = _stem_fold_oracle()
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -17343,6 +17456,7 @@ QUERIES = {
     "hurst_rs_report": hurst_rs_report,
     "ad_test_report": ad_test_report,
     "burrows_delta_report": burrows_delta_report,
+    "stem_fold_report": stem_fold_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -17533,6 +17647,7 @@ ORACLES = {
     "hurst_rs_report": ORACLE_HURST_RS,
     "ad_test_report": ORACLE_AD_TEST,
     "burrows_delta_report": ORACLE_BURROWS_DELTA,
+    "stem_fold_report": ORACLE_STEM_FOLD,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -308,6 +308,7 @@ def main() -> None:
         hurst_rs_report,
         ad_test_report,
         burrows_delta_report,
+        stem_fold_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -617,6 +618,10 @@ def main() -> None:
         # all source/panel-bounded whatever n; ~linear in the explode.
         "burrows_delta_report": (burrows_delta_report, (1, mult_hi),
                                  "documents"),
+        # r5f: X142 — explode+distinct to the vocab frame; the regexp
+        # chain, collision groupBy and top-10 all ride vocab-scale
+        # frames whatever n; ~linear in the explode.
+        "stem_fold_report": (stem_fold_report, (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
