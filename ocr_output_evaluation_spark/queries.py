@@ -17277,6 +17277,196 @@ ORDER BY rank
 ORACLE_STEM_FOLD = _stem_fold_oracle()
 
 
+def binseg_report(spark, sf):
+    """Binary-segmentation changepoint detection, two levels (X143 —
+    Scott & Knott 1974 / Vostrikova 1981: recursively re-run the CUSUM
+    scan inside each segment the previous split created — the standard
+    multi-changepoint extension of X115's single-argmax, locating up
+    to THREE mean shifts per event type where X115 stops at one).
+    X115's dense zero-filled day grid; each pass is the identical
+    exact-BIGINT machine — segment-local scaled centered prefix
+    cus_k = D_seg·prefix_k − k·T_seg, argmax under the explicit
+    (|cus| DESC, day ASC) total order with the always-zero k=D
+    endpoint excluded — run once on the root span and once on the two
+    child segments the root changepoint induces (days ≤ cp → 'L',
+    else 'R'); segments shorter than 2 days emit no row (nothing to
+    locate). The only float is the per-segment mean. One extra
+    grid-scale pass per level, never a rescan of the raw events.
+    Reference analog: none — rebuild-only (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("_d"))
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type", "_d", F.coalesce("_c", F.lit(0)).cast("long").alias("_c")
+        )
+    )
+
+    def _pass(segdf, level):
+        wo = W.partitionBy("event_type", "seg").orderBy("_d")
+        wp = W.partitionBy("event_type", "seg")
+        p = segdf.select(
+            "event_type",
+            "seg",
+            "_d",
+            F.sum("_c")
+            .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long")
+            .alias("_pre"),
+            F.row_number().over(wo).cast("long").alias("_k"),
+            F.count(F.lit(1)).over(wp).cast("long").alias("_nd"),
+            F.sum("_c").over(wp).cast("long").alias("_t"),
+            F.min("_d").over(wp).cast("long").alias("seg_lo"),
+            F.max("_d").over(wp).cast("long").alias("seg_hi"),
+        )
+        cus = p.select(
+            "*",
+            (F.col("_nd") * F.col("_pre") - F.col("_k") * F.col("_t"))
+            .cast("long")
+            .alias("_cus"),
+        ).filter((F.col("_k") < F.col("_nd")) & (F.col("_nd") >= 2))
+        return (
+            cus.select(
+                "*",
+                F.row_number()
+                .over(
+                    W.partitionBy("event_type", "seg").orderBy(
+                        F.abs("_cus").desc(), F.col("_d")
+                    )
+                )
+                .alias("_rnk"),
+            )
+            .filter(F.col("_rnk") == 1)
+            .select(
+                "event_type",
+                F.lit(level).cast("int").alias("level"),
+                "seg",
+                "seg_lo",
+                "seg_hi",
+                F.col("_nd").alias("n_days_seg"),
+                F.col("_t").alias("seg_events"),
+                F.col("_d").alias("cp_day"),
+                F.col("_k").alias("cp_k"),
+                F.col("_cus").alias("g_scaled"),
+                F.abs("_cus").cast("long").alias("max_abs"),
+                _r(F.col("_t").cast("double") / F.col("_nd").cast("double")).alias(
+                    "seg_mean"
+                ),
+            )
+        )
+
+    root = _pass(grid.withColumn("seg", F.lit("root")), 1)
+    split = grid.join(
+        F.broadcast(root.select("event_type", F.col("cp_day").alias("_cp"))),
+        "event_type",
+    ).select(
+        "event_type",
+        "_d",
+        "_c",
+        F.when(F.col("_d") <= F.col("_cp"), F.lit("L"))
+        .otherwise(F.lit("R"))
+        .alias("seg"),
+    )
+    children = _pass(split, 2)
+    return root.unionByName(children).orderBy("event_type", "level", "seg")
+
+
+ORACLE_BINSEG = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT min(_d) AS _lo, max(_d) AS _hi FROM e),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM cnt),
+grid AS (
+  SELECT ty.event_type, dy._d, CAST(coalesce(c._c, 0) AS BIGINT) AS _c
+  FROM types ty CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+p1 AS (
+  SELECT event_type, 'root' AS seg, _d, _c,
+         CAST(sum(_c) OVER (PARTITION BY event_type ORDER BY _d
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _pre,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY _d)
+              AS BIGINT) AS _k,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS _nd,
+         CAST(sum(_c) OVER (PARTITION BY event_type) AS BIGINT) AS _t,
+         CAST(min(_d) OVER (PARTITION BY event_type) AS BIGINT) AS seg_lo,
+         CAST(max(_d) OVER (PARTITION BY event_type) AS BIGINT) AS seg_hi
+  FROM grid
+),
+c1 AS (
+  SELECT *, CAST(_nd * _pre - _k * _t AS BIGINT) AS _cus
+  FROM p1 WHERE _k < _nd AND _nd >= 2
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, seg
+            ORDER BY abs(_cus) DESC, _d) AS _rnk
+  FROM c1
+),
+root AS (
+  SELECT event_type, CAST(1 AS INT) AS level, seg, seg_lo, seg_hi,
+         _nd AS n_days_seg, _t AS seg_events, _d AS cp_day, _k AS cp_k,
+         _cus AS g_scaled, CAST(abs(_cus) AS BIGINT) AS max_abs,
+         round(CAST(_t AS DOUBLE) / CAST(_nd AS DOUBLE), 6) AS seg_mean
+  FROM r1 WHERE _rnk = 1
+),
+split AS (
+  SELECT g.event_type, g._d, g._c,
+         CASE WHEN g._d <= r.cp_day THEN 'L' ELSE 'R' END AS seg
+  FROM grid g JOIN root r ON r.event_type = g.event_type
+),
+p2 AS (
+  SELECT event_type, seg, _d, _c,
+         CAST(sum(_c) OVER (PARTITION BY event_type, seg ORDER BY _d
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _pre,
+         CAST(row_number() OVER (PARTITION BY event_type, seg ORDER BY _d)
+              AS BIGINT) AS _k,
+         CAST(count(*) OVER (PARTITION BY event_type, seg) AS BIGINT) AS _nd,
+         CAST(sum(_c) OVER (PARTITION BY event_type, seg) AS BIGINT) AS _t,
+         CAST(min(_d) OVER (PARTITION BY event_type, seg) AS BIGINT) AS seg_lo,
+         CAST(max(_d) OVER (PARTITION BY event_type, seg) AS BIGINT) AS seg_hi
+  FROM split
+),
+c2 AS (
+  SELECT *, CAST(_nd * _pre - _k * _t AS BIGINT) AS _cus
+  FROM p2 WHERE _k < _nd AND _nd >= 2
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, seg
+            ORDER BY abs(_cus) DESC, _d) AS _rnk
+  FROM c2
+),
+children AS (
+  SELECT event_type, CAST(2 AS INT) AS level, seg, seg_lo, seg_hi,
+         _nd AS n_days_seg, _t AS seg_events, _d AS cp_day, _k AS cp_k,
+         _cus AS g_scaled, CAST(abs(_cus) AS BIGINT) AS max_abs,
+         round(CAST(_t AS DOUBLE) / CAST(_nd AS DOUBLE), 6) AS seg_mean
+  FROM r2 WHERE _rnk = 1
+)
+SELECT * FROM root
+UNION ALL
+SELECT * FROM children
+ORDER BY event_type, level, seg
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -17457,6 +17647,7 @@ QUERIES = {
     "ad_test_report": ad_test_report,
     "burrows_delta_report": burrows_delta_report,
     "stem_fold_report": stem_fold_report,
+    "binseg_report": binseg_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -17648,6 +17839,7 @@ ORACLES = {
     "ad_test_report": ORACLE_AD_TEST,
     "burrows_delta_report": ORACLE_BURROWS_DELTA,
     "stem_fold_report": ORACLE_STEM_FOLD,
+    "binseg_report": ORACLE_BINSEG,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

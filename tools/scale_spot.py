@@ -309,6 +309,7 @@ def main() -> None:
         ad_test_report,
         burrows_delta_report,
         stem_fold_report,
+        binseg_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -622,6 +623,9 @@ def main() -> None:
         # chain, collision groupBy and top-10 all ride vocab-scale
         # frames whatever n; ~linear in the explode.
         "stem_fold_report": (stem_fold_report, (1, mult_hi), "documents"),
+        # r5f: X143 — events collapse map-side to the (type, day) frame;
+        # both CUSUM passes ride the |types|x|days|-bounded grid; ~linear.
+        "binseg_report": (binseg_report, (1, mult_hi), "events"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
