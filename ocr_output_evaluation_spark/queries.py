@@ -17467,6 +17467,125 @@ ORDER BY event_type, level, seg
 """
 
 
+def yule_k_report(spark, sf):
+    """Lexical-repetition constants per language (X144 — Yule 1944's
+    characteristic K = 10⁴·(S₂−N)/N², Simpson 1949's D =
+    (S₂−N)/(N(N−1)), Herdan 1960's C = lnV/lnN, plus hapax/dis
+    legomena shares): the LENGTH-ROBUST repetitiveness fingerprints —
+    K and D are (asymptotically) invariant under corpus-size change
+    where raw TTR is not, so they compare languages/feeds of very
+    different sizes honestly (the cross-lang companion to X83's
+    within-corpus concentration and X134's growth exponent).
+    Everything rides the per-lang freq-of-freq frame (m_c types at
+    count c — one explode + two map-side-combined groupBys, the
+    explode being the only data-bound leg): N = Σm·c, V = Σm,
+    S₂ = Σm·c², m₁, m₂ all exact BIGINT; K/D are single float
+    divisions of exact integers (N ≤ 1 NULL-guards D, N = 0 guards
+    all); C is the ratio of two X90-nano-quantized logs (lnN = 0 at
+    the single-token corpus NULL-guarded). Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    tc = (
+        d.select("lang", F.explode(word_tokens(F.col("text"))).alias("_t"))
+        .groupBy("lang", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    fof = tc.groupBy("lang", "_c").agg(
+        F.count(F.lit(1)).cast("long").alias("_m")
+    )
+    g = fof.groupBy("lang").agg(
+        F.sum(F.col("_m") * F.col("_c")).cast("long").alias("n_tokens"),
+        F.sum("_m").cast("long").alias("v_types"),
+        F.sum(F.col("_m") * F.col("_c") * F.col("_c")).cast("long").alias("s2"),
+        F.sum(F.when(F.col("_c") == 1, F.col("_m"))).cast("long").alias("_m1"),
+        F.sum(F.when(F.col("_c") == 2, F.col("_m"))).cast("long").alias("_m2"),
+    )
+    n = F.col("n_tokens")
+    v = F.col("v_types")
+    nd = n.cast("double")
+    ln_n = F.round(F.log(nd) * F.lit(1e9)).cast("long")
+    ln_v = F.round(F.log(v.cast("double")) * F.lit(1e9)).cast("long")
+    return g.select(
+        "lang",
+        "n_tokens",
+        "v_types",
+        "s2",
+        F.coalesce("_m1", F.lit(0)).cast("long").alias("hapax"),
+        F.coalesce("_m2", F.lit(0)).cast("long").alias("dis"),
+        _r(
+            F.when(n > 0, F.lit(1e4) * (F.col("s2") - n).cast("double") / (nd * nd))
+        ).alias("yule_k"),
+        _r(
+            F.when(
+                n > 1,
+                (F.col("s2") - n).cast("double") / (nd * (nd - F.lit(1.0))),
+            )
+        ).alias("simpson_d"),
+        _r(
+            F.when((n > 1) & (v > 0), ln_v.cast("double") / ln_n.cast("double"))
+        ).alias("herdan_c"),
+        _r(
+            F.when(v > 0, F.coalesce("_m1", F.lit(0)).cast("double") / v.cast("double"))
+        ).alias("hapax_share"),
+        _r(
+            F.when(v > 0, F.coalesce("_m2", F.lit(0)).cast("double") / v.cast("double"))
+        ).alias("dis_share"),
+    ).orderBy("lang")
+
+
+ORACLE_YULE_K = r"""
+WITH norm AS (
+  SELECT lang,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\p{L} ]+', ' ', 'g'), '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tc AS (
+  SELECT lang, tok AS _t, CAST(count(*) AS BIGINT) AS _c
+  FROM (SELECT lang, UNNEST(string_split(t, ' ')) AS tok
+        FROM norm WHERE length(t) > 0)
+  GROUP BY 1, 2
+),
+fof AS (
+  SELECT lang, _c, CAST(count(*) AS BIGINT) AS _m FROM tc GROUP BY 1, 2
+),
+g AS (
+  SELECT lang,
+         CAST(sum(_m * _c) AS BIGINT) AS n_tokens,
+         CAST(sum(_m) AS BIGINT) AS v_types,
+         CAST(sum(_m * _c * _c) AS BIGINT) AS s2,
+         CAST(coalesce(sum(CASE WHEN _c = 1 THEN _m END), 0) AS BIGINT) AS hapax,
+         CAST(coalesce(sum(CASE WHEN _c = 2 THEN _m END), 0) AS BIGINT) AS dis
+  FROM fof GROUP BY 1
+)
+SELECT lang, n_tokens, v_types, s2, hapax, dis,
+       round(CASE WHEN n_tokens > 0
+             THEN 1e4 * CAST(s2 - n_tokens AS DOUBLE)
+                  / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+             END, 6) AS yule_k,
+       round(CASE WHEN n_tokens > 1
+             THEN CAST(s2 - n_tokens AS DOUBLE)
+                  / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+             END, 6) AS simpson_d,
+       round(CASE WHEN n_tokens > 1 AND v_types > 0
+             THEN CAST(CAST(round(ln(CAST(v_types AS DOUBLE)) * 1e9) AS BIGINT)
+                       AS DOUBLE)
+                  / CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT)
+                         AS DOUBLE)
+             END, 6) AS herdan_c,
+       round(CASE WHEN v_types > 0
+             THEN CAST(hapax AS DOUBLE) / CAST(v_types AS DOUBLE) END, 6)
+         AS hapax_share,
+       round(CASE WHEN v_types > 0
+             THEN CAST(dis AS DOUBLE) / CAST(v_types AS DOUBLE) END, 6)
+         AS dis_share
+FROM g
+ORDER BY lang
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -17648,6 +17767,7 @@ QUERIES = {
     "burrows_delta_report": burrows_delta_report,
     "stem_fold_report": stem_fold_report,
     "binseg_report": binseg_report,
+    "yule_k_report": yule_k_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -17840,6 +17960,7 @@ ORACLES = {
     "burrows_delta_report": ORACLE_BURROWS_DELTA,
     "stem_fold_report": ORACLE_STEM_FOLD,
     "binseg_report": ORACLE_BINSEG,
+    "yule_k_report": ORACLE_YULE_K,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -310,6 +310,7 @@ def main() -> None:
         burrows_delta_report,
         stem_fold_report,
         binseg_report,
+        yule_k_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -626,6 +627,9 @@ def main() -> None:
         # r5f: X143 — events collapse map-side to the (type, day) frame;
         # both CUSUM passes ride the |types|x|days|-bounded grid; ~linear.
         "binseg_report": (binseg_report, (1, mult_hi), "events"),
+        # r5f: X144 — one explode then two map-side-combined groupBys to
+        # the per-lang freq-of-freq frame; constants are 1-row-per-lang.
+        "yule_k_report": (yule_k_report, (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
