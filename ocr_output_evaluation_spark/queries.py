@@ -17586,6 +17586,140 @@ ORDER BY lang
 """
 
 
+_DP_WORDS = 20  # dispersion panel: most frequent corpus words
+
+
+def dispersion_report(spark, sf):
+    """Gries' DP word dispersion across sources (X145 — Gries 2008
+    "Dispersions and adjusted frequencies in corpora": DP_w =
+    ½·Σ_i |v_i − s_i| with v the word's proportion distribution over
+    corpus parts and s the part-size proportions, plus the
+    DP_norm = DP/(1 − min s) normalization): is a word's frequency
+    CORPUS-WIDE or an artifact of one feed? The corpus-linguistics
+    dispersion audit complementing X128's TF-IDF (which asks what
+    characterizes a source; DP asks the inverse — which "frequent"
+    words are actually evenly earned). A raw frequency with high DP
+    is exactly the word a stopword list or LM vocabulary should NOT
+    trust. One explode to the (source, token) count frame; the
+    M=20 panel under the explicit (count DESC, token ASC) total
+    order; the DENSE source×panel grid includes zero counts (absence
+    from a big part is the signal); the deviation sum stays an exact
+    BIGINT numerator Σ|c_{i,w}·T − T_i·C_w| (exact while N² < 2^63,
+    ~3e9 tokens — the one-line swap past that is DECIMAL(38,0));
+    DP/DP_norm are single float divisions. Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    from .functions.ngram import word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    tc = (
+        d.select("source", F.explode(word_tokens(F.col("text"))).alias("_t"))
+        .groupBy("source", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    parts = tc.groupBy("source").agg(F.sum("_c").cast("long").alias("_ti"))
+    tot = parts.agg(
+        F.sum("_ti").cast("long").alias("_tt"),
+        F.min("_ti").cast("long").alias("_tmin"),
+    )
+    corpus = tc.groupBy("_t").agg(F.sum("_c").cast("long").alias("c_total"))
+    panel = (
+        corpus.orderBy(F.col("c_total").desc(), F.col("_t"))
+        .limit(_DP_WORDS)
+        .select("_t", "c_total")
+    )
+    grid = (
+        parts.crossJoin(F.broadcast(panel))
+        .join(tc, ["source", "_t"], "left")
+        .select(
+            "source",
+            "_t",
+            "c_total",
+            "_ti",
+            F.coalesce("_c", F.lit(0)).cast("long").alias("_c"),
+        )
+    )
+    dev = grid.crossJoin(F.broadcast(tot)).select(
+        "_t",
+        "c_total",
+        "_tt",
+        "_tmin",
+        F.abs(F.col("_c") * F.col("_tt") - F.col("_ti") * F.col("c_total"))
+        .cast("long")
+        .alias("_nd"),
+    )
+    g = dev.groupBy("_t", "c_total", "_tt", "_tmin").agg(
+        F.sum("_nd").cast("long").alias("nd_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    dp = F.col("nd_exact").cast("double") / (
+        F.lit(2.0) * F.col("c_total").cast("double") * F.col("_tt").cast("double")
+    )
+    smin = F.col("_tmin").cast("double") / F.col("_tt").cast("double")
+    return g.select(
+        F.col("_t").alias("word"),
+        "c_total",
+        "n_parts",
+        "nd_exact",
+        _r(dp).alias("dp"),
+        _r(
+            F.when(F.col("_tmin") < F.col("_tt"), dp / (F.lit(1.0) - smin))
+        ).alias("dp_norm"),
+    ).orderBy("word")
+
+
+ORACLE_DISPERSION = rf"""
+WITH norm AS (
+  SELECT source,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\p{{L}} ]+', ' ', 'g'), '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+tc AS (
+  SELECT source, tok AS _t, CAST(count(*) AS BIGINT) AS _c
+  FROM (SELECT source, UNNEST(string_split(t, ' ')) AS tok
+        FROM norm WHERE length(t) > 0)
+  GROUP BY 1, 2
+),
+parts AS (
+  SELECT source, CAST(sum(_c) AS BIGINT) AS _ti FROM tc GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(_ti) AS BIGINT) AS _tt, CAST(min(_ti) AS BIGINT) AS _tmin
+  FROM parts
+),
+panel AS (
+  SELECT _t, CAST(sum(_c) AS BIGINT) AS c_total
+  FROM tc GROUP BY 1
+  ORDER BY c_total DESC, _t LIMIT {_DP_WORDS}
+),
+grid AS (
+  SELECT p.source, w._t, w.c_total, p._ti,
+         CAST(coalesce(tc._c, 0) AS BIGINT) AS _c
+  FROM parts p CROSS JOIN panel w
+  LEFT JOIN tc ON tc.source = p.source AND tc._t = w._t
+),
+g AS (
+  SELECT g._t, g.c_total, t._tt, t._tmin,
+         CAST(sum(abs(g._c * t._tt - g._ti * g.c_total)) AS BIGINT)
+           AS nd_exact,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM grid g CROSS JOIN tot t
+  GROUP BY 1, 2, 3, 4
+)
+SELECT _t AS word, c_total, n_parts, nd_exact,
+       round(CAST(nd_exact AS DOUBLE)
+             / (2.0 * CAST(c_total AS DOUBLE) * CAST(_tt AS DOUBLE)), 6)
+         AS dp,
+       round(CASE WHEN _tmin < _tt
+             THEN CAST(nd_exact AS DOUBLE)
+                  / (2.0 * CAST(c_total AS DOUBLE) * CAST(_tt AS DOUBLE))
+                  / (1.0 - CAST(_tmin AS DOUBLE) / CAST(_tt AS DOUBLE))
+             END, 6) AS dp_norm
+FROM g
+ORDER BY word
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -17768,6 +17902,7 @@ QUERIES = {
     "stem_fold_report": stem_fold_report,
     "binseg_report": binseg_report,
     "yule_k_report": yule_k_report,
+    "dispersion_report": dispersion_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -17961,6 +18096,7 @@ ORACLES = {
     "stem_fold_report": ORACLE_STEM_FOLD,
     "binseg_report": ORACLE_BINSEG,
     "yule_k_report": ORACLE_YULE_K,
+    "dispersion_report": ORACLE_DISPERSION,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

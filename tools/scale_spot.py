@@ -311,6 +311,7 @@ def main() -> None:
         stem_fold_report,
         binseg_report,
         yule_k_report,
+        dispersion_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -630,6 +631,9 @@ def main() -> None:
         # r5f: X144 — one explode then two map-side-combined groupBys to
         # the per-lang freq-of-freq frame; constants are 1-row-per-lang.
         "yule_k_report": (yule_k_report, (1, mult_hi), "documents"),
+        # r5f: X145 — one explode to the (source, token) count frame;
+        # the 20-word panel and dense K x 20 grid are part/panel-bounded.
+        "dispersion_report": (dispersion_report, (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
