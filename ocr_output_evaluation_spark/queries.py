@@ -17720,6 +17720,135 @@ ORDER BY word
 """
 
 
+def tukey_fences_report(spark, sf):
+    """Tukey-fences outlier audit per source (X146 — Tukey 1977's
+    boxplot rule: flag values outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]):
+    how many documents per feed are LENGTH outliers, and where do the
+    whiskers sit? The per-source robust-range audit complementing
+    X120/X138's median-side tests and the pre-filter every length-cap
+    decision (X27 gopher rules) consults. Quartiles are TYPE-1
+    (inverse-ECDF) order statistics — the smallest value whose
+    cumulative population reaches ceil(k·n/4), tie-inclusive, via one
+    cumulative window over the bounded (source, n_chars) count frame
+    (the X33 tertile idiom generalized) — so Q1/Q3 are exact BIGINTs
+    from the value domain, no interpolation; the 1.5·IQR fences
+    cross-multiply to the exact ×2 integer comparison 2v < 2·Q1 −
+    3·IQR (and mirror above), so outlier counts are exact; the only
+    floats are the 6dp shares. Reference analog: none — rebuild-only
+    (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select("source", "n_chars")
+    cell = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    ws = W.partitionBy("source").orderBy("n_chars").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = cell.select(
+        "source",
+        "n_chars",
+        "_c",
+        F.sum("_c").over(ws).cast("long").alias("_cum"),
+        F.sum("_c").over(W.partitionBy("source")).cast("long").alias("_n"),
+    )
+    q1r = F.expr("CAST(ceil(_n / 4.0) AS BIGINT)")
+    q3r = F.expr("CAST(ceil(3 * _n / 4.0) AS BIGINT)")
+    qs = (
+        cum.select(
+            "source",
+            F.when(
+                (F.col("_cum") - F.col("_c") < q1r) & (q1r <= F.col("_cum")),
+                F.col("n_chars"),
+            ).alias("_q1"),
+            F.when(
+                (F.col("_cum") - F.col("_c") < q3r) & (q3r <= F.col("_cum")),
+                F.col("n_chars"),
+            ).alias("_q3"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("_q1").cast("long").alias("q1"),
+            F.max("_q3").cast("long").alias("q3"),
+        )
+    )
+    j = cell.join(F.broadcast(qs), "source")
+    iqr = F.col("q3") - F.col("q1")
+    low = F.lit(2) * F.col("n_chars") < F.lit(2) * F.col("q1") - F.lit(3) * iqr
+    high = F.lit(2) * F.col("n_chars") > F.lit(2) * F.col("q3") + F.lit(3) * iqr
+    g = j.groupBy("source", "q1", "q3").agg(
+        F.sum("_c").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum(F.when(low, F.col("_c"))).cast("long").alias("_nlo"),
+        F.sum(F.when(high, F.col("_c"))).cast("long").alias("_nhi"),
+    )
+    nlo = F.coalesce("_nlo", F.lit(0)).cast("long")
+    nhi = F.coalesce("_nhi", F.lit(0)).cast("long")
+    return g.select(
+        "source",
+        "n_docs",
+        "min_chars",
+        "q1",
+        "q3",
+        "max_chars",
+        (F.col("q3") - F.col("q1")).cast("long").alias("iqr"),
+        nlo.alias("n_low_outliers"),
+        nhi.alias("n_high_outliers"),
+        _r(
+            F.when(
+                F.col("n_docs") > 0,
+                (nlo + nhi).cast("double") / F.col("n_docs").cast("double"),
+            )
+        ).alias("outlier_share"),
+    ).orderBy("source")
+
+
+ORACLE_TUKEY_FENCES = """
+WITH cell AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS _c
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, n_chars, _c,
+         CAST(sum(_c) OVER (PARTITION BY source ORDER BY n_chars
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum,
+         CAST(sum(_c) OVER (PARTITION BY source) AS BIGINT) AS _n
+  FROM cell
+),
+qs AS (
+  SELECT source,
+         CAST(max(CASE WHEN _cum - _c < CAST(ceil(_n / 4.0) AS BIGINT)
+                        AND CAST(ceil(_n / 4.0) AS BIGINT) <= _cum
+                       THEN n_chars END) AS BIGINT) AS q1,
+         CAST(max(CASE WHEN _cum - _c < CAST(ceil(3 * _n / 4.0) AS BIGINT)
+                        AND CAST(ceil(3 * _n / 4.0) AS BIGINT) <= _cum
+                       THEN n_chars END) AS BIGINT) AS q3
+  FROM cum GROUP BY 1
+),
+g AS (
+  SELECT c.source, q.q1, q.q3,
+         CAST(sum(c._c) AS BIGINT) AS n_docs,
+         CAST(min(c.n_chars) AS BIGINT) AS min_chars,
+         CAST(max(c.n_chars) AS BIGINT) AS max_chars,
+         CAST(coalesce(sum(CASE WHEN 2 * c.n_chars
+                                     < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                                THEN c._c END), 0) AS BIGINT) AS nlo,
+         CAST(coalesce(sum(CASE WHEN 2 * c.n_chars
+                                     > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                                THEN c._c END), 0) AS BIGINT) AS nhi
+  FROM cell c JOIN qs q ON q.source = c.source
+  GROUP BY 1, 2, 3
+)
+SELECT source, n_docs, min_chars, q1, q3, max_chars,
+       CAST(q3 - q1 AS BIGINT) AS iqr,
+       nlo AS n_low_outliers, nhi AS n_high_outliers,
+       round(CASE WHEN n_docs > 0
+             THEN CAST(nlo + nhi AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             END, 6) AS outlier_share
+FROM g
+ORDER BY source
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -17903,6 +18032,7 @@ QUERIES = {
     "binseg_report": binseg_report,
     "yule_k_report": yule_k_report,
     "dispersion_report": dispersion_report,
+    "tukey_fences_report": tukey_fences_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -18097,6 +18227,7 @@ ORACLES = {
     "binseg_report": ORACLE_BINSEG,
     "yule_k_report": ORACLE_YULE_K,
     "dispersion_report": ORACLE_DISPERSION,
+    "tukey_fences_report": ORACLE_TUKEY_FENCES,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

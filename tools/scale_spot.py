@@ -312,6 +312,7 @@ def main() -> None:
         binseg_report,
         yule_k_report,
         dispersion_report,
+        tukey_fences_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -634,6 +635,11 @@ def main() -> None:
         # r5f: X145 — one explode to the (source, token) count frame;
         # the 20-word panel and dense K x 20 grid are part/panel-bounded.
         "dispersion_report": (dispersion_report, (1, mult_hi), "documents"),
+        # r5f: X146 — counts combine map-side to the bounded
+        # (source, n_chars) frame; quartile windows and fence counts
+        # ride domain-sized frames whatever n; ~linear in the scan.
+        "tukey_fences_report": (tukey_fences_report, (1, mult_hi),
+                                "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
