@@ -17849,6 +17849,138 @@ ORDER BY source
 """
 
 
+def boxcox_report(spark, sf):
+    """Box-Cox power-transform selection over document lengths (X147 —
+    Box & Cox 1964: pick λ maximizing the profile log-likelihood
+    LL(λ) = −(n/2)·ln σ̂²_λ + (λ−1)·Σln x over the grid
+    λ ∈ {−1, −0.5, 0, 0.5, 1}): which power transform makes the
+    length distribution most Gaussian? The normalization diagnostic
+    upstream of every z-score consumer (X141's Delta, X93's moment
+    machinery) — heavy-tailed web lengths usually elect λ ≤ 0 (log),
+    and an elected λ = 1 is itself evidence the tail is already tame.
+    Every transform is written WITHOUT pow(): v−1, 2(√v−1), ln v,
+    2(1−1/√v), 1−1/v — sqrt/ln/division on doubles of exact integers,
+    identical both engines. The value domain is bounded, so each
+    (λ, v) pair gets one nano-quantized y (X90); S = Σc·y_nano stays
+    BIGINT, Q = Σc·y_nano² runs in DECIMAL(38,0)/HUGEINT; LL is a
+    double of the exact moments with the shared Σc·ln v nano leg;
+    zero-variance grids NULL out. Emits the λ grid with the argmax
+    (LL DESC, λ ASC) as constant columns; v ≤ 0 rows are excluded by
+    construction (n_chars ≥ 1 filter, documented). Reference analog:
+    none — rebuild-only (SURVEY §2.13)."""
+    d = t(spark, sf, "documents").select("n_chars").filter(F.col("n_chars") >= 1)
+    cell = d.groupBy("n_chars").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    lam = F.explode(
+        F.array(*[F.lit(x) for x in (-1.0, -0.5, 0.0, 0.5, 1.0)])
+    ).alias("lam")
+    vd = F.col("n_chars").cast("double")
+    y = (
+        F.when(F.col("lam") == -1.0, F.lit(1.0) - F.lit(1.0) / vd)
+        .when(F.col("lam") == -0.5, F.lit(2.0) * (F.lit(1.0) - F.lit(1.0) / F.sqrt(vd)))
+        .when(F.col("lam") == 0.0, F.log(vd))
+        .when(F.col("lam") == 0.5, F.lit(2.0) * (F.sqrt(vd) - F.lit(1.0)))
+        .otherwise(vd - F.lit(1.0))
+    )
+    e = cell.select("n_chars", "_c", lam).select(
+        "lam",
+        "_c",
+        F.round(y * F.lit(1e9)).cast("long").alias("_y"),
+        F.round(F.log(vd) * F.lit(1e9)).cast("long").alias("_lnv"),
+    )
+    g = e.groupBy("lam").agg(
+        F.sum("_c").cast("long").alias("n_docs"),
+        F.sum(F.col("_c") * F.col("_y")).cast("long").alias("s_nano"),
+        F.sum(
+            F.col("_c").cast("decimal(18,0)")
+            * F.col("_y").cast("decimal(18,0)")
+            * F.col("_y").cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_q"),
+        F.sum(F.col("_c") * F.col("_lnv")).cast("long").alias("_l"),
+    )
+    n = F.col("n_docs").cast("double")
+    var = (
+        n * F.col("_q").cast("double")
+        - F.col("s_nano").cast("double") * F.col("s_nano").cast("double")
+    ) / (n * n) / F.lit(1e18)
+    ll = F.when(
+        var > 0,
+        -n / F.lit(2.0) * F.log(var)
+        + (F.col("lam") - F.lit(1.0)) * F.col("_l").cast("double") / F.lit(1e9),
+    )
+    pts = g.select(
+        "lam",
+        "n_docs",
+        "s_nano",
+        _r(ll).alias("ll"),
+        ll.alias("_ll_raw"),
+    )
+    best = pts.filter(F.col("_ll_raw").isNotNull()).agg(
+        F.max(F.struct(F.col("_ll_raw"), (-F.col("lam")).alias("_nl"))).alias("_b")
+    ).select(
+        (-F.col("_b._nl")).alias("best_lambda"),
+        _r(F.col("_b._ll_raw")).alias("best_ll"),
+    )
+    return (
+        pts.drop("_ll_raw")
+        .crossJoin(F.broadcast(best))
+        .orderBy("lam")
+    )
+
+
+ORACLE_BOXCOX = """
+WITH cell AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS _c
+  FROM documents WHERE n_chars >= 1 GROUP BY 1
+),
+lams AS (SELECT CAST(UNNEST([-1.0, -0.5, 0.0, 0.5, 1.0]) AS DOUBLE) AS lam),
+e AS (
+  SELECT l.lam, c._c,
+         CAST(round(CASE
+           WHEN l.lam = -1.0 THEN 1.0 - 1.0 / CAST(c.n_chars AS DOUBLE)
+           WHEN l.lam = -0.5 THEN 2.0 * (1.0 - 1.0 / sqrt(CAST(c.n_chars AS DOUBLE)))
+           WHEN l.lam = 0.0 THEN ln(CAST(c.n_chars AS DOUBLE))
+           WHEN l.lam = 0.5 THEN 2.0 * (sqrt(CAST(c.n_chars AS DOUBLE)) - 1.0)
+           ELSE CAST(c.n_chars AS DOUBLE) - 1.0 END * 1e9) AS BIGINT) AS _y,
+         CAST(round(ln(CAST(c.n_chars AS DOUBLE)) * 1e9) AS BIGINT) AS _lnv
+  FROM cell c CROSS JOIN lams l
+),
+g AS (
+  SELECT lam, CAST(sum(_c) AS BIGINT) AS n_docs,
+         CAST(sum(_c * _y) AS BIGINT) AS s_nano,
+         sum(CAST(_c AS HUGEINT) * CAST(_y AS HUGEINT) * CAST(_y AS HUGEINT))
+           AS _q,
+         CAST(sum(_c * _lnv) AS BIGINT) AS _l
+  FROM e GROUP BY 1
+),
+pts AS (
+  SELECT lam, n_docs, s_nano,
+         CASE WHEN (CAST(n_docs AS DOUBLE) * CAST(_q AS DOUBLE)
+                    - CAST(s_nano AS DOUBLE) * CAST(s_nano AS DOUBLE))
+                   / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) / 1e18
+                   > 0
+              THEN -CAST(n_docs AS DOUBLE) / 2.0
+                   * ln((CAST(n_docs AS DOUBLE) * CAST(_q AS DOUBLE)
+                         - CAST(s_nano AS DOUBLE) * CAST(s_nano AS DOUBLE))
+                        / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                        / 1e18)
+                   + (lam - 1.0) * CAST(_l AS DOUBLE) / 1e9
+         END AS _ll_raw
+  FROM g
+),
+best AS (
+  SELECT -((max({'l': _ll_raw, 'nl': -lam})).nl) AS best_lambda,
+         round((max({'l': _ll_raw, 'nl': -lam})).l, 6) AS best_ll
+  FROM pts WHERE _ll_raw IS NOT NULL
+)
+SELECT p.lam, p.n_docs, p.s_nano, round(p._ll_raw, 6) AS ll,
+       b.best_lambda, b.best_ll
+FROM pts p CROSS JOIN best b
+ORDER BY p.lam
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -18033,6 +18165,7 @@ QUERIES = {
     "yule_k_report": yule_k_report,
     "dispersion_report": dispersion_report,
     "tukey_fences_report": tukey_fences_report,
+    "boxcox_report": boxcox_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -18228,6 +18361,7 @@ ORACLES = {
     "yule_k_report": ORACLE_YULE_K,
     "dispersion_report": ORACLE_DISPERSION,
     "tukey_fences_report": ORACLE_TUKEY_FENCES,
+    "boxcox_report": ORACLE_BOXCOX,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

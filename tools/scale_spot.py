@@ -313,6 +313,7 @@ def main() -> None:
         yule_k_report,
         dispersion_report,
         tukey_fences_report,
+        boxcox_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -640,6 +641,10 @@ def main() -> None:
         # ride domain-sized frames whatever n; ~linear in the scan.
         "tukey_fences_report": (tukey_fences_report, (1, mult_hi),
                                 "documents"),
+        # r5f: X147 — counts combine map-side to the bounded value
+        # domain; the x5-lambda grid and moment agg ride domain-sized
+        # frames whatever n; ~linear in the scan.
+        "boxcox_report": (boxcox_report, (1, mult_hi), "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
