@@ -17981,6 +17981,197 @@ ORDER BY p.lam
 """
 
 
+_CCF_MAX_LAG = 7
+
+
+def ccf_leadlag_report(spark, sf):
+    """Cross-correlation lead-lag detection between event-type pairs
+    (X148 — Box & Jenkins 1970 ch.11 sample CCF r_ab(h) over per-type
+    daily volume, lags −7..+7): does one event type LEAD another —
+    do signups chase views by two days? The PAIRWISE extension of
+    X116's single-series ACF and the temporal complement to X114's
+    same-basket association rules. X115's dense zero-filled day grid;
+    deviations ride the X116 D-scaled integer trick dev = D·c − T
+    (exact BIGINT, the D² cancels in the ratio); per (pair, lag) the
+    product sum Σ dev_a(t)·dev_b(t+h) over the overlap (standard CCF
+    truncation) and the per-type Σdev² run in DECIMAL(38,0)/HUGEINT
+    (dev² overflows BIGINT at ~2e8 events/day); r(h) = num/√(q_a·q_b)
+    is the only float. The per-pair best lag needs NO float compare:
+    within a pair every lag shares the denominator, so argmax |r| =
+    argmax |num| — an exact decimal comparison under the explicit
+    (|num| DESC, |h| ASC, h ASC) total order. num is emitted as a
+    string (exact, beyond BIGINT range at scale). Zero-variance types
+    NULL their ratios. Reference analog: none — rebuild-only (SURVEY
+    §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("_d"))
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type", "_d", F.coalesce("_c", F.lit(0)).cast("long").alias("_c")
+        )
+    )
+    wp = W.partitionBy("event_type")
+    dev = grid.select(
+        "event_type",
+        "_d",
+        (
+            F.count(F.lit(1)).over(wp) * F.col("_c") - F.sum("_c").over(wp)
+        )
+        .cast("long")
+        .alias("_dev"),
+    )
+    q = dev.groupBy("event_type").agg(
+        F.sum(F.col("_dev").cast("decimal(18,0)") * F.col("_dev").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("_q")
+    )
+    lags = F.explode(
+        F.sequence(F.lit(-_CCF_MAX_LAG), F.lit(_CCF_MAX_LAG))
+    ).alias("lag")
+    la = dev.toDF("type_a", "_d", "_deva").select(
+        "type_a", "_d", "_deva", lags
+    )
+    rb = dev.toDF("type_b", "_db", "_devb")
+    pairs = (
+        la.join(rb, F.col("_db") == F.col("_d") + F.col("lag"))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.sum(
+                F.col("_deva").cast("decimal(18,0)")
+                * F.col("_devb").cast("decimal(18,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("_num"),
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        )
+    )
+    j = (
+        pairs.join(
+            F.broadcast(q.toDF("type_a", "_qa")), "type_a"
+        ).join(F.broadcast(q.toDF("type_b", "_qb")), "type_b")
+    )
+    ccf = F.when(
+        (F.col("_qa") > 0) & (F.col("_qb") > 0),
+        F.col("_num").cast("double")
+        / (
+            F.sqrt(F.col("_qa").cast("double"))
+            * F.sqrt(F.col("_qb").cast("double"))
+        ),
+    )
+    rows = j.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("long").alias("lag"),
+        "n_overlap",
+        F.col("_num").cast("string").alias("num_exact"),
+        _r(ccf).alias("ccf"),
+        F.abs(F.col("_num")).alias("_absnum"),
+        ccf.alias("_ccf_raw"),
+    )
+    best = rows.groupBy("type_a", "type_b").agg(
+        F.max(
+            F.struct(
+                F.col("_absnum"),
+                (-F.abs(F.col("lag"))).alias("_nal"),
+                (-F.col("lag")).alias("_nl"),
+                F.col("_ccf_raw").alias("_cr"),
+            )
+        ).alias("_b")
+    ).select(
+        "type_a",
+        "type_b",
+        (-F.col("_b._nl")).cast("long").alias("best_lag"),
+        _r(F.col("_b._cr")).alias("best_ccf"),
+    )
+    return (
+        rows.drop("_absnum", "_ccf_raw")
+        .join(F.broadcast(best), ["type_a", "type_b"])
+        .orderBy("type_a", "type_b", "lag")
+    )
+
+
+ORACLE_CCF_LEADLAG = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT min(_d) AS _lo, max(_d) AS _hi FROM e),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM cnt),
+grid AS (
+  SELECT ty.event_type, dy._d, CAST(coalesce(c._c, 0) AS BIGINT) AS _c
+  FROM types ty CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+dev AS (
+  SELECT event_type, _d,
+         CAST(count(*) OVER (PARTITION BY event_type) * _c
+              - sum(_c) OVER (PARTITION BY event_type) AS BIGINT) AS _dev
+  FROM grid
+),
+q AS (
+  SELECT event_type,
+         sum(CAST(_dev AS HUGEINT) * CAST(_dev AS HUGEINT)) AS _q
+  FROM dev GROUP BY 1
+),
+lags AS (
+  SELECT CAST(unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG} + 1)) AS BIGINT)
+    AS lag
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         sum(CAST(a._dev AS HUGEINT) * CAST(b._dev AS HUGEINT)) AS _num,
+         CAST(count(*) AS BIGINT) AS n_overlap
+  FROM dev a CROSS JOIN lags l
+  JOIN dev b ON b._d = a._d + l.lag AND a.event_type < b.event_type
+  GROUP BY 1, 2, 3
+),
+rows_ AS (
+  SELECT p.type_a, p.type_b, p.lag, p.n_overlap,
+         CAST(p._num AS VARCHAR) AS num_exact,
+         CASE WHEN qa._q > 0 AND qb._q > 0
+              THEN CAST(p._num AS DOUBLE)
+                   / (sqrt(CAST(qa._q AS DOUBLE)) * sqrt(CAST(qb._q AS DOUBLE)))
+         END AS _ccf_raw,
+         abs(p._num) AS _absnum
+  FROM pairs p
+  JOIN q qa ON qa.event_type = p.type_a
+  JOIN q qb ON qb.event_type = p.type_b
+),
+best AS (
+  SELECT type_a, type_b,
+         -((max({{'a': _absnum, 'nal': -abs(lag), 'nl': -lag,
+                 'cr': _ccf_raw}})).nl) AS best_lag,
+         round((max({{'a': _absnum, 'nal': -abs(lag), 'nl': -lag,
+                     'cr': _ccf_raw}})).cr, 6) AS best_ccf
+  FROM rows_ GROUP BY 1, 2
+)
+SELECT r.type_a, r.type_b, r.lag, r.n_overlap, r.num_exact,
+       round(r._ccf_raw, 6) AS ccf,
+       CAST(b.best_lag AS BIGINT) AS best_lag, b.best_ccf
+FROM rows_ r
+JOIN best b ON b.type_a = r.type_a AND b.type_b = r.type_b
+ORDER BY r.type_a, r.type_b, r.lag
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -18166,6 +18357,7 @@ QUERIES = {
     "dispersion_report": dispersion_report,
     "tukey_fences_report": tukey_fences_report,
     "boxcox_report": boxcox_report,
+    "ccf_leadlag_report": ccf_leadlag_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -18362,6 +18554,7 @@ ORACLES = {
     "dispersion_report": ORACLE_DISPERSION,
     "tukey_fences_report": ORACLE_TUKEY_FENCES,
     "boxcox_report": ORACLE_BOXCOX,
+    "ccf_leadlag_report": ORACLE_CCF_LEADLAG,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -314,6 +314,7 @@ def main() -> None:
         dispersion_report,
         tukey_fences_report,
         boxcox_report,
+        ccf_leadlag_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -645,6 +646,10 @@ def main() -> None:
         # domain; the x5-lambda grid and moment agg ride domain-sized
         # frames whatever n; ~linear in the scan.
         "boxcox_report": (boxcox_report, (1, mult_hi), "documents"),
+        # r5f: X148 — events collapse map-side to the (type, day) frame;
+        # the 15-lag pair join fans out grid x |types| x 15 (all
+        # domain-bounded); decimal moments ride those frames; ~linear.
+        "ccf_leadlag_report": (ccf_leadlag_report, (1, mult_hi), "events"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
