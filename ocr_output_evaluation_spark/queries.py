@@ -18188,7 +18188,11 @@ ORDER BY r.type_a, r.type_b, r.lag
 # NEVER insert a new query mid-dict outside the marked insertion point.
 # r6 rotation plan (for whoever runs the next round): swap the 50-entry
 # r4-recorded tail block (embedding_pair_topk .. triangle_count_report)
-# into slots 0-49 and demote the r5-recorded window; the r5-demoted
+# into slots 0-49 and demote the r5-recorded window; NOTE the
+# born-r5-late local-strict-only block has since grown to X104-X148
+# (kruskal_report .. ccf_leadlag_report) — those 45 entries have never
+# held a driver row and take priority over twice-recorded entries in
+# any future window; the r5-demoted
 # stalwarts (salted_source_stats .. lang_id_report, plus the late-r5
 # positional demotions — each X72-X85 insertion pushed one more window
 # stalwart into the overflow. The X102 insertion exhausted the window's
