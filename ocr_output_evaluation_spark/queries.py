@@ -18172,6 +18172,195 @@ ORDER BY r.type_a, r.type_b, r.lag
 """
 
 
+def pacf_report(spark, sf):
+    """Partial autocorrelation of per-type daily volume, lags 1-3
+    (X149 — the Durbin 1960 / Levinson recursion in its determinant
+    closed forms: φ₁₁ = r₁, φ₂₂ = (r₂−r₁²)/(1−r₁²), φ₃₃ via the
+    3×3 Toeplitz Cramer ratio): WHICH AR order explains the volume
+    series? The ACF (X116) of an AR(1) decays at every lag — the
+    PACF cuts off exactly past the true order, so this is the
+    order-selection companion every Box-Jenkins identification step
+    pairs with X116. Same exact machinery: X115's dense day grid,
+    X116's D-scaled integer deviations, one equi-join for the three
+    lag numerators — x₁..x₃ and the shared denominator d are exact
+    BIGINTs, and because every r_h = x_h/d shares d, each φ is a
+    ratio of small integer POLYNOMIALS in (x, d): φ₂₂ =
+    (x₂d−x₁²)/(d²−x₁²), φ₃₃ = (x₃(d²−x₁²)+x₁x₂²−2x₁x₂d+x₁³)
+    /(d³−2x₁²d−x₂²d+2x₁²x₂). The cubes pass BIGINT (~10⁵ events/day
+    at a year span) so both engines evaluate them as identical
+    doubles of exact integers; d=0, |r₁|=1 and singular-Toeplitz
+    denominators NULL-guard their φ. Reference analog: none —
+    rebuild-only (SURVEY §2.13)."""
+    e = t(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("_d"),
+    )
+    cnt = e.groupBy("event_type", "_d").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bounds = e.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    days = bounds.select(F.explode(F.sequence("_lo", "_hi")).alias("_d"))
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(cnt, ["event_type", "_d"], "left")
+        .select(
+            "event_type", "_d", F.coalesce("_c", F.lit(0)).cast("long").alias("_c")
+        )
+    )
+    wt = W.partitionBy("event_type")
+    dev = grid.select(
+        "event_type",
+        "_d",
+        (
+            F.count(F.lit(1)).over(wt).cast("long") * F.col("_c")
+            - F.sum("_c").over(wt).cast("long")
+        )
+        .cast("long")
+        .alias("_dev"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("_nd"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.expr("_dev * _dev")).cast("long").alias("d"),
+        F.max("_nd").cast("long").alias("n_days"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("long").alias("lag"))
+    a = dev.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", (F.col("_d") + F.col("lag")).alias("_dj"), "_dev"
+    )
+    b = dev.toDF(*dev.columns).select(
+        "event_type", F.col("_d").alias("_dj"), F.col("_dev").alias("_devb")
+    )
+    num = (
+        a.join(b, ["event_type", "_dj"])
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.expr("_dev * _devb")).cast("long").alias("x"))
+    )
+    wide = (
+        num.groupBy("event_type")
+        .pivot("lag", [1, 2, 3])
+        .agg(F.first("x"))
+        .toDF("event_type", "x1", "x2", "x3")
+        .join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.coalesce("x1", F.lit(0)).cast("long").alias("x1"),
+            F.coalesce("x2", F.lit(0)).cast("long").alias("x2"),
+            F.coalesce("x3", F.lit(0)).cast("long").alias("x3"),
+            "d",
+        )
+    )
+    x1 = F.col("x1").cast("double")
+    x2 = F.col("x2").cast("double")
+    x3 = F.col("x3").cast("double")
+    dd = F.col("d").cast("double")
+    p1 = F.when(F.col("d") != 0, x1 / dd)
+    den2 = dd * dd - x1 * x1
+    p2 = F.when((F.col("d") != 0) & (den2 != 0), (x2 * dd - x1 * x1) / den2)
+    num3 = x3 * (dd * dd - x1 * x1) + x1 * x2 * x2 - 2.0 * x1 * x2 * dd + x1 * x1 * x1
+    den3 = dd * dd * dd - 2.0 * x1 * x1 * dd - x2 * x2 * dd + 2.0 * x1 * x1 * x2
+    p3 = F.when((F.col("d") != 0) & (den3 != 0), num3 / den3)
+    return wide.select(
+        "event_type",
+        "n_days",
+        "x1",
+        "x2",
+        "x3",
+        "d",
+        _r(p1).alias("pacf1"),
+        _r(p2).alias("pacf2"),
+        _r(p3).alias("pacf3"),
+    ).orderBy("event_type")
+
+
+ORACLE_PACF = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS _d
+  FROM events
+),
+cnt AS (
+  SELECT event_type, _d, CAST(count(*) AS BIGINT) AS _c FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT min(_d) AS _lo, max(_d) AS _hi FROM e),
+days AS (
+  SELECT CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _d FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM cnt),
+grid AS (
+  SELECT ty.event_type, dy._d, CAST(coalesce(c._c, 0) AS BIGINT) AS _c
+  FROM types ty CROSS JOIN days dy
+  LEFT JOIN cnt c ON c.event_type = ty.event_type AND c._d = dy._d
+),
+dev AS (
+  SELECT event_type, _d,
+         CAST(count(*) OVER (PARTITION BY event_type) * _c
+              - sum(_c) OVER (PARTITION BY event_type) AS BIGINT) AS _dev,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS _nd
+  FROM grid
+),
+den AS (
+  SELECT event_type, CAST(sum(_dev * _dev) AS BIGINT) AS d,
+         CAST(max(_nd) AS BIGINT) AS n_days
+  FROM dev GROUP BY 1
+),
+num AS (
+  SELECT a.event_type, l.lag, CAST(sum(a._dev * b._dev) AS BIGINT) AS x
+  FROM dev a
+  CROSS JOIN (SELECT CAST(unnest(range(1, 4)) AS BIGINT) AS lag) l
+  JOIN dev b ON b.event_type = a.event_type AND b._d = a._d + l.lag
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT d.event_type, d.n_days,
+         CAST(coalesce(max(CASE WHEN n.lag = 1 THEN n.x END), 0) AS BIGINT) AS x1,
+         CAST(coalesce(max(CASE WHEN n.lag = 2 THEN n.x END), 0) AS BIGINT) AS x2,
+         CAST(coalesce(max(CASE WHEN n.lag = 3 THEN n.x END), 0) AS BIGINT) AS x3,
+         d.d
+  FROM den d LEFT JOIN num n ON n.event_type = d.event_type
+  GROUP BY 1, 2, 6
+)
+SELECT event_type, n_days, x1, x2, x3, d,
+       round(CASE WHEN d <> 0
+             THEN CAST(x1 AS DOUBLE) / CAST(d AS DOUBLE) END, 6) AS pacf1,
+       round(CASE WHEN d <> 0 AND CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                  - CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE) <> 0
+             THEN (CAST(x2 AS DOUBLE) * CAST(d AS DOUBLE)
+                   - CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE))
+                  / (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                     - CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE))
+             END, 6) AS pacf2,
+       round(CASE WHEN d <> 0
+                  AND CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                      - 2.0 * CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)
+                        * CAST(d AS DOUBLE)
+                      - CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)
+                        * CAST(d AS DOUBLE)
+                      + 2.0 * CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)
+                        * CAST(x2 AS DOUBLE) <> 0
+             THEN (CAST(x3 AS DOUBLE)
+                   * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                      - CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE))
+                   + CAST(x1 AS DOUBLE) * CAST(x2 AS DOUBLE)
+                     * CAST(x2 AS DOUBLE)
+                   - 2.0 * CAST(x1 AS DOUBLE) * CAST(x2 AS DOUBLE)
+                     * CAST(d AS DOUBLE)
+                   + CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)
+                     * CAST(x1 AS DOUBLE))
+                  / (CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                     - 2.0 * CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)
+                       * CAST(d AS DOUBLE)
+                     - CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)
+                       * CAST(d AS DOUBLE)
+                     + 2.0 * CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)
+                       * CAST(x2 AS DOUBLE))
+             END, 6) AS pacf3
+FROM wide
+ORDER BY event_type
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -18362,6 +18551,7 @@ QUERIES = {
     "tukey_fences_report": tukey_fences_report,
     "boxcox_report": boxcox_report,
     "ccf_leadlag_report": ccf_leadlag_report,
+    "pacf_report": pacf_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -18559,6 +18749,7 @@ ORACLES = {
     "tukey_fences_report": ORACLE_TUKEY_FENCES,
     "boxcox_report": ORACLE_BOXCOX,
     "ccf_leadlag_report": ORACLE_CCF_LEADLAG,
+    "pacf_report": ORACLE_PACF,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

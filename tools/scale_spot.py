@@ -315,6 +315,7 @@ def main() -> None:
         tukey_fences_report,
         boxcox_report,
         ccf_leadlag_report,
+        pacf_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -650,6 +651,9 @@ def main() -> None:
         # the 15-lag pair join fans out grid x |types| x 15 (all
         # domain-bounded); decimal moments ride those frames; ~linear.
         "ccf_leadlag_report": (ccf_leadlag_report, (1, mult_hi), "events"),
+        # r5f: X149 — X116's deviation/lag machinery at 3 lags; the
+        # polynomial ratios are a per-type 1-row computation; ~linear.
+        "pacf_report": (pacf_report, (1, mult_hi), "events"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
