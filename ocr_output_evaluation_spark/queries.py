@@ -18361,6 +18361,184 @@ ORDER BY event_type
 """
 
 
+def dataset_card_report(spark, sf):
+    """One-row dataset card (X150 — the composite release summary every
+    published corpus ships, in the Gebru et al. 2021 "Datasheets for
+    Datasets" spirit): corpus size (docs/tokens/types), provenance
+    breadth (sources, langs, the top lang and its exact share under an
+    explicit total order), exact duplicate rate (md5 of the
+    X123-normalized text — the X6 fingerprint idiom), and the pooled
+    type-1 length quartiles (X146's integer order statistics, no
+    interpolation). Deliberately a COMPOSITION of the engine's
+    established exact idioms in one query — the capstone entry that a
+    release pipeline runs last, and a regression canary across five
+    subsystems at once (token stream, fingerprints, bounded-domain
+    order statistics, groupBys, argmax ordering). Every count is an
+    exact BIGINT; the only floats are the 6dp shares/means. One corpus
+    scan feeds the token/fingerprint legs; the quartile leg rides the
+    bounded (n_chars) count frame. Reference analog: the per-volume
+    stats row (/root/reference/parallel_processor.py:79-86) writ
+    corpus-wide. (SURVEY §2.13)."""
+    from .functions.ngram import normalize_for_scoring, word_tokens
+
+    d = _spread(t(spark, sf, "documents"))
+    nt_ = normalize_for_scoring(F.col("text"))
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("_ntok"),
+        F.md5(nt_).alias("_fp"),
+    )
+    core = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.countDistinct("_fp").cast("long").alias("n_unique_texts"),
+    )
+    vocab = (
+        d.select(F.explode(word_tokens(F.col("text"))).alias("_t"))
+        .agg(F.countDistinct("_t").cast("long").alias("v_types"))
+    )
+    lang_top = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("_lc"))
+        .orderBy(F.col("_lc").desc(), F.col("lang"))
+        .limit(1)
+        .select(
+            F.col("lang").alias("top_lang"), F.col("_lc").alias("top_lang_docs")
+        )
+    )
+    cell = base.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    wc = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cell.select(
+        "n_chars",
+        "_c",
+        F.sum("_c").over(wc).cast("long").alias("_cum"),
+        F.sum("_c").over(W.partitionBy()).cast("long").alias("_n"),
+    )
+
+    def qsel(k):
+        r = F.expr(f"CAST(ceil({k} * _n / 4.0) AS BIGINT)")
+        return F.max(
+            F.when(
+                (F.col("_cum") - F.col("_c") < r) & (r <= F.col("_cum")),
+                F.col("n_chars"),
+            )
+        ).cast("long")
+
+    quart = cum.agg(
+        qsel(1).alias("len_q1"), qsel(2).alias("len_q2"), qsel(3).alias("len_q3")
+    )
+    j = (
+        core.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(lang_top))
+        .crossJoin(F.broadcast(quart))
+    )
+    nd = F.col("n_docs").cast("double")
+    return j.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "n_tokens",
+        "v_types",
+        "n_unique_texts",
+        (F.col("n_docs") - F.col("n_unique_texts")).cast("long").alias("n_exact_dups"),
+        _r(
+            F.when(
+                F.col("n_docs") > 0,
+                (F.col("n_docs") - F.col("n_unique_texts")).cast("double") / nd,
+            )
+        ).alias("dup_rate"),
+        "top_lang",
+        "top_lang_docs",
+        _r(
+            F.when(F.col("n_docs") > 0, F.col("top_lang_docs").cast("double") / nd)
+        ).alias("top_lang_share"),
+        _r(
+            F.when(F.col("n_docs") > 0, F.col("n_tokens").cast("double") / nd)
+        ).alias("mean_tokens_per_doc"),
+        "len_q1",
+        "len_q2",
+        "len_q3",
+    )
+
+
+ORACLE_DATASET_CARD = r"""
+WITH norm AS (
+  SELECT source, lang, n_chars,
+         coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\p{L} ]+', ' ', 'g'), '\s+', ' ', 'g')), '') AS t
+  FROM documents
+),
+base AS (
+  SELECT source, lang, n_chars,
+         CASE WHEN length(t) > 0
+              THEN CAST(len(string_split(t, ' ')) AS BIGINT) ELSE 0 END AS _ntok,
+         md5(t) AS _fp
+  FROM norm
+),
+core AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(_ntok) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT _fp) AS BIGINT) AS n_unique_texts
+  FROM base
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v_types
+  FROM (SELECT UNNEST(string_split(t, ' ')) AS tok
+        FROM norm WHERE length(t) > 0)
+),
+lang_top AS (
+  SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_docs
+  FROM base GROUP BY 1 ORDER BY count(*) DESC, lang LIMIT 1
+),
+cell AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS _c FROM base GROUP BY 1
+),
+cum AS (
+  SELECT n_chars, _c,
+         CAST(sum(_c) OVER (ORDER BY n_chars
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum,
+         CAST(sum(_c) OVER () AS BIGINT) AS _n
+  FROM cell
+),
+quart AS (
+  SELECT
+    CAST(max(CASE WHEN _cum - _c < CAST(ceil(1 * _n / 4.0) AS BIGINT)
+                   AND CAST(ceil(1 * _n / 4.0) AS BIGINT) <= _cum
+                  THEN n_chars END) AS BIGINT) AS len_q1,
+    CAST(max(CASE WHEN _cum - _c < CAST(ceil(2 * _n / 4.0) AS BIGINT)
+                   AND CAST(ceil(2 * _n / 4.0) AS BIGINT) <= _cum
+                  THEN n_chars END) AS BIGINT) AS len_q2,
+    CAST(max(CASE WHEN _cum - _c < CAST(ceil(3 * _n / 4.0) AS BIGINT)
+                   AND CAST(ceil(3 * _n / 4.0) AS BIGINT) <= _cum
+                  THEN n_chars END) AS BIGINT) AS len_q3
+  FROM cum
+)
+SELECT c.n_docs, c.n_sources, c.n_langs, c.n_tokens, v.v_types,
+       c.n_unique_texts,
+       CAST(c.n_docs - c.n_unique_texts AS BIGINT) AS n_exact_dups,
+       round(CASE WHEN c.n_docs > 0
+             THEN CAST(c.n_docs - c.n_unique_texts AS DOUBLE)
+                  / CAST(c.n_docs AS DOUBLE) END, 6) AS dup_rate,
+       lt.top_lang, lt.top_lang_docs,
+       round(CASE WHEN c.n_docs > 0
+             THEN CAST(lt.top_lang_docs AS DOUBLE)
+                  / CAST(c.n_docs AS DOUBLE) END, 6) AS top_lang_share,
+       round(CASE WHEN c.n_docs > 0
+             THEN CAST(c.n_tokens AS DOUBLE)
+                  / CAST(c.n_docs AS DOUBLE) END, 6) AS mean_tokens_per_doc,
+       q.len_q1, q.len_q2, q.len_q3
+FROM core c CROSS JOIN vocab v CROSS JOIN lang_top lt CROSS JOIN quart q
+"""
+
+
 # Registry order IS the driver contract: the correctness driver records only the
 # FIRST 50 entries each round.  Alternation policy (VERDICT r2 item 1, executed
 # every round since): the tail entries rotate back into the window next round,
@@ -18552,6 +18730,7 @@ QUERIES = {
     "boxcox_report": boxcox_report,
     "ccf_leadlag_report": ccf_leadlag_report,
     "pacf_report": pacf_report,
+    "dataset_card_report": dataset_card_report,
     # -- tail: the 50 r4-recorded entries sitting out one round --
     "embedding_pair_topk": embedding_pair_topk,
     "band_filter_fallback": band_filter_fallback,
@@ -18750,6 +18929,7 @@ ORACLES = {
     "boxcox_report": ORACLE_BOXCOX,
     "ccf_leadlag_report": ORACLE_CCF_LEADLAG,
     "pacf_report": ORACLE_PACF,
+    "dataset_card_report": ORACLE_DATASET_CARD,
     "repetition_report": ORACLE_REPETITION_REPORT,
     "pii_scrub_report": ORACLE_PII_SCRUB_REPORT,
     "line_dedup_report": ORACLE_LINE_DEDUP_REPORT,

@@ -316,6 +316,7 @@ def main() -> None:
         boxcox_report,
         ccf_leadlag_report,
         pacf_report,
+        dataset_card_report,
         spearman_report,
         rrf_fusion_report,
         runs_test_report,
@@ -654,6 +655,11 @@ def main() -> None:
         # r5f: X149 — X116's deviation/lag machinery at 3 lags; the
         # polynomial ratios are a per-type 1-row computation; ~linear.
         "pacf_report": (pacf_report, (1, mult_hi), "events"),
+        # r5f: X150 — one corpus scan feeds the token/fingerprint legs
+        # (map-side combined), the quartile leg rides the bounded value
+        # domain; the card is a 1-row join of tiny frames; ~linear.
+        "dataset_card_report": (dataset_card_report, (1, mult_hi),
+                                "documents"),
         # r5d: X93 — two rank joins back onto the corpus (each keyed on
         # (lang, value), the value frames bounded-domain) + ONE map-side-
         # combined moment agg; expect ~linear-to-n-log-n
