@@ -21,6 +21,8 @@ query.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .functions.text import (
@@ -16613,7 +16615,7 @@ ORDER BY r.source
 # X139: R/S window sizes and their hardcoded nano ln literals (X117
 # discipline — neither engine evaluates ln on the x side of the fit).
 _HURST_SIZES = (8, 16, 32)
-_HURST_LN = {n: int(round(1e9 * __import__("math").log(n))) for n in _HURST_SIZES}
+_HURST_LN = {n: int(round(1e9 * math.log(n))) for n in _HURST_SIZES}
 
 
 def hurst_rs_report(spark, sf):
